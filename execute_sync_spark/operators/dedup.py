@@ -1,0 +1,93 @@
+"""Dedup / versioning / compaction over the append-only landing log.
+
+The reference expresses these as generated SQL views / DML (SURVEY §2.D):
+
+  D1  *_LATEST_ALL_VERSIONS — newest landed copy of each (type,id,version)
+      (tuple-IN against GROUP BY max(batch_date), snowflake.go:264-273)
+  D2  *_LATEST — over D1, current version of each (type,id)
+      (max(version) GROUP BY type,id, snowflake.go:278-287)
+  D3  prune — physically delete superseded copies (snowflake.go:87-94)
+
+Two physical strategies, both one full shuffle of the log:
+
+- ``mode="join"`` (default, exact reference parity incl. tie behavior):
+  map-side-combined groupBy().max() produces a small key set, then an inner
+  equi-join back. At 100 TB the agg output is ~doc-version cardinality (small);
+  AQE will usually broadcast it, so the big side shuffles at most once — and
+  not at all when the key set broadcasts.
+- ``mode="window"``: row_number() over a window; picks exactly one row on
+  batch_date ties. One shuffle+sort of the full log. Prefer when ties must
+  collapse.
+
+Both partition by the dedup key, so a landing table bucketed/partitioned by
+``type`` lets Catalyst prune to one document type before shuffling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+D1_KEYS = ["type", "id", "version"]
+D2_KEYS = ["type", "id"]
+
+
+def latest_all_versions(landing: DataFrame, mode: str = "join") -> DataFrame:
+    """D1: keep the newest landed copy (max batch_date) of every version."""
+    if mode == "window":
+        w = Window.partitionBy(*D1_KEYS, "chunk").orderBy(F.desc("batch_date"))
+        return (
+            landing.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    keys = (
+        landing.groupBy(*D1_KEYS)
+        .agg(F.max("batch_date").alias("batch_date"))
+    )
+    return landing.join(keys, D1_KEYS + ["batch_date"], "left_semi")
+
+
+def latest(landing: DataFrame, mode: str = "join") -> DataFrame:
+    """D2: over D1, keep rows carrying the max version per document.
+
+    Soft-deleted documents remain visible (deleted=true) — parity with
+    snowflake.go:326-327. All chunk rows of the winning version are kept so
+    list-flatten views can union the slices.
+    """
+    d1 = latest_all_versions(landing, mode=mode)
+    if mode == "window":
+        w = Window.partitionBy(*D2_KEYS, "chunk").orderBy(F.desc("version"))
+        return d1.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    keys = d1.groupBy(*D2_KEYS).agg(F.max("version").alias("version"))
+    return d1.join(keys, D2_KEYS + ["version"], "left_semi")
+
+
+def superseded_rows(landing: DataFrame) -> DataFrame:
+    """D3 preview: the rows prune would delete — every row whose
+    (type,id,version) has a newer batch_date copy (anti-join against D1)."""
+    keys = landing.groupBy(*D1_KEYS).agg(F.max("batch_date").alias("batch_date"))
+    return landing.join(keys, D1_KEYS + ["batch_date"], "left_anti")
+
+
+def prune_parquet(spark, path: str, mode: str = "join") -> int:
+    """D3: compact a parquet landing directory to only-current copies.
+
+    Parquet has no DELETE, so compaction is a rewrite: read -> D1 -> write to a
+    temp dir -> swap. (On Delta/Iceberg this becomes a metadata-only
+    ``DELETE WHERE`` anti-join — same plan, no full rewrite.) Returns the
+    number of rows removed.
+    """
+    import os
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    before = df.count()
+    kept = latest_all_versions(df, mode=mode)
+    tmp = f"{path.rstrip('/')}_pruned_{uuid.uuid4().hex[:8]}"
+    kept.write.mode("overwrite").parquet(tmp)
+    after = spark.read.parquet(tmp).count()
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return before - after

@@ -1,0 +1,102 @@
+"""D1/D2/D3 golden + DuckDB-oracle tests (SURVEY §2.D).
+
+The oracle SQL mirrors the reference's generated view SQL
+(snowflake.go:264-287) over the exact same landed rows.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from execute_sync_spark.operators import latest, latest_all_versions, superseded_rows
+from tests.fixtures import feed
+from tests.util import assert_df_equal
+
+# inner-join formulation, as in the reference's SQL Server / Databricks
+# dialects (sqlserver.go:213-226, databricks.go:293-304)
+D1_ORACLE = """
+SELECT ed.* FROM landing ed
+JOIN (SELECT type, id, version, MAX(batch_date) AS batch_date
+      FROM landing GROUP BY type, id, version) k
+USING (type, id, version, batch_date)
+"""
+
+D2_ORACLE = f"""
+SELECT ed.* FROM ({D1_ORACLE}) ed
+JOIN (SELECT type, id, MAX(version) AS version
+      FROM landing GROUP BY type, id) k2
+USING (type, id, version)
+"""
+
+
+@pytest.mark.parametrize("mode", ["join", "window"])
+def test_d1_latest_all_versions(landed, mode):
+    df, con = landed
+    d1 = latest_all_versions(df, mode=mode)
+    # afe-0001 v2 landed in batches 2 and 3 → only the batch-3 copy survives
+    rows = d1.filter((F.col("id") == "afe-0001") & (F.col("version") == 2)).collect()
+    assert len(rows) == 1
+    assert rows[0].batch_date == feed.BATCH_DATES[2].replace(tzinfo=None)
+    # every version is still present
+    assert d1.filter(F.col("id") == "afe-0002").count() == 3
+    assert_df_equal(d1, con.sql(D1_ORACLE), f"D1[{mode}]")
+
+
+@pytest.mark.parametrize("mode", ["join", "window"])
+def test_d2_latest(landed, mode):
+    df, con = landed
+    d2 = latest(df, mode=mode)
+    # current state per document; soft-deleted afe-0002 v3 visible
+    afe2 = d2.filter(F.col("id") == "afe-0002").collect()
+    assert len(afe2) == 1 and afe2[0].version == 3 and afe2[0].deleted is True
+    # all chunk rows of tkt-0001 v1 kept
+    assert d2.filter(F.col("id") == "tkt-0001").count() == 4
+    assert_df_equal(d2, con.sql(D2_ORACLE), f"D2[{mode}]")
+
+
+def test_d3_superseded(landed):
+    df, con = landed
+    sup = superseded_rows(df)
+    oracle = con.sql(f"SELECT * FROM landing EXCEPT SELECT * FROM ({D1_ORACLE})")
+    assert_df_equal(sup, oracle, "D3 superseded")
+    # exactly one superseded row in the fixture: afe-0001 v2 from batch 2
+    rows = sup.collect()
+    assert len(rows) == 1
+    assert rows[0].id == "afe-0001" and rows[0].version == 2
+    assert rows[0].batch_date == feed.BATCH_DATES[1].replace(tzinfo=None)
+
+
+def test_d3_prune_parquet(spark, landed, tmp_path):
+    from execute_sync_spark.operators import prune_parquet
+
+    df, _ = landed
+    path = str(tmp_path / "landing_pq")
+    df.write.parquet(path)
+    removed = prune_parquet(spark, path)
+    assert removed == 1
+    assert spark.read.parquet(path).count() == df.count() - 1
+    # idempotent: second prune removes nothing
+    assert prune_parquet(spark, path) == 0
+
+
+def test_replay_idempotency(spark, landed):
+    """Crash-replay: if the watermark write is lost, the next sync re-ingests
+    the same documents under a NEW batch_date (SURVEY §3.1 watermark-after-
+    upload contract). D1/D2 results must be unchanged in count and content."""
+    from datetime import timedelta
+
+    from execute_sync_spark.landing import land_ndjson_lines
+
+    df, _ = landed
+    replay = land_ndjson_lines(
+        spark,
+        feed.batch_lines()[2],
+        feed.BATCH_DATES[2] + timedelta(days=1),
+        chunk_size=feed.CHUNK_SIZE,
+    )
+    doubled = df.unionByName(replay)
+    assert latest(doubled).count() == latest(df).count()
+    assert latest_all_versions(doubled).count() == latest_all_versions(df).count()
+    # content identical except batch_date of the replayed rows
+    before = {tuple(r) for r in latest(df).drop("batch_date").collect()}
+    after = {tuple(r) for r in latest(doubled).drop("batch_date").collect()}
+    assert before == after
