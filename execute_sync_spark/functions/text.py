@@ -1,0 +1,96 @@
+"""Text-analysis operators over a document corpus (SURVEY §7.1 step 9).
+
+All pure DataFrame expressions (whole-stage codegen, no Python in the hot
+path); each scales linearly and partition-parallel — no shuffles except where
+an aggregation is the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from execute_sync_spark.functions.hashing import h32
+
+# "BPE-ish" tokenizer: letter runs, digit runs, single punctuation marks.
+# Deliberately RE2-safe so the DuckDB oracle can run the identical pattern.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+# Tiny per-language stopword sets for the n-gram/stopword language heuristic.
+# Order matters: ties resolve to the earlier language.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "des", "dans", "pour"],
+    "es": ["el", "los", "las", "es", "no", "una", "con", "por", "para", "como"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the lowercased, trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), "\\s+")
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality-scoring features: lengths, token counts, alpha ratio."""
+    t = tokens(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    return docs.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        F.size(t).cast("long").alias("n_tokens"),
+        n_alpha.cast("long").alias("n_alpha"),
+        F.round(n_alpha / n_chars, 4).alias("alpha_ratio"),
+        F.round(n_chars / F.size(t), 4).alias("avg_token_len"),
+    )
+
+
+def token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting with the BPE-ish regex (training-data budgeting)."""
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE)).cast("long").alias("n_bpe_tokens"),
+        F.size(tokens(text_col)).cast("long").alias("n_ws_tokens"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language heuristic: count tokens in each language's
+    stopword set; highest count wins, ties resolve in LANG_STOPWORDS order."""
+    t = tokens(text_col)
+    hit_cols = []
+    for lang, words in LANG_STOPWORDS.items():
+        lit_arr = F.array(*[F.lit(w) for w in words])
+        # count token *occurrences* in the stopword set (not distinct membership)
+        hits = F.size(F.filter(t, lambda x: F.array_contains(lit_arr, x)))
+        hit_cols.append((lang, hits.alias(f"hits_{lang}")))
+    out = docs.select(F.col(id_col), *[c for _, c in hit_cols])
+    langs = list(LANG_STOPWORDS)
+    best = F.lit(langs[0])
+    best_hits = F.col(f"hits_{langs[0]}")
+    for lang in langs[1:]:
+        cand = F.col(f"hits_{lang}")
+        best = F.when(cand > best_hits, F.lit(lang)).otherwise(best)
+        best_hits = F.when(cand > best_hits, cand).otherwise(best_hits)
+    return out.select(
+        F.col(id_col),
+        *[F.col(f"hits_{lang}").cast("long").alias(f"hits_{lang}") for lang in langs],
+        best.alias("guessed_lang"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", gram: int = 8) -> DataFrame:
+    """Document fingerprint: minimum rolling hash over character n-grams
+    (winnowing's min-selection, one window = whole doc). JVM-side: positions
+    are generated with sequence() and hashed with transform() — no explode, no
+    shuffle, no Python."""
+    c = F.col(text_col)
+    positions = F.sequence(F.lit(1), F.greatest(F.length(c) - (gram - 1), F.lit(1)))
+    gram_hashes = F.transform(positions, lambda i: h32(c.substr(i, F.lit(gram))))
+    return docs.select(
+        F.col(id_col),
+        F.array_min(gram_hashes).alias("fingerprint"),
+        F.round(F.array_min(gram_hashes) / F.lit(2**32), 6).alias("fingerprint_unit"),
+    )

@@ -1,0 +1,720 @@
+"""The declared query workload: every operator from SURVEY §2 plus the
+extension operators, each as (Spark DataFrame fn, DuckDB oracle SQL).
+
+Conventions (the driver hash-compares sorted-by-name columns):
+- every computed column is aliased IDENTICALLY in Spark and SQL;
+- integer outputs are BIGINT on both sides (Spark ``cast("long")``);
+- float aggregates are ROUNDed the same on both sides (raw per-row floats
+  pass through unchanged — same parquet bits);
+- deterministic tie-breaks on every top-k / row_number.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from execute_sync_spark.functions import dedupe, multimodal, similarity, text
+from execute_sync_spark.functions.hashing import h32_salted_sql, h32_sql
+from execute_sync_spark.operators import dedup as dedup_ops
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is TIMESTAMP(NANOS) parquet, which the Spark reader rejects;
+    read nanos as long and truncate to microseconds (exactly what DuckDB's
+    reader does), using integer division — double division would lose
+    precision at 1e18 nanos."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return ev
+
+
+def _docs(spark, sf_dir):
+    return _t(spark, sf_dir, "documents")
+
+
+# The documents-as-landing derivation: a deterministic Execute-style landing
+# log synthesized from the events table, identically in Spark and SQL, so the
+# dedup operators (SURVEY §2.D) are oracle-checkable on driver data.
+def _derived_landing(spark, sf_dir) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_type").alias("type"),
+        F.col("user_id").cast("string").alias("id"),
+        (F.col("event_id") % 3).alias("version"),
+        F.col("ts").alias("batch_date"),
+        F.lit(0).cast("int").alias("chunk"),
+        F.col("event_id"),
+        F.col("value"),
+        F.col("props").alias("data"),
+    )
+
+
+_LANDING_SQL = """
+    SELECT event_type AS type, CAST(user_id AS VARCHAR) AS id,
+           event_id % 3 AS version, ts AS batch_date, CAST(0 AS INT) AS chunk,
+           event_id, value, props AS data
+    FROM events
+"""
+
+_D1_SQL = f"""
+    SELECT ed.* FROM ({_LANDING_SQL}) ed
+    JOIN (SELECT type, id, version, MAX(batch_date) AS batch_date
+          FROM ({_LANDING_SQL}) GROUP BY type, id, version) k
+    USING (type, id, version, batch_date)
+"""
+
+# shared text CTEs (DuckDB): whitespace tokens with positions, 3-word shingles
+_TOK_CTE = r"""
+    tok AS (
+        SELECT doc_id,
+               unnest(arr) AS w,
+               unnest(range(1, len(arr) + 1)) AS pos
+        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+              FROM documents)
+    )
+"""
+
+_SHINGLE_CTE = (
+    _TOK_CTE
+    + r""",
+    led AS (
+        SELECT doc_id, w,
+               lead(w, 1) OVER win AS w1,
+               lead(w, 2) OVER win AS w2
+        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, w || ' ' || w1 || ' ' || w2 AS shingle
+        FROM led WHERE w2 IS NOT NULL
+    )
+"""
+)
+
+_NUM_MINHASH = 8
+
+_SIG_CTE = (
+    _SHINGLE_CTE
+    + ",\n    sig AS (\n        SELECT doc_id, "
+    + ", ".join(
+        f"MIN({h32_salted_sql('shingle', i)}) AS mh{i}" for i in range(_NUM_MINHASH)
+    )
+    + "\n        FROM sh GROUP BY doc_id\n    )"
+)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational core
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+
+def q4_priority_exists(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    big_items = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(big_items, orders.o_orderkey == big_items.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+
+
+Q4_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+"""
+
+
+def q5_revenue_by_nation(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+Q5_SQL = """
+    SELECT r_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY r_name, n_name
+"""
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+Q6_SQL = """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+def q_customers_without_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+    )
+
+
+Q_ANTI_SQL = """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+"""
+
+
+def q_window_top3_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+Q_WINDOW_SQL = """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+    WHERE rn <= 3
+"""
+
+
+def q_rollup_status(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+Q_ROLLUP_SQL = """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_distinct_nations(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.union(supp).distinct()
+
+
+Q_UNION_SQL = """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# document-model operators (SURVEY §2.D / §2.V) on driver data
+
+def d1_latest_batch(spark, sf_dir):
+    return dedup_ops.latest_all_versions(_derived_landing(spark, sf_dir))
+
+
+def d2_latest_version(spark, sf_dir):
+    return dedup_ops.latest(_derived_landing(spark, sf_dir))
+
+
+def d3_superseded(spark, sf_dir):
+    return dedup_ops.superseded_rows(_derived_landing(spark, sf_dir))
+
+
+D2_SQL = f"""
+    SELECT ed.* FROM ({_D1_SQL}) ed
+    JOIN (SELECT type, id, MAX(version) AS version
+          FROM ({_LANDING_SQL}) GROUP BY type, id) k2
+    USING (type, id, version)
+"""
+
+D3_SQL = f"""
+    SELECT ed.* FROM ({_LANDING_SQL}) ed
+    ANTI JOIN (SELECT type, id, version, MAX(batch_date) AS batch_date
+               FROM ({_LANDING_SQL}) GROUP BY type, id, version) k
+    USING (type, id, version, batch_date)
+"""
+
+
+def v_shred_props(spark, sf_dir):
+    """V3 JSON scalar extraction + cast, on the events.props JSON column."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k_value"),
+    )
+
+
+V_SHRED_SQL = """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+"""
+
+
+def v_explode_tokens(spark, sf_dir):
+    """V6 explode pattern: flatten a list column, aggregate over items."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.explode(text.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+V_EXPLODE_SQL = r"""
+    SELECT token, COUNT(*) AS n FROM (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        FROM documents)
+    GROUP BY token
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup extension operators
+
+def dedup_exact(spark, sf_dir):
+    return dedupe.exact_duplicates(_docs(spark, sf_dir))
+
+
+DEDUP_EXACT_SQL = """
+    SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
+    FROM documents GROUP BY md5(text)
+"""
+
+
+def dedup_minhash_sig(spark, sf_dir):
+    return dedupe.minhash_signatures(_docs(spark, sf_dir), num_hashes=_NUM_MINHASH)
+
+
+DEDUP_MINHASH_SQL = f"WITH {_SIG_CTE} SELECT * FROM sig"
+
+
+def dedup_lsh_pairs(spark, sf_dir):
+    sigs = dedupe.minhash_signatures(_docs(spark, sf_dir), num_hashes=_NUM_MINHASH)
+    return dedupe.lsh_candidate_pairs(sigs, num_hashes=_NUM_MINHASH, band_size=2)
+
+
+_LSH_BANDS_SQL = "\n    UNION ALL\n".join(
+    f"""    SELECT doc_id, {b} AS band,
+           CAST(mh{b} AS VARCHAR) || ':' || CAST(mh{b+1} AS VARCHAR) AS band_key
+    FROM sig"""
+    for b in range(0, _NUM_MINHASH, 2)
+)
+
+DEDUP_LSH_SQL = f"""
+    WITH {_SIG_CTE},
+    buckets AS (
+{_LSH_BANDS_SQL}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a JOIN buckets b USING (band, band_key)
+    WHERE a.doc_id < b.doc_id
+"""
+
+
+def dedup_jaccard_pairs(spark, sf_dir):
+    return dedupe.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.05)
+
+
+DEDUP_JACCARD_SQL = f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b, n_inter,
+           ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.05
+"""
+
+_SIMHASH_BITS = 16
+
+
+def dedup_simhash(spark, sf_dir):
+    return dedupe.simhash(_docs(spark, sf_dir), bits=_SIMHASH_BITS)
+
+
+_SIMHASH_SUMS = ", ".join(
+    f"SUM(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(_SIMHASH_BITS)
+)
+_SIMHASH_RECOMBINE = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
+)
+
+DEDUP_SIMHASH_SQL = f"""
+    WITH {_TOK_CTE},
+    hashes AS (SELECT doc_id, {h32_sql('w')} AS h FROM tok),
+    sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM hashes GROUP BY doc_id)
+    SELECT doc_id, CAST({_SIMHASH_RECOMBINE} AS BIGINT) AS simhash FROM sums
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+def text_stats_q(spark, sf_dir):
+    return text.text_stats(_docs(spark, sf_dir))
+
+
+TEXT_STATS_SQL = r"""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CAST(LENGTH(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+           ROUND(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) / LENGTH(text), 4) AS alpha_ratio,
+           ROUND(LENGTH(text) / LENGTH(regexp_split_to_array(trim(lower(text)), '\s+')), 4) AS avg_token_len
+    FROM documents
+"""
+
+
+def text_lang_id(spark, sf_dir):
+    return text.lang_id(_docs(spark, sf_dir))
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS[lang])
+    return (
+        r"CAST(LENGTH(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), "
+        f"x -> x IN ({words}))) AS BIGINT)"
+    )
+
+
+TEXT_LANG_SQL = f"""
+    SELECT doc_id,
+           {_lang_hits_sql('en')} AS hits_en,
+           {_lang_hits_sql('de')} AS hits_de,
+           {_lang_hits_sql('fr')} AS hits_fr,
+           {_lang_hits_sql('es')} AS hits_es,
+           CASE WHEN {_lang_hits_sql('es')} > GREATEST({_lang_hits_sql('en')}, {_lang_hits_sql('de')}, {_lang_hits_sql('fr')}) THEN 'es'
+                WHEN {_lang_hits_sql('fr')} > GREATEST({_lang_hits_sql('en')}, {_lang_hits_sql('de')}) THEN 'fr'
+                WHEN {_lang_hits_sql('de')} > {_lang_hits_sql('en')} THEN 'de'
+                ELSE 'en' END AS guessed_lang
+    FROM documents
+"""
+
+
+def text_token_count(spark, sf_dir):
+    return text.token_count(_docs(spark, sf_dir))
+
+
+TEXT_TOKEN_SQL = r"""
+    SELECT doc_id,
+           CAST(LENGTH(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+           CAST(LENGTH(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+"""
+
+
+def text_fingerprint(spark, sf_dir):
+    return text.fingerprint(_docs(spark, sf_dir))
+
+
+_FP_HASH = h32_sql("substr(text, CAST(i AS INT), 8)")
+TEXT_FP_SQL = f"""
+    SELECT doc_id,
+           list_min(list_transform(range(1, GREATEST(LENGTH(text) - 7, 1) + 1),
+                                   i -> {_FP_HASH})) AS fingerprint,
+           ROUND(list_min(list_transform(range(1, GREATEST(LENGTH(text) - 7, 1) + 1),
+                                         i -> {_FP_HASH})) / 4294967296, 6) AS fingerprint_unit
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+def sim_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+SIM_COSINE_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               ROUND(list_dot_product(qv, cv) /
+                     (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cos_sim
+        FROM c, q WHERE neighbor_id != query_id),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 5
+"""
+
+
+def sim_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, centroids, k=3)
+
+
+_COS_RAW = "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+
+SIM_IVF_SQL = f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+    assign AS (
+        SELECT vec_id, v, cell_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY {_COS_RAW.format(a='v', b='cv')} DESC, cell_id) AS rn
+        FROM c, cent),
+    cells AS (SELECT vec_id, v, cell_id FROM assign WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv, cell_id FROM cells WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, c2.vec_id AS neighbor_id,
+               ROUND({_COS_RAW.format(a='qv', b='c2.v')}, 4) AS cos_sim
+        FROM q JOIN cells c2 USING (cell_id)
+        WHERE c2.vec_id != q.query_id),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal + streaming
+
+def mm_binary_meta(spark, sf_dir):
+    bm = multimodal.binary_with_meta(_docs(spark, sf_dir))
+    return bm.select(
+        "doc_id",
+        F.col("meta.byte_len").alias("byte_len"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.sha").alias("sha"),
+    )
+
+
+MM_META_SQL = """
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           'text/plain' AS mime, md5(text) AS sha
+    FROM documents
+"""
+
+
+def mm_features(spark, sf_dir):
+    """mapInPandas feature extraction — not SQL-expressible (rows-only check)."""
+    bm = multimodal.binary_with_meta(_docs(spark, sf_dir))
+    return multimodal.extract_features(bm)
+
+
+def stream_window_counts_q(spark, sf_dir):
+    from execute_sync_spark.streaming import stream_window_counts
+
+    return stream_window_counts(spark, sf_dir)
+
+
+STREAM_SQL = """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # relational core
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q4_priority_exists": q4_priority_exists,
+    "q5_revenue_by_nation": q5_revenue_by_nation,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q_customers_without_orders": q_customers_without_orders,
+    "q_window_top3_orders": q_window_top3_orders,
+    "q_rollup_status": q_rollup_status,
+    "q_distinct_nations": q_distinct_nations,
+    # document-model ops (SURVEY §2.D / §2.V)
+    "d1_latest_batch": d1_latest_batch,
+    "d2_latest_version": d2_latest_version,
+    "d3_superseded": d3_superseded,
+    "v_shred_props": v_shred_props,
+    "v_explode_tokens": v_explode_tokens,
+    # dedup extensions
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_sig": dedup_minhash_sig,
+    "dedup_lsh_pairs": dedup_lsh_pairs,
+    "dedup_jaccard_pairs": dedup_jaccard_pairs,
+    "dedup_simhash": dedup_simhash,
+    # text analysis
+    "text_stats": text_stats_q,
+    "text_lang_id": text_lang_id,
+    "text_token_count": text_token_count,
+    "text_fingerprint": text_fingerprint,
+    # similarity search
+    "sim_cosine_topk": sim_cosine_topk,
+    "sim_ivf_topk": sim_ivf_topk,
+    # multimodal + streaming
+    "mm_binary_meta": mm_binary_meta,
+    "mm_features": mm_features,
+    "stream_window_counts": stream_window_counts_q,
+}
+
+ORACLES: dict[str, Optional[str]] = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_top_orders": Q3_SQL,
+    "q4_priority_exists": Q4_SQL,
+    "q5_revenue_by_nation": Q5_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "q_customers_without_orders": Q_ANTI_SQL,
+    "q_window_top3_orders": Q_WINDOW_SQL,
+    "q_rollup_status": Q_ROLLUP_SQL,
+    "q_distinct_nations": Q_UNION_SQL,
+    "d1_latest_batch": _D1_SQL,
+    "d2_latest_version": D2_SQL,
+    "d3_superseded": D3_SQL,
+    "v_shred_props": V_SHRED_SQL,
+    "v_explode_tokens": V_EXPLODE_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_minhash_sig": DEDUP_MINHASH_SQL,
+    "dedup_lsh_pairs": DEDUP_LSH_SQL,
+    "dedup_jaccard_pairs": DEDUP_JACCARD_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "text_stats": TEXT_STATS_SQL,
+    "text_lang_id": TEXT_LANG_SQL,
+    "text_token_count": TEXT_TOKEN_SQL,
+    "text_fingerprint": TEXT_FP_SQL,
+    "sim_cosine_topk": SIM_COSINE_SQL,
+    "sim_ivf_topk": SIM_IVF_SQL,
+    "mm_binary_meta": MM_META_SQL,
+    # mm_features: mapInPandas — rows-only check
+    "stream_window_counts": STREAM_SQL,
+}
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """The smoke-check query: pricing summary (exercises scan+filter+agg)."""
+    return q1_pricing_summary(spark, sf_dir)

@@ -1,0 +1,67 @@
+"""Structured Streaming operators.
+
+The reference's ``sync`` loop is a hand-rolled micro-batch poll
+(/root/reference/src/cmd_sync.go:56-75). Spark-first, the same shape is a
+Structured Streaming source -> windowed aggregation -> sink, with watermarks
+bounding state. Here: tumbling-window counts over the events stream.
+
+``availableNow`` processes the whole backlog as micro-batches then stops —
+the batch-parity mode (used by the correctness gate: the final complete-mode
+result equals the batch groupBy). In production the same query runs
+continuously with the watermark evicting state.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_window_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window event counts via a real streaming query (memory sink,
+    availableNow trigger), returned as a batch DataFrame."""
+    path = os.path.join(sf_dir, "events.parquet")
+    # events.ts is nanos parquet — read as long, truncate to micros (see
+    # plans.workload._events for the batch-side twin of this conversion)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    # the file-stream source requires a *directory*; expose the single file
+    # through a temp dir of symlinks (testdata is read-only)
+    import tempfile
+
+    stream_dir = tempfile.mkdtemp(prefix="stream_events_")
+    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    if "ts" in stream.columns and dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    windowed = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    name = f"stream_counts_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("win.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
