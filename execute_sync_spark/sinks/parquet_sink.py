@@ -1,0 +1,60 @@
+"""Primary sink: an append-only parquet landing table on disk, partitioned by
+document ``type`` so every per-type view prunes partitions at the scan.
+
+(The natural production analog is Delta — same layout, plus ACID appends and
+metadata-only DELETE for prune. delta-spark isn't available in this
+environment, so the parquet layout implements the same semantics: appends are
+new files, prune is a compacting rewrite.)
+
+At 100 TB add a second partition level (date(batch_date)) and cluster files
+by (id, version) so D1/D2 shuffles read locally-sorted input.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from execute_sync_spark.landing.schema import LANDING_COLUMNS
+from execute_sync_spark.operators import dedup as dedup_ops
+from execute_sync_spark.operators.views import create_views as compile_views
+from execute_sync_spark.schema.model import RootSchema
+
+TABLE_NAME = "EXECUTE_DOCUMENTS"
+
+
+class ParquetSink:
+    def __init__(self, spark: SparkSession, path: str, partition_by_type: bool = True):
+        self.spark = spark
+        self.path = path
+        self.partition_by_type = partition_by_type
+
+    def append(self, landed: DataFrame) -> int:
+        n = landed.count()
+        writer = landed.select(*LANDING_COLUMNS).write.mode("append")
+        if self.partition_by_type:
+            writer = writer.partitionBy("type")
+        writer.parquet(self.path)
+        return n
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path).select(*LANDING_COLUMNS)
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            not f.startswith("_") for f in os.listdir(self.path)
+        )
+
+    def create_views(self, root: RootSchema) -> dict:
+        """Register EXECUTE_DOCUMENTS[_LATEST[_ALL_VERSIONS]] + the forest."""
+        raw = self.read()
+        raw.createOrReplaceTempView(TABLE_NAME)
+        d1 = dedup_ops.latest_all_versions(raw)
+        d1.createOrReplaceTempView(f"{TABLE_NAME}_LATEST_ALL_VERSIONS")
+        d2 = dedup_ops.latest(raw)
+        d2.createOrReplaceTempView(f"{TABLE_NAME}_LATEST")
+        return compile_views(d2, root, register=True)
+
+    def prune(self) -> int:
+        return dedup_ops.prune_parquet(self.spark, self.path)

@@ -14,7 +14,7 @@ def _norm_cell(v):
     if isinstance(v, float):
         return round(v, 9)
     if isinstance(v, pd.Timestamp):
-        return v.tz_localize(None) if v.tzinfo else v
+        return v.tz_convert("UTC").tz_localize(None) if v.tzinfo else v
     return v
 
 
