@@ -21,11 +21,18 @@ Everything is built from explode / groupBy / join — no Python, no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from execute_sync_spark.functions.hashing import h32, h32_salted
+from execute_sync_spark.functions.hashing import h32
 from execute_sync_spark.functions.text import tokens
+
+# MinHash permutation family: h_i(x) = (A[i]*H(x) + B[i]) mod P with one base
+# md5-prefix hash H — k permutations for the price of one digest. A[i] < 2^31
+# keeps A*H < 2^63 (no overflow); P is the smallest prime above 2^32.
+MINHASH_P = 4294967311
+MINHASH_A = [1299721, 15485863, 32452843, 49979687, 67867967, 86028121, 104395301, 122949823]
+MINHASH_B = [7, 101, 1009, 10007, 100003, 1000003, 9999991, 30000001]
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -40,20 +47,44 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def word_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """(id, shingle) pairs: k-word shingles via posexplode + lead() windows.
+def shingle_array(tok_col, k: int = 3):
+    """Column expr: the DISTINCT k-word shingles of a *materialized token
+    array column*, computed entirely per-row (sequence + element_at +
+    concat_ws in whole-stage codegen) — shingling causes NO shuffle and NO
+    explode. Takes an already-selected array column: passing a raw split()
+    expression here would re-evaluate the split once per element access."""
+    arr = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    n = F.size(arr)
+    all_shingles = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(arr, i + j) for j in range(k)]),
+    )
+    return F.when(n >= k, F.array_distinct(all_shingles)).otherwise(
+        F.array().cast("array<string>")
+    )
 
-    The window is per-document (partitioned by id) so it parallelizes across
-    documents; shingle text joins tokens with single spaces.
-    """
-    tok = docs.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "w"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    cols = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, k)]
+
+def with_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(id, __sh) with the per-row distinct shingle array materialized."""
+    return docs.select(F.col(id_col), tokens(text_col).alias("__tok")).select(
+        F.col(id_col), shingle_array("__tok", k).alias("__sh")
+    )
+
+
+def word_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(id, shingle) pairs — the exploded (inverted-index) form, used where a
+    shingle-keyed join is the algorithm (Jaccard). Distinctness is applied
+    per-row via shingle_array before exploding: no extra distinct shuffle.
+
+    explode_OUTER deliberately: plain explode pushes an implicit
+    ``size(arr)>0 AND isnotnull(arr)`` filter below the Generate, inlining the
+    whole shingle expression into an interpreted Filter and re-evaluating it
+    2x per row (~7x slower end-to-end). The outer variant keeps the array
+    expression evaluated exactly once; null rows are dropped afterwards."""
     return (
-        tok.select(F.col(id_col), F.concat_ws(" ", *cols).alias("shingle"), *[c.alias(f"_w{i}") for i, c in enumerate(cols)])
-        .filter(F.col(f"_w{k-1}").isNotNull())
-        .select(id_col, "shingle")
-        .distinct()
+        with_shingles(docs, text_col, id_col, k)
+        .select(F.col(id_col), F.explode_outer("__sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
     )
 
 
@@ -64,12 +95,25 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Per-document MinHash signature: mh_i = min over shingles of H(i # s)."""
-    sh = word_shingles(docs, text_col, id_col, k=shingle_k)
+    """Per-document MinHash signature: mh_i = min over shingles of H(i # s).
+
+    Physical shape: explode shingles -> md5-hash each ONCE (codegen'd) ->
+    groupBy(doc) with k arithmetic MIN aggregates. Map-side partial
+    aggregation reduces the shuffle to k longs per doc per map task — the
+    shingle set itself never shuffles. (A tempting zero-shuffle alternative —
+    array_min over per-row transform() — is ~5x slower in practice: Spark
+    evaluates higher-order-function lambdas interpreted, and CollapseProject
+    inlines the shared shingle/hash arrays into every one of the k min
+    columns, recomputing them k times.)"""
+    assert num_hashes <= len(MINHASH_A)
+    hashed = word_shingles(docs, text_col, id_col, k=shingle_k).select(
+        F.col(id_col), h32("shingle").alias("h")
+    )
     aggs = [
-        F.min(h32_salted(F.col("shingle"), i)).alias(f"mh{i}") for i in range(num_hashes)
+        F.min((F.col("h") * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        for i in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -81,19 +125,22 @@ def lsh_candidate_pairs(
     """LSH banding: docs sharing any band of the signature become a candidate
     pair. Join key is (band_index, band values) — the full cross product is
     never formed."""
-    bands = []
+    band_structs = []
     for b in range(0, num_hashes, band_size):
         band_cols = [F.col(f"mh{i}") for i in range(b, min(b + band_size, num_hashes))]
-        bands.append(
-            signatures.select(
-                F.col(id_col),
+        band_structs.append(
+            F.struct(
                 F.lit(b).alias("band"),
                 F.concat_ws(":", *[c.cast("string") for c in band_cols]).alias("band_key"),
             )
         )
-    buckets = bands[0]
-    for other in bands[1:]:
-        buckets = buckets.unionByName(other)
+    # one explode over an inline array of band structs — a single pass over
+    # the signatures instead of one scan per band. explode_outer so the
+    # signature expressions aren't re-inlined into a pre-Generate filter
+    # (see word_shingles); the band array is never empty.
+    buckets = signatures.select(
+        F.col(id_col), F.explode_outer(F.array(*band_structs)).alias("bk")
+    ).select(id_col, "bk.band", "bk.band_key")
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -143,19 +190,20 @@ def simhash(
     """Per-document SimHash signature over whitespace tokens.
 
     bit_b(doc) = 1 iff sum over token occurrences of (2*((H(tok)>>b)&1)-1) > 0.
-    One explode + one groupBy(doc) — balanced shuffle keyed by doc id.
+
+    Pure per-row computation: hash the token array once with transform(), then
+    fold each bit's +-1 contributions with aggregate(). ZERO shuffles (the
+    explode + groupBy(doc) formulation shuffles every token).
     """
-    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
-    tok = tok.withColumn("h", h32("w"))
-    aggs = [
-        F.sum(
-            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
-        ).alias(f"s{b}")
-        for b in range(bits)
-    ]
-    sums = tok.groupBy(id_col).agg(*aggs)
+    hashes = F.transform(tokens(text_col), lambda w: h32(w))
+    row = docs.select(F.col(id_col), hashes.alias("__h"))
     sig = None
     for b in range(bits):
-        bit = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        s_b = F.aggregate(
+            F.col("__h"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+        bit = F.when(s_b > 0, F.lit(2**b)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
-    return sums.select(F.col(id_col), sig.cast("long").alias("simhash"))
+    return row.select(F.col(id_col), sig.cast("long").alias("simhash"))

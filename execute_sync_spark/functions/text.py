@@ -89,8 +89,10 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     c = F.col(text_col)
     positions = F.sequence(F.lit(1), F.greatest(F.length(c) - (gram - 1), F.lit(1)))
     gram_hashes = F.transform(positions, lambda i: h32(c.substr(i, F.lit(gram))))
-    return docs.select(
+    # materialize the min once; the naive form repeats the whole 1M-hash
+    # transform per referencing column
+    return docs.select(F.col(id_col), F.array_min(gram_hashes).alias("fingerprint")).select(
         F.col(id_col),
-        F.array_min(gram_hashes).alias("fingerprint"),
-        F.round(F.array_min(gram_hashes) / F.lit(2**32), 6).alias("fingerprint_unit"),
+        "fingerprint",
+        F.round(F.col("fingerprint") / F.lit(2**32), 6).alias("fingerprint_unit"),
     )

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from execute_sync_spark.functions import dedupe, multimodal, similarity, text
-from execute_sync_spark.functions.hashing import h32_salted_sql, h32_sql
+from execute_sync_spark.functions.hashing import h32_sql
 from execute_sync_spark.operators import dedup as dedup_ops
 
 # ---------------------------------------------------------------------------
@@ -109,11 +109,15 @@ _NUM_MINHASH = 8
 
 _SIG_CTE = (
     _SHINGLE_CTE
-    + ",\n    sig AS (\n        SELECT doc_id, "
+    + f""",
+    shh AS (SELECT doc_id, {h32_sql('shingle')} AS h FROM sh),
+    sig AS (
+        SELECT doc_id, """
     + ", ".join(
-        f"MIN({h32_salted_sql('shingle', i)}) AS mh{i}" for i in range(_NUM_MINHASH)
+        f"MIN((h * {dedupe.MINHASH_A[i]} + {dedupe.MINHASH_B[i]}) % {dedupe.MINHASH_P}) AS mh{i}"
+        for i in range(_NUM_MINHASH)
     )
-    + "\n        FROM sh GROUP BY doc_id\n    )"
+    + "\n        FROM shh GROUP BY doc_id\n    )"
 )
 
 
