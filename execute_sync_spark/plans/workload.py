@@ -608,6 +608,71 @@ SIM_IVF_SQL = f"""
 """
 
 
+def dedup_embedding_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup candidates, blocked by label (at scale the
+    block key is an LSH bucket / IVF cell — same plan shape: equi-join on the
+    block key keeps the comparison quadratic only within blocks)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, "label")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(similarity.cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+
+
+DEDUP_EMB_SQL = f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND({_COS_RAW.format(a='a.v', b='b.v')}, 4) AS cos_sim
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.3
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) via session_window — the
+    batch twin of the stateful-streaming session operator."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "session_value")
+    )
+
+
+# gaps-and-islands formulation; >= matches session_window's half-open
+# [start, last+gap) semantics (an event exactly gap later opens a new session)
+Q_SESSION_SQL = """
+    WITH flags AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM flags)
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS session_value
+    FROM sess GROUP BY user_id, sess_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal + streaming
 
@@ -661,6 +726,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_window_top3_orders": q_window_top3_orders,
     "q_rollup_status": q_rollup_status,
     "q_distinct_nations": q_distinct_nations,
+    "q_sessionize": q_sessionize,
     # document-model ops (SURVEY §2.D / §2.V)
     "d1_latest_batch": d1_latest_batch,
     "d2_latest_version": d2_latest_version,
@@ -673,6 +739,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_lsh_pairs": dedup_lsh_pairs,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_simhash": dedup_simhash,
+    "dedup_embedding_pairs": dedup_embedding_pairs,
     # text analysis
     "text_stats": text_stats_q,
     "text_lang_id": text_lang_id,
@@ -707,6 +774,8 @@ ORACLES: dict[str, Optional[str]] = {
     "dedup_lsh_pairs": DEDUP_LSH_SQL,
     "dedup_jaccard_pairs": DEDUP_JACCARD_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_embedding_pairs": DEDUP_EMB_SQL,
+    "q_sessionize": Q_SESSION_SQL,
     "text_stats": TEXT_STATS_SQL,
     "text_lang_id": TEXT_LANG_SQL,
     "text_token_count": TEXT_TOKEN_SQL,

@@ -1,0 +1,155 @@
+"""Property-based tests (SURVEY §5 plan item 3): dedup invariants under
+random version/batch permutations; chunk-split/flatten round-trip; duplicate
+detection on constructed corpora. Few examples, Spark jobs are seconds each."""
+
+import json
+from datetime import datetime, timedelta, timezone
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from execute_sync_spark.landing import land_ndjson_lines
+from execute_sync_spark.operators import latest, latest_all_versions, create_views
+from execute_sync_spark.schema import load_root_schema
+
+BASE = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+
+def _doc(doc_id: int, version: int, n_items: int = 0):
+    rec = {
+        "$TYPE": "TICKET",
+        "DOCUMENT_ID": f"t-{doc_id}",
+        "$VERSION": version,
+        "$AUTHOR_ID": "u",
+        "$DATE": "2026-01-01T00:00:00Z",
+        "$DELETED": False,
+        "SUBJECT": f"s-{doc_id}-{version}",
+    }
+    if n_items:
+        rec["LINES"] = [
+            {"LISTITEM_ID": f"{doc_id}-{version}-{i}", "QTY": i, "COST": float(i)}
+            for i in range(n_items)
+        ]
+    return json.dumps(rec)
+
+
+# each example: a set of (doc, version) copies assigned to batches 0..2
+copies = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(1, 3), st.integers(0, 2)),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(copies=copies, seed=st.randoms(use_true_random=False))
+def test_latest_invariant_under_batch_replay_and_row_order(spark, copies, seed):
+    """D2 depends only on (a) the max version per doc and (b) which batch a
+    copy last landed in — never on row order within batches, and re-landing
+    every batch again later must not change the (batch_date-stripped) result."""
+    batches = {0: [], 1: [], 2: []}
+    for doc, version, batch in copies:
+        batches[batch].append(_doc(doc, version))
+
+    def land_all(batch_dates):
+        dfs = []
+        for b, lines in batches.items():
+            if lines:
+                shuffled = list(lines)
+                seed.shuffle(shuffled)
+                dfs.append(land_ndjson_lines(spark, shuffled, batch_dates[b]))
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    dates = {b: BASE + timedelta(days=b) for b in batches}
+    base = land_all(dates)
+    # replay every batch 10 days later (crash-replay / force refresh)
+    replay_dates = {b: d + timedelta(days=10) for b, d in dates.items()}
+    doubled = base.unionByName(land_all(replay_dates))
+
+    def content(df):
+        return {tuple(r) for r in latest(df).drop("batch_date").collect()}
+
+    assert content(base) == content(doubled)
+    # D1 keeps every distinct (doc, version) exactly once per landing copy-set
+    d1 = latest_all_versions(doubled).drop("batch_date").collect()
+    assert len(d1) == len({(r.id, r.version) for r in d1})
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_items=st.integers(0, 40),
+    chunk_size=st.integers(1, 15),
+)
+def test_chunk_flatten_roundtrip(spark, root_schema, n_items, chunk_size):
+    """split(list, chunk_size) then V6-explode == V6-explode of the unsplit
+    document, for any list length and chunk size (SURVEY §7.3 risk e)."""
+    lines = [_doc(0, 1, n_items=n_items)]
+    plain = land_ndjson_lines(spark, lines, BASE)
+    chunked = land_ndjson_lines(spark, lines, BASE, chunk_size=chunk_size)
+
+    import math
+
+    expected_rows = 1 + (math.ceil(n_items / chunk_size) if n_items > chunk_size else 0)
+    assert chunked.count() == expected_rows
+
+    def lines_view(landing):
+        views = create_views(latest(landing), root_schema, register=False)
+        return {tuple(r) for r in views["TICKET_LINES"].collect()}
+
+    assert lines_view(plain) == lines_view(chunked)
+
+
+def test_duplicate_detection_on_constructed_corpus(spark):
+    """Identical texts -> identical minhash/simhash signatures, exact-dup
+    groups, and LSH candidate pairs; a perturbed copy stays LSH-adjacent."""
+    from execute_sync_spark.functions import dedupe
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    perturbed = base.replace("lazy", "sleepy")
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, perturbed), (4, "completely different words entirely unrelated text body here")],
+        "doc_id long, text string",
+    )
+
+    exact = {r.canonical_id: r.n_copies for r in dedupe.exact_duplicates(docs).collect()}
+    assert exact[1] == 2  # docs 1,2 identical
+
+    sigs = {r.doc_id: tuple(r)[1:] for r in dedupe.minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+    pairs = {(r.id_a, r.id_b) for r in dedupe.lsh_candidate_pairs(dedupe.minhash_signatures(docs)).collect()}
+    assert (1, 2) in pairs
+    # near-dup shares most shingles -> at least one band collides
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert (1, 4) not in pairs
+
+    sims = {r.doc_id: r.simhash for r in dedupe.simhash(docs).collect()}
+    assert sims[1] == sims[2]
+    ham_near = bin(sims[1] ^ sims[3]).count("1")
+    ham_far = bin(sims[1] ^ sims[4]).count("1")
+    assert ham_near <= ham_far
+
+    jac = {(r.id_a, r.id_b): r.jaccard for r in dedupe.ngram_jaccard_pairs(docs, threshold=0.05).collect()}
+    assert jac[(1, 2)] == 1.0
+    assert 0.5 < jac[(1, 3)] < 1.0
+
+
+def test_feature_extraction_deterministic(spark):
+    """mapInPandas multimodal path: deterministic features, stable schema."""
+    from execute_sync_spark.functions import multimodal
+
+    docs = spark.createDataFrame([(1, "hello world"), (2, "")], "doc_id long, text string")
+    bm = multimodal.binary_with_meta(docs)
+    feats = {r.doc_id: r for r in multimodal.extract_features(bm).collect()}
+    assert feats[1].byte_len == 11
+    assert len(feats[1].features) == multimodal.FEATURE_DIM
+    assert abs(sum(feats[1].features) - 1.0) < 1e-6  # normalized histogram
+    assert feats[2].features == [0.0] * multimodal.FEATURE_DIM
+    # run twice -> identical
+    again = {r.doc_id: r for r in multimodal.extract_features(bm).collect()}
+    assert feats[1].features == again[1].features
