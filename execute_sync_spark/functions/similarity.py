@@ -66,6 +66,67 @@ def cosine_topk(
     )
 
 
+def cosine_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine, the vectorized scale path: the (small) query
+    matrix is broadcast to every partition; each Arrow batch computes a
+    C @ Q.T matrix product in numpy and emits only its LOCAL top-k rows per
+    query, so the global merge (window rank over ~k * n_partitions rows per
+    query) is negligible. Same results as cosine_topk; ~10-100x faster per
+    row because the dot products run in BLAS instead of interpreted
+    expression lambdas."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    qpdf = queries.select(F.col(id_col).alias("qid"), vec_col).toPandas()
+    qids = qpdf["qid"].to_numpy()
+    Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, Qn))
+
+    out_schema = "query_id long, neighbor_id long, cos_sim double"
+
+    def topk_per_batch(batches):
+        bqids, bQn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = Cn @ bQn.T  # |batch| x |queries|
+            for j, qid in enumerate(bqids):
+                col = np.round(S[:, j], 4)
+                cand_idx = np.nonzero(ids != qid)[0]
+                if len(cand_idx) == 0:
+                    continue
+                # local selection uses the SAME key as the global merge
+                # ((rounded sim desc, id asc)) so pruning can't change ranks
+                order = np.lexsort((ids[cand_idx], -col[cand_idx]))
+                top = cand_idx[order[:k]]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": ids[top],
+                        "cos_sim": col[top],
+                    }
+                )
+
+    local = corpus.select(id_col, vec_col).mapInPandas(topk_per_batch, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def assign_cells(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -576,6 +576,13 @@ SIM_COSINE_SQL = """
 """
 
 
+def sim_cosine_topk_vec(spark, sf_dir):
+    """Same semantics as sim_cosine_topk via the vectorized (BLAS) scale
+    path — local per-partition top-k, tiny global merge."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_vectorized(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 def sim_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < 8)
@@ -634,6 +641,170 @@ DEDUP_EMB_SQL = f"""
                ROUND({_COS_RAW.format(a='a.v', b='b.v')}, 4) AS cos_sim
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
     SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.3
+"""
+
+
+def q_pivot_status(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    statuses = ["F", "O", "P"]
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(F.count(F.lit(1)))
+    )
+    # Spark pivot yields NULL for empty combos; the FILTER-count oracle yields 0
+    return piv.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).cast("long").alias(f"n_{s}") for s in statuses],
+    )
+
+
+Q_PIVOT_SQL = """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_P
+    FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_cube_qty(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+    )
+
+
+Q_CUBE_SQL = """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ROUND(AVG(l_quantity), 4) AS avg_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q17_small_quantity(spark, sf_dir):
+    """Correlated-average pattern (TPC-H Q17 shape): lineitems below 20% of
+    their part's average quantity."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_per_part = li.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.2).alias("qty_limit"))
+    return (
+        li.join(avg_per_part, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = """
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN (SELECT l_partkey, AVG(l_quantity) * 0.2 AS qty_limit
+          FROM lineitem GROUP BY l_partkey) a
+    ON l.l_partkey = a.l_partkey
+    WHERE l.l_quantity < a.qty_limit
+"""
+
+
+def q_string_funcs(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+        F.substring(F.col("p_name"), 1, 5).alias("name_prefix"),
+        F.length(F.col("p_type")).cast("long").alias("type_len"),
+        F.expr("replace(p_type, ' ', '_')").alias("type_snake"),
+        F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("marked_up"),
+    )
+
+
+Q_STRING_SQL = """
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_upper,
+           substr(p_name, 1, 5) AS name_prefix,
+           CAST(LENGTH(p_type) AS BIGINT) AS type_len,
+           replace(p_type, ' ', '_') AS type_snake,
+           p_brand || '|' || p_type AS brand_type,
+           ROUND(p_retailprice * 1.1, 2) AS marked_up
+    FROM part
+"""
+
+
+def q_date_funcs(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+    )
+
+
+Q_DATE_SQL = """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           CAST(day(o_orderdate) AS BIGINT) AS d,
+           CAST(quarter(o_orderdate) AS BIGINT) AS q,
+           date_trunc('month', o_orderdate) AS month_start
+    FROM orders
+"""
+
+
+def q_top_supplier_per_nation(spark, sf_dir):
+    """argmax-per-group via agg + join back (ties kept, like the reference's
+    dedup views)."""
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    best = supp.groupBy("s_nationkey").agg(F.max("s_acctbal").alias("s_acctbal"))
+    return (
+        supp.join(best, ["s_nationkey", "s_acctbal"], "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("n_name", "s_name", "s_acctbal")
+    )
+
+
+Q_TOP_SUPP_SQL = """
+    SELECT n_name, s_name, s_acctbal
+    FROM supplier s
+    JOIN (SELECT s_nationkey, MAX(s_acctbal) AS s_acctbal
+          FROM supplier GROUP BY s_nationkey) b
+    USING (s_nationkey, s_acctbal)
+    JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+def q_having_big_customers(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").cast("long").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+        .filter(F.col("n_orders") > 15)
+    )
+
+
+Q_HAVING_SQL = """
+    SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_spent
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) > 15
+"""
+
+
+def q_conditional_agg(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    high = F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)
+    return orders.groupBy("o_orderpriority").agg(
+        F.sum(high).cast("long").alias("n_high"),
+        F.sum(1 - high).cast("long").alias("n_low"),
+    )
+
+
+Q_COND_SQL = """
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_high,
+           SUM(CASE WHEN o_totalprice > 100000 THEN 0 ELSE 1 END) AS n_low
+    FROM orders GROUP BY o_orderpriority
 """
 
 
@@ -726,6 +897,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_window_top3_orders": q_window_top3_orders,
     "q_rollup_status": q_rollup_status,
     "q_distinct_nations": q_distinct_nations,
+    "q_pivot_status": q_pivot_status,
+    "q_cube_qty": q_cube_qty,
+    "q17_small_quantity": q17_small_quantity,
+    "q_string_funcs": q_string_funcs,
+    "q_date_funcs": q_date_funcs,
+    "q_top_supplier_per_nation": q_top_supplier_per_nation,
+    "q_having_big_customers": q_having_big_customers,
+    "q_conditional_agg": q_conditional_agg,
     "q_sessionize": q_sessionize,
     # document-model ops (SURVEY §2.D / §2.V)
     "d1_latest_batch": d1_latest_batch,
@@ -747,6 +926,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": text_fingerprint,
     # similarity search
     "sim_cosine_topk": sim_cosine_topk,
+    "sim_cosine_topk_vec": sim_cosine_topk_vec,
     "sim_ivf_topk": sim_ivf_topk,
     # multimodal + streaming
     "mm_binary_meta": mm_binary_meta,
@@ -764,6 +944,15 @@ ORACLES: dict[str, Optional[str]] = {
     "q_window_top3_orders": Q_WINDOW_SQL,
     "q_rollup_status": Q_ROLLUP_SQL,
     "q_distinct_nations": Q_UNION_SQL,
+    "q_pivot_status": Q_PIVOT_SQL,
+    "q_cube_qty": Q_CUBE_SQL,
+    "q17_small_quantity": Q17_SQL,
+    "q_string_funcs": Q_STRING_SQL,
+    "q_date_funcs": Q_DATE_SQL,
+    "q_top_supplier_per_nation": Q_TOP_SUPP_SQL,
+    "q_having_big_customers": Q_HAVING_SQL,
+    "q_conditional_agg": Q_COND_SQL,
+    "q_sessionize": Q_SESSION_SQL,
     "d1_latest_batch": _D1_SQL,
     "d2_latest_version": D2_SQL,
     "d3_superseded": D3_SQL,
@@ -775,12 +964,12 @@ ORACLES: dict[str, Optional[str]] = {
     "dedup_jaccard_pairs": DEDUP_JACCARD_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_embedding_pairs": DEDUP_EMB_SQL,
-    "q_sessionize": Q_SESSION_SQL,
     "text_stats": TEXT_STATS_SQL,
     "text_lang_id": TEXT_LANG_SQL,
     "text_token_count": TEXT_TOKEN_SQL,
     "text_fingerprint": TEXT_FP_SQL,
     "sim_cosine_topk": SIM_COSINE_SQL,
+    "sim_cosine_topk_vec": SIM_COSINE_SQL,
     "sim_ivf_topk": SIM_IVF_SQL,
     "mm_binary_meta": MM_META_SQL,
     # mm_features: mapInPandas — rows-only check

@@ -21,7 +21,7 @@ class JdbcSink:
         self.table = table
         self.properties = properties or {}
 
-    def append(self, landed: DataFrame) -> int:
+    def append(self, landed: DataFrame, txn_id: str | None = None) -> int:
         n = landed.count()
         try:
             (

@@ -30,13 +30,29 @@ class ParquetSink:
         self.path = path
         self.partition_by_type = partition_by_type
 
-    def append(self, landed: DataFrame) -> int:
+    def append(self, landed: DataFrame, txn_id: str | None = None) -> int:
+        """Append one batch. With ``txn_id`` the append is idempotent (P10):
+        a marker file under ``_txns/`` records applied batches, so a crash
+        between append and watermark save cannot double-land a page (the
+        Delta analog is ``txnAppId``/``txnVersion`` on the writer)."""
+        if txn_id is not None and os.path.exists(self._txn_marker(txn_id)):
+            return 0
         n = landed.count()
         writer = landed.select(*LANDING_COLUMNS).write.mode("append")
         if self.partition_by_type:
             writer = writer.partitionBy("type")
         writer.parquet(self.path)
+        if txn_id is not None:
+            os.makedirs(os.path.dirname(self._txn_marker(txn_id)), exist_ok=True)
+            with open(self._txn_marker(txn_id), "w") as f:
+                f.write(txn_id)
         return n
+
+    def _txn_marker(self, txn_id: str) -> str:
+        import hashlib
+
+        digest = hashlib.md5(txn_id.encode()).hexdigest()
+        return os.path.join(self.path, "_txns", digest)
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path).select(*LANDING_COLUMNS)
@@ -57,4 +73,18 @@ class ParquetSink:
         return compile_views(d2, root, register=True)
 
     def prune(self) -> int:
-        return dedup_ops.prune_parquet(self.spark, self.path)
+        # preserve txn markers across the compacting rewrite
+        import shutil
+        import tempfile
+
+        txn_dir = os.path.join(self.path, "_txns")
+        saved = None
+        if os.path.isdir(txn_dir):
+            saved = tempfile.mkdtemp(prefix="txns_")
+            shutil.copytree(txn_dir, saved, dirs_exist_ok=True)
+        try:
+            return dedup_ops.prune_parquet(self.spark, self.path)
+        finally:
+            if saved is not None:
+                shutil.copytree(saved, txn_dir, dirs_exist_ok=True)
+                shutil.rmtree(saved)

@@ -34,7 +34,11 @@ def sync_once(
         if page.lines:
             batch_date = datetime.now(timezone.utc)
             landed = land_ndjson_lines(spark, page.lines, batch_date, chunk_size=chunk_size)
-            total += sink.append(landed)
+            # the highwater mark identifies the page -> idempotent append
+            # (P10); a force refresh deliberately re-lands everything, so it
+            # bypasses the txn guard (parity with the reference's append)
+            txn_id = None if force else page.highwater_mark
+            total += sink.append(landed, txn_id=txn_id)
         if page.highwater_mark:
             state.save(page.highwater_mark)
     return total

@@ -1,1 +1,2 @@
 from execute_sync_spark.streaming.windowed import stream_window_counts  # noqa: F401
+from execute_sync_spark.streaming.ingest import stream_sync  # noqa: F401
