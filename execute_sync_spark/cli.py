@@ -54,7 +54,10 @@ def _load_schema(cfg: Config, source):
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="execute-sync-spark")
-    p.add_argument("command", choices=["sync", "push", "clone", "create_views", "prune", "config", "version"])
+    p.add_argument(
+        "command",
+        choices=["sync", "push", "clone", "create_views", "prune", "config", "version", "gen", "upgrade"],
+    )
     p.add_argument("-u", "--execute-url", dest="execute_url")
     p.add_argument("--execute-key-id", dest="execute_key_id")
     p.add_argument("--execute-key-secret", dest="execute_key_secret")
@@ -75,6 +78,14 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.command == "version":
         print(__version__)
+        return 0
+    if args.command == "gen":
+        print("gen: Snowflake RSA keypair generation is warehouse-specific ops "
+              "tooling; not applicable to the Spark engine (see COVERAGE.md S11)")
+        return 0
+    if args.command == "upgrade":
+        print("upgrade: self-update is packaged-binary ops tooling; use your "
+              "package manager (see COVERAGE.md S11)")
         return 0
     if args.command == "config":
         print(json.dumps(cfg.redacted(), indent=2))

@@ -876,6 +876,23 @@ def stream_window_counts_q(spark, sf_dir):
     return stream_window_counts(spark, sf_dir)
 
 
+def stream_sessionize_closed(spark, sf_dir):
+    """Custom stateful streaming sessionizer (applyInPandasWithState): over a
+    finite backlog it emits every CLOSED session — all sessions except each
+    user's most recent, which stays open in state."""
+    from execute_sync_spark.streaming import streaming_sessionize
+
+    return streaming_sessionize(spark, sf_dir)
+
+
+STREAM_SESSION_SQL = f"""
+    WITH sessions AS ({Q_SESSION_SQL})
+    SELECT * FROM sessions s
+    WHERE session_start < (SELECT MAX(session_start) FROM sessions s2
+                           WHERE s2.user_id = s.user_id)
+"""
+
+
 STREAM_SQL = """
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
@@ -932,6 +949,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_binary_meta": mm_binary_meta,
     "mm_features": mm_features,
     "stream_window_counts": stream_window_counts_q,
+    "stream_sessionize_closed": stream_sessionize_closed,
 }
 
 ORACLES: dict[str, Optional[str]] = {
@@ -974,6 +992,7 @@ ORACLES: dict[str, Optional[str]] = {
     "mm_binary_meta": MM_META_SQL,
     # mm_features: mapInPandas — rows-only check
     "stream_window_counts": STREAM_SQL,
+    "stream_sessionize_closed": STREAM_SESSION_SQL,
 }
 
 

@@ -38,7 +38,10 @@ class ParquetSink:
         if txn_id is not None and os.path.exists(self._txn_marker(txn_id)):
             return 0
         n = landed.count()
-        writer = landed.select(*LANDING_COLUMNS).write.mode("append")
+        # cluster files by (id, version) so downstream dedup shuffles read
+        # locally-sorted input (the parquet stand-in for Delta Z-ordering)
+        clustered = landed.select(*LANDING_COLUMNS).sortWithinPartitions("id", "version")
+        writer = clustered.write.mode("append")
         if self.partition_by_type:
             writer = writer.partitionBy("type")
         writer.parquet(self.path)

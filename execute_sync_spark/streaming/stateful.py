@@ -1,0 +1,99 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState`` (the Spark-native form of a hand-written stateful
+operator — per-key state survives across micro-batches).
+
+Semantics: events for a user belong to one session while consecutive gaps are
+< ``gap``; a session CLOSES when a later event arrives >= gap after it. Closed
+sessions are emitted as they are discovered; the most recent (still-open)
+session per user is held in state for the next micro-batch. Over a finite
+backlog this emits exactly "all sessions except each user's last" — which is
+what makes the operator oracle-checkable in SQL.
+
+At scale: state is per-user (tiny — 4 scalars), partitioned by the group key;
+a watermark-based state TTL (GroupStateTimeout) would bound it on an infinite
+stream."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_sessionize(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Run the stateful sessionizer over the events backlog as a real
+    streaming query (memory sink, availableNow); returns closed sessions."""
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, session_value double"
+    )
+    state_schema = "start timestamp, last timestamp, n long, value_sum double"
+
+    def sessionize(
+        key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        events = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        if state.exists:
+            start, last, n, value_sum = state.get
+            start, last = pd.Timestamp(start), pd.Timestamp(last)
+        else:
+            start = last = None
+            n, value_sum = 0, 0.0
+
+        closed = []
+        for ts, value in zip(events["ts"], events["value"]):
+            if start is None:
+                start, last, n, value_sum = ts, ts, 1, float(value)
+            elif ts - last >= gap:
+                closed.append((user_id, start, last, n, round(value_sum, 2)))
+                start, last, n, value_sum = ts, ts, 1, float(value)
+            else:
+                last, n, value_sum = ts, n + 1, value_sum + float(value)
+        state.update((start.to_pydatetime(), last.to_pydatetime(), n, value_sum))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end", "n_events", "session_value"],
+            )
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream_dir = tempfile.mkdtemp(prefix="stream_sess_")
+    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+    sessions = stream.select("user_id", "ts", "value").groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
