@@ -70,13 +70,17 @@ def superseded_rows(landing: DataFrame) -> DataFrame:
     return landing.join(keys, D1_KEYS + ["batch_date"], "left_anti")
 
 
-def prune_parquet(spark, path: str, mode: str = "join") -> int:
+def prune_parquet(spark, path: str, mode: str = "join", partition_by: list[str] | None = None) -> int:
     """D3: compact a parquet landing directory to only-current copies.
 
     Parquet has no DELETE, so compaction is a rewrite: read -> D1 -> write to a
     temp dir -> swap. (On Delta/Iceberg this becomes a metadata-only
     ``DELETE WHERE`` anti-join — same plan, no full rewrite.) Returns the
     number of rows removed.
+
+    ``partition_by`` MUST match the table's layout (e.g. ["type"] for the
+    landing sink) — rewriting a partitioned directory flat would leave later
+    partitioned appends unreadable next to flat files.
     """
     import os
     import shutil
@@ -86,7 +90,10 @@ def prune_parquet(spark, path: str, mode: str = "join") -> int:
     before = df.count()
     kept = latest_all_versions(df, mode=mode)
     tmp = f"{path.rstrip('/')}_pruned_{uuid.uuid4().hex[:8]}"
-    kept.write.mode("overwrite").parquet(tmp)
+    writer = kept.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
     after = spark.read.parquet(tmp).count()
     shutil.rmtree(path)
     os.rename(tmp, path)

@@ -86,7 +86,11 @@ class ParquetSink:
             saved = tempfile.mkdtemp(prefix="txns_")
             shutil.copytree(txn_dir, saved, dirs_exist_ok=True)
         try:
-            return dedup_ops.prune_parquet(self.spark, self.path)
+            return dedup_ops.prune_parquet(
+                self.spark,
+                self.path,
+                partition_by=["type"] if self.partition_by_type else None,
+            )
         finally:
             if saved is not None:
                 shutil.copytree(saved, txn_dir, dirs_exist_ok=True)

@@ -1,0 +1,25 @@
+"""Regression: prune must preserve the sink's partitioned layout — a flat
+rewrite next to later partitioned appends silently loses rows on read."""
+
+from execute_sync_spark.landing import land_ndjson_lines
+from execute_sync_spark.sinks import ParquetSink
+from tests.fixtures import feed
+
+
+def test_prune_preserves_partitioning_and_appendability(spark, tmp_path):
+    sink = ParquetSink(spark, str(tmp_path / "wh"))
+    b = feed.batch_lines()
+    for lines, bd in zip(b, feed.BATCH_DATES):
+        sink.append(land_ndjson_lines(spark, lines, bd))
+    before = sink.read().count()
+    removed = sink.prune()
+    assert removed == 1
+    assert sink.read().count() == before - 1
+
+    # append after prune: all rows must remain visible, types intact
+    from datetime import timedelta
+
+    n = sink.append(land_ndjson_lines(spark, b[0], feed.BATCH_DATES[2] + timedelta(days=1)))
+    assert sink.read().count() == before - 1 + n
+    types = {r.type for r in sink.read().select("type").distinct().collect()}
+    assert {"AFE", "VENDOR", "TICKET", "WIDGET"} <= types
