@@ -144,6 +144,11 @@ def _build_node(
             log.warning("skipping %s.%s of unknown type %s", view_name, field, meta.type)
 
     base = parsed if flattened else parsed.filter(F.col("chunk") == 0)
+    if view_name in views:
+        # underscore-joined path names can collide (A + B_C vs A_B + C); the
+        # reference's CREATE OR REPLACE silently last-wins in random Go map
+        # order — we last-win deterministically (schema order) and warn.
+        log.warning("view name collision: %s redefined (path-name ambiguity)", view_name)
     views[view_name] = base.select(*cols)
 
 

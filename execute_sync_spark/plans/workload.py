@@ -362,6 +362,51 @@ D3_SQL = f"""
 """
 
 
+def ingest_roundtrip(spark, sf_dir):
+    """End-to-end landing pipeline at events scale, fully distributed: render
+    each event as an Execute-style NDJSON document (to_json), push it through
+    the real landing path (metadata from_json extraction, PK dedup), then D2
+    and a per-type summary. Exercises S4 + P10 + D2 on 10k-1M docs with no
+    driver-side materialization."""
+    from datetime import datetime, timezone
+
+    from execute_sync_spark.landing.ingest import _land
+    from execute_sync_spark.operators import dedup as dedup_ops
+
+    ev = _events(spark, sf_dir)
+    lines = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("$TYPE"),
+                F.concat(F.lit("doc-"), F.col("user_id")).alias("DOCUMENT_ID"),
+                (F.col("event_id") % 5).cast("double").alias("$VERSION"),
+                F.lit("u-0").alias("$AUTHOR_ID"),
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("$DATE"),
+                F.lit(False).alias("$DELETED"),
+                F.col("value").alias("VALUE"),
+            )
+        ).alias("value")
+    )
+    landed = _land(lines, datetime(2026, 1, 1, tzinfo=timezone.utc), chunk_size=None)
+    d2 = dedup_ops.latest(landed)
+    return d2.groupBy("type").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.max("version").alias("max_version"),
+    )
+
+
+INGEST_RT_SQL = """
+    WITH keys AS (
+        SELECT DISTINCT event_type AS type,
+               'doc-' || CAST(user_id AS VARCHAR) AS id,
+               event_id % 5 AS version
+        FROM events),
+    cur AS (SELECT type, id, MAX(version) AS version FROM keys GROUP BY type, id)
+    SELECT type, COUNT(*) AS n_docs, MAX(version) AS max_version
+    FROM cur GROUP BY type
+"""
+
+
 def v_shred_props(spark, sf_dir):
     """V3 JSON scalar extraction + cast, on the events.props JSON column."""
     ev = _t(spark, sf_dir, "events")
@@ -927,6 +972,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d1_latest_batch": d1_latest_batch,
     "d2_latest_version": d2_latest_version,
     "d3_superseded": d3_superseded,
+    "ingest_roundtrip": ingest_roundtrip,
     "v_shred_props": v_shred_props,
     "v_explode_tokens": v_explode_tokens,
     # dedup extensions
@@ -974,6 +1020,7 @@ ORACLES: dict[str, Optional[str]] = {
     "d1_latest_batch": _D1_SQL,
     "d2_latest_version": D2_SQL,
     "d3_superseded": D3_SQL,
+    "ingest_roundtrip": INGEST_RT_SQL,
     "v_shred_props": V_SHRED_SQL,
     "v_explode_tokens": V_EXPLODE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
