@@ -127,6 +127,40 @@ def cosine_topk_vectorized(
     )
 
 
+def blocked_near_dup_pairs_vectorized(
+    corpus: DataFrame,
+    block_col: str = "label",
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs within blocks, vectorized: applyInPandas per
+    block computes the block's full cosine matrix in BLAS and emits only
+    pairs >= threshold. The shuffle is one partition per block key; work is
+    quadratic only within blocks (at scale the block key is an LSH bucket /
+    IVF cell, keeping blocks bounded)."""
+    import numpy as np
+    import pandas as pd
+
+    def pairs_in_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = np.round(Vn @ Vn.T, 4)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = S[iu, ju] >= threshold
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        # normalize pair order to (min, max) regardless of row order
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": S[iu, ju][keep]})
+
+    return (
+        corpus.select(id_col, block_col, vec_col)
+        .groupBy(block_col)
+        .applyInPandas(pairs_in_block, schema="id_a long, id_b long, cos_sim double")
+    )
+
+
 def assign_cells(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -83,15 +83,25 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", gram: int = 8) -> DataFrame:
     """Document fingerprint: minimum rolling hash over character n-grams
-    (winnowing's min-selection, one window = whole doc). JVM-side: positions
-    are generated with sequence() and hashed with transform() — no explode, no
-    shuffle, no Python."""
+    (winnowing's min-selection, one window = whole doc).
+
+    Physical shape mirrors minhash_signatures: explode the gram positions
+    (explode_outer — see word_shingles for why), md5 each gram in CODEGEN'd
+    expressions, and take a map-side-combined MIN per doc — the shuffle is
+    one long per doc per map task. (A transform()-lambda formulation keeps
+    everything per-row but runs interpreted, ~3x slower.)"""
     c = F.col(text_col)
     positions = F.sequence(F.lit(1), F.greatest(F.length(c) - (gram - 1), F.lit(1)))
-    gram_hashes = F.transform(positions, lambda i: h32(c.substr(i, F.lit(gram))))
-    # materialize the min once; the naive form repeats the whole 1M-hash
-    # transform per referencing column
-    return docs.select(F.col(id_col), F.array_min(gram_hashes).alias("fingerprint")).select(
+    # build gram STRINGS per-row (cheap substrings), explode those, then md5
+    # in codegen — exploding positions instead would copy the whole text
+    # into every gram row
+    gram_arr = F.transform(positions, lambda i: c.substr(i, F.lit(gram)))
+    grams = (
+        docs.select(F.col(id_col), F.explode_outer(gram_arr).alias("__g"))
+        .filter(F.col("__g").isNotNull())
+        .select(F.col(id_col), h32(F.col("__g")).alias("__h"))
+    )
+    return grams.groupBy(id_col).agg(F.min("__h").alias("fingerprint")).select(
         F.col(id_col),
         "fingerprint",
         F.round(F.col("fingerprint") / F.lit(2**32), 6).alias("fingerprint_unit"),

@@ -45,7 +45,8 @@ def latest_all_versions(landing: DataFrame, mode: str = "join") -> DataFrame:
         landing.groupBy(*D1_KEYS)
         .agg(F.max("batch_date").alias("batch_date"))
     )
-    return landing.join(keys, D1_KEYS + ["batch_date"], "left_semi")
+    # re-project to the input column order (the semi-join moves keys first)
+    return landing.join(keys, D1_KEYS + ["batch_date"], "left_semi").select(*landing.columns)
 
 
 def latest(landing: DataFrame, mode: str = "join") -> DataFrame:
@@ -60,14 +61,14 @@ def latest(landing: DataFrame, mode: str = "join") -> DataFrame:
         w = Window.partitionBy(*D2_KEYS, "chunk").orderBy(F.desc("version"))
         return d1.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
     keys = d1.groupBy(*D2_KEYS).agg(F.max("version").alias("version"))
-    return d1.join(keys, D2_KEYS + ["version"], "left_semi")
+    return d1.join(keys, D2_KEYS + ["version"], "left_semi").select(*landing.columns)
 
 
 def superseded_rows(landing: DataFrame) -> DataFrame:
     """D3 preview: the rows prune would delete — every row whose
     (type,id,version) has a newer batch_date copy (anti-join against D1)."""
     keys = landing.groupBy(*D1_KEYS).agg(F.max("batch_date").alias("batch_date"))
-    return landing.join(keys, D1_KEYS + ["batch_date"], "left_anti")
+    return landing.join(keys, D1_KEYS + ["batch_date"], "left_anti").select(*landing.columns)
 
 
 def prune_parquet(spark, path: str, mode: str = "join", partition_by: list[str] | None = None) -> int:

@@ -853,6 +853,13 @@ Q_COND_SQL = """
 """
 
 
+def dedup_embedding_pairs_vec(spark, sf_dir):
+    """Same semantics as dedup_embedding_pairs via the vectorized
+    (applyInPandas per block, BLAS matrix product) scale path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.blocked_near_dup_pairs_vectorized(emb, threshold=0.3)
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity) via session_window — the
     batch twin of the stateful-streaming session operator."""
@@ -982,6 +989,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_pairs": dedup_embedding_pairs,
+    "dedup_embedding_pairs_vec": dedup_embedding_pairs_vec,
     # text analysis
     "text_stats": text_stats_q,
     "text_lang_id": text_lang_id,
@@ -1029,6 +1037,7 @@ ORACLES: dict[str, Optional[str]] = {
     "dedup_jaccard_pairs": DEDUP_JACCARD_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_embedding_pairs": DEDUP_EMB_SQL,
+    "dedup_embedding_pairs_vec": DEDUP_EMB_SQL,
     "text_stats": TEXT_STATS_SQL,
     "text_lang_id": TEXT_LANG_SQL,
     "text_token_count": TEXT_TOKEN_SQL,

@@ -75,6 +75,36 @@ class ParquetSink:
         d2.createOrReplaceTempView(f"{TABLE_NAME}_LATEST")
         return compile_views(d2, root, register=True)
 
+    def materialize_latest(self) -> str:
+        """P6's second idiom: alongside the query-time dedup views, write a
+        materialized ``_LATEST`` snapshot table for read-heavy workloads —
+        at 100 TB a full-log dedup per query is wasteful; readers hit the
+        snapshot and only the refresh pays the dedup. Refresh here is a full
+        recompute swap (Delta analog: MERGE INTO from new batches only).
+        Returns the snapshot path."""
+        import shutil
+        import uuid
+
+        snap = f"{self.path.rstrip('/')}_latest"
+        tmp = f"{snap}_{uuid.uuid4().hex[:8]}"
+        (
+            dedup_ops.latest(self.read())
+            .write.mode("overwrite")
+            .partitionBy("type")
+            .parquet(tmp)
+        )
+        if os.path.isdir(snap):
+            shutil.rmtree(snap)
+        os.rename(tmp, snap)
+        return snap
+
+    def read_latest(self) -> DataFrame:
+        """Read the materialized snapshot (falls back to the lazy D2 view)."""
+        snap = f"{self.path.rstrip('/')}_latest"
+        if os.path.isdir(snap):
+            return self.spark.read.parquet(snap).select(*LANDING_COLUMNS)
+        return dedup_ops.latest(self.read())
+
     def prune(self) -> int:
         # preserve txn markers across the compacting rewrite
         import shutil

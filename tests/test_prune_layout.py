@@ -23,3 +23,23 @@ def test_prune_preserves_partitioning_and_appendability(spark, tmp_path):
     assert sink.read().count() == before - 1 + n
     types = {r.type for r in sink.read().select("type").distinct().collect()}
     assert {"AFE", "VENDOR", "TICKET", "WIDGET"} <= types
+
+
+def test_materialized_latest_matches_lazy(spark, tmp_path):
+    from execute_sync_spark.operators import latest
+
+    sink = ParquetSink(spark, str(tmp_path / "wh"))
+    for lines, bd in zip(feed.batch_lines(), feed.BATCH_DATES):
+        sink.append(land_ndjson_lines(spark, lines, bd))
+    sink.materialize_latest()
+    snap = {tuple(r) for r in sink.read_latest().collect()}
+    lazy = {tuple(r) for r in latest(sink.read()).collect()}
+    assert snap == lazy
+    # refresh after another batch keeps them in sync
+    from datetime import timedelta
+
+    sink.append(land_ndjson_lines(spark, feed.batch_lines()[0], feed.BATCH_DATES[2] + timedelta(days=2)))
+    sink.materialize_latest()
+    assert {tuple(r) for r in sink.read_latest().collect()} == {
+        tuple(r) for r in latest(sink.read()).collect()
+    }

@@ -1,0 +1,74 @@
+"""Regenerate PLANS.md: captured physical plans for the headline queries,
+with the scale-relevant features annotated. Run from the repo root:
+
+    python tools/dump_plans.py
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from execute_sync_spark.session import get_spark
+from execute_sync_spark.plans import workload
+
+SF = "/root/testdata/sf0.1"
+
+ANNOTATED = {
+    "q1_pricing_summary": "filter pushed to the parquet scan (PushedFilters), "
+    "column-pruned ReadSchema, map-side partial aggregation, single exchange",
+    "q5_revenue_by_nation": "star join: every dimension broadcast, fact table "
+    "never shuffles until the final 2-key aggregate",
+    "d1_latest_batch": "dedup key set is a map-side-combined aggregate that "
+    "BROADCASTS back to the log — the big side never shuffles",
+    "dedup_minhash_sig": "shingle explode feeds codegen'd md5 + partial MIN "
+    "aggregation: the shuffle carries k longs per doc per map task",
+    "sim_cosine_topk": "broadcast nested-loop of JVM-side dot products; "
+    "corpus side stays where it is",
+}
+
+
+def main() -> None:
+    spark = get_spark("dump_plans")
+    out = [
+        "# PLANS — captured physical plans (sf0.1, local[32])",
+        "",
+        "Regenerate with `python tools/dump_plans.py`. Annotations call out",
+        "the property each plan is chosen for at the 100 TB target.",
+        "",
+    ]
+    for name, note in ANNOTATED.items():
+        df = workload.QUERIES[name](spark, SF)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        out.append(f"## {name}")
+        out.append("")
+        out.append(f"**Why this plan:** {note}.")
+        out.append("")
+        out.append("```")
+        # keep the operator tree + scan details, drop the per-node I/O noise
+        text = buf.getvalue()
+        tree, _, details = text.partition("\n\n")
+        scans = [
+            l.strip()[:400]
+            for l in details.splitlines()
+            if l.strip().startswith(("PushedFilters", "ReadSchema", "Arguments: "))
+        ]
+        out.append(tree.strip())
+        if scans:
+            out.append("")
+            out.extend(scans[:8])
+        out.append("```")
+        out.append("")
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("wrote PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
