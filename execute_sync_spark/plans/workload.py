@@ -26,6 +26,9 @@ from execute_sync_spark.operators import dedup as dedup_ops
 # helpers
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver may run these under its own session: pin UTC so
+    # TimestampType -> naive conversions agree with the DuckDB oracle
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -422,6 +425,17 @@ V_SHRED_SQL = """
 """
 
 
+def v_variant_shred(spark, sf_dir):
+    """V3 via Spark 4's VariantType — the literal analog of the reference's
+    Snowflake VARIANT column (snowflake.go:58): parse once to variant, typed
+    path extraction with variant_get."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k_value"),
+    )
+
+
 def v_explode_tokens(spark, sf_dir):
     """V6 explode pattern: flatten a list column, aggregate over items."""
     docs = _docs(spark, sf_dir)
@@ -577,6 +591,69 @@ TEXT_TOKEN_SQL = r"""
     SELECT doc_id,
            CAST(LENGTH(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
            CAST(LENGTH(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+"""
+
+
+def text_tfidf_top_term(spark, sf_dir):
+    """Classic corpus-statistics pipeline op: the highest tf-idf token per
+    document (idf = ln(N/df)). Two map-side-combined aggregations + a
+    broadcast of the (small) df table; deterministic tie-break by token."""
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode_outer(text.tokens("text")).alias("token")).filter(
+        F.col("token").isNotNull()
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_), "token").select(
+        "doc_id",
+        "token",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("token").alias("top_term"), "score")
+    )
+
+
+TEXT_TFIDF_SQL = r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, token,
+               ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+        FROM tf JOIN df USING (token) CROSS JOIN n),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, token) AS rn
+        FROM scored)
+    SELECT doc_id, token AS top_term, score FROM ranked WHERE rn = 1
+"""
+
+
+def text_redact_pii(spark, sf_dir):
+    """PII-style masking pass: long digit runs redacted, with a count of
+    masked spans — the shape of a compliance scrub over a corpus."""
+    docs = _docs(spark, sf_dir)
+    pattern = "[0-9]{3,}"
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), pattern, "<NUM>").alias("redacted"),
+        F.regexp_count(F.col("text"), F.lit(pattern)).cast("long").alias("n_masked"),
+    )
+
+
+TEXT_REDACT_SQL = """
+    SELECT doc_id,
+           regexp_replace(text, '[0-9]{3,}', '<NUM>', 'g') AS redacted,
+           CAST(LENGTH(regexp_extract_all(text, '[0-9]{3,}')) AS BIGINT) AS n_masked
     FROM documents
 """
 
@@ -981,6 +1058,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d3_superseded": d3_superseded,
     "ingest_roundtrip": ingest_roundtrip,
     "v_shred_props": v_shred_props,
+    "v_variant_shred": v_variant_shred,
     "v_explode_tokens": v_explode_tokens,
     # dedup extensions
     "dedup_exact": dedup_exact,
@@ -995,6 +1073,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": text_lang_id,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
+    "text_tfidf_top_term": text_tfidf_top_term,
+    "text_redact_pii": text_redact_pii,
     # similarity search
     "sim_cosine_topk": sim_cosine_topk,
     "sim_cosine_topk_vec": sim_cosine_topk_vec,
@@ -1030,6 +1110,7 @@ ORACLES: dict[str, Optional[str]] = {
     "d3_superseded": D3_SQL,
     "ingest_roundtrip": INGEST_RT_SQL,
     "v_shred_props": V_SHRED_SQL,
+    "v_variant_shred": V_SHRED_SQL,
     "v_explode_tokens": V_EXPLODE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_sig": DEDUP_MINHASH_SQL,
@@ -1042,6 +1123,8 @@ ORACLES: dict[str, Optional[str]] = {
     "text_lang_id": TEXT_LANG_SQL,
     "text_token_count": TEXT_TOKEN_SQL,
     "text_fingerprint": TEXT_FP_SQL,
+    "text_tfidf_top_term": TEXT_TFIDF_SQL,
+    "text_redact_pii": TEXT_REDACT_SQL,
     "sim_cosine_topk": SIM_COSINE_SQL,
     "sim_cosine_topk_vec": SIM_COSINE_SQL,
     "sim_ivf_topk": SIM_IVF_SQL,
