@@ -157,10 +157,27 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.05,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs above ``threshold``,
-    via a shingle inverted index (explode + self-equi-join + count)."""
+    via a shingle inverted index (explode + self-equi-join + count).
+
+    ``max_df`` is the scale valve: a shingle appearing in d documents
+    contributes d^2 join rows, so one stop-phrase shared by a million docs
+    explodes the join. Dropping shingles with document frequency > max_df
+    before the join bounds the blowup (standard near-dup practice). Note the
+    similarity is then measured over the RARE-shingle space: intersection
+    counts only shrink, but ratios can rise because document sizes shrink
+    too. Default off for exact semantics (and the oracle)."""
     sh = word_shingles(docs, text_col, id_col, k=shingle_k)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(rare), "shingle", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -766,6 +766,26 @@ DEDUP_EMB_SQL = f"""
 """
 
 
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark percentile == DuckDB
+    quantile_cont, both linear interpolation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+Q_PCT_SQL = """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_pivot_status(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     statuses = ["F", "O", "P"]
@@ -1043,6 +1063,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_window_top3_orders": q_window_top3_orders,
     "q_rollup_status": q_rollup_status,
     "q_distinct_nations": q_distinct_nations,
+    "q_percentiles": q_percentiles,
     "q_pivot_status": q_pivot_status,
     "q_cube_qty": q_cube_qty,
     "q17_small_quantity": q17_small_quantity,
@@ -1096,6 +1117,7 @@ ORACLES: dict[str, Optional[str]] = {
     "q_window_top3_orders": Q_WINDOW_SQL,
     "q_rollup_status": Q_ROLLUP_SQL,
     "q_distinct_nations": Q_UNION_SQL,
+    "q_percentiles": Q_PCT_SQL,
     "q_pivot_status": Q_PIVOT_SQL,
     "q_cube_qty": Q_CUBE_SQL,
     "q17_small_quantity": Q17_SQL,
