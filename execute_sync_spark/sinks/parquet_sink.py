@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from execute_sync_spark.landing.schema import LANDING_COLUMNS
 from execute_sync_spark.operators import dedup as dedup_ops
@@ -97,6 +98,44 @@ class ParquetSink:
             shutil.rmtree(snap)
         os.rename(tmp, snap)
         return snap
+
+    def refresh_latest(self) -> list[str]:
+        """Incremental snapshot refresh: recompute D2 only for document types
+        touched by batches newer than the snapshot's high-water batch_date,
+        and swap just those type partitions. Untouched partitions are not
+        read or rewritten — at 100 TB a sync touching one doc type refreshes
+        one partition subtree. Falls back to a full materialize when no
+        snapshot exists. Returns the refreshed type list."""
+        import shutil
+
+        snap = f"{self.path.rstrip('/')}_latest"
+        if not os.path.isdir(snap):
+            self.materialize_latest()
+            return ["*"]
+
+        mark_row = self.spark.read.parquet(snap).agg(F.max("batch_date").alias("m")).first()
+        mark = mark_row.m
+        raw = self.read()
+        touched = [
+            r.type
+            for r in raw.filter(F.col("batch_date") > F.lit(mark)).select("type").distinct().collect()
+        ]
+        if not touched:
+            return []
+        # D2 over only the touched types (partition-pruned scan), then swap
+        # those partitions in the snapshot
+        fresh = dedup_ops.latest(raw.filter(F.col("type").isin(touched)))
+        tmp = f"{snap}_delta_{os.getpid()}"
+        fresh.write.mode("overwrite").partitionBy("type").parquet(tmp)
+        for t in touched:
+            src = os.path.join(tmp, f"type={t}")
+            dst = os.path.join(snap, f"type={t}")
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            if os.path.isdir(src):
+                os.rename(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return touched
 
     def read_latest(self) -> DataFrame:
         """Read the materialized snapshot (falls back to the lazy D2 view)."""

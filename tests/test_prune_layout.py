@@ -43,3 +43,34 @@ def test_materialized_latest_matches_lazy(spark, tmp_path):
     assert {tuple(r) for r in sink.read_latest().collect()} == {
         tuple(r) for r in latest(sink.read()).collect()
     }
+
+
+def test_incremental_refresh_matches_full(spark, tmp_path):
+    """refresh_latest touches only the types in new batches yet yields the
+    same snapshot a full materialize would."""
+    from datetime import timedelta
+
+    from execute_sync_spark.operators import latest
+
+    sink = ParquetSink(spark, str(tmp_path / "wh"))
+    for lines, bd in zip(feed.batch_lines(), feed.BATCH_DATES):
+        sink.append(land_ndjson_lines(spark, lines, bd))
+    assert sink.refresh_latest() == ["*"]  # bootstrap = full materialize
+
+    # no new batches -> no-op
+    assert sink.refresh_latest() == []
+
+    # a VENDOR-only batch refreshes only the VENDOR partition
+    new_vendor = (
+        '{"$TYPE": "VENDOR", "DOCUMENT_ID": "vnd-01", "$VERSION": 2, '
+        '"$AUTHOR_ID": "u-1", "$DATE": "2026-03-06T00:00:00Z", "$DELETED": false, '
+        '"VENDOR_NAME": "Acme Drilling Intl", "RATING": 5}'
+    )
+    sink.append(land_ndjson_lines(spark, [new_vendor], feed.BATCH_DATES[2] + timedelta(days=3)))
+    assert sink.refresh_latest() == ["VENDOR"]
+    snap = {tuple(r) for r in sink.read_latest().collect()}
+    full = {tuple(r) for r in latest(sink.read()).collect()}
+    assert snap == full
+    # the new vendor version is visible
+    v = [r for r in sink.read_latest().collect() if r.id == "vnd-01"]
+    assert len(v) == 1 and v[0].version == 2
