@@ -957,6 +957,51 @@ def dedup_embedding_pairs_vec(spark, sf_dir):
     return similarity.blocked_near_dup_pairs_vectorized(emb, threshold=0.3)
 
 
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (finer control than rollup/cube)."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+Q_GSETS_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_except_intersect(spark, sf_dir):
+    """Set-op coverage beyond UNION: EXCEPT ALL (multiset difference —
+    nations with more customer rows than supplier rows) and INTERSECT
+    (nations with both), tagged."""
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    more_cust = cust.exceptAll(supp).distinct().withColumn("tag", F.lit("more_customers"))
+    both = cust.intersect(supp).withColumn("tag", F.lit("both"))
+    return more_cust.unionByName(both)
+
+
+Q_EXCEPT_SQL = """
+    SELECT nationkey, 'more_customers' AS tag FROM (
+        SELECT DISTINCT nationkey FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT ALL
+            SELECT s_nationkey AS nationkey FROM supplier))
+    UNION ALL
+    SELECT nationkey, 'both' AS tag FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier)
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity) via session_window — the
     batch twin of the stateful-streaming session operator."""
@@ -996,6 +1041,17 @@ Q_SESSION_SQL = """
 # ---------------------------------------------------------------------------
 # multimodal + streaming
 
+def q_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ approximate distinct counts — the 100 TB path for
+    cardinality estimation (no oracle: sketches are engine-specific; a unit
+    test asserts <5% relative error vs exact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )
+
+
 def mm_binary_meta(spark, sf_dir):
     bm = multimodal.binary_with_meta(_docs(spark, sf_dir))
     return bm.select(
@@ -1023,6 +1079,48 @@ def stream_window_counts_q(spark, sf_dir):
     from execute_sync_spark.streaming import stream_window_counts
 
     return stream_window_counts(spark, sf_dir)
+
+
+def stream_enrich_join(spark, sf_dir):
+    """Stream-static join: the events stream enriched against the static
+    customer dimension (broadcast per micro-batch), then aggregated per
+    market segment — the streaming form of dimension enrichment."""
+    import tempfile
+    import uuid
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream_dir = tempfile.mkdtemp(prefix="stream_enrich_")
+    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = (
+        stream.join(F.broadcast(cust), stream.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+STREAM_ENRICH_SQL = """
+    SELECT c_mktsegment, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+"""
 
 
 def stream_sessionize_closed(spark, sf_dir):
@@ -1072,6 +1170,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_top_supplier_per_nation": q_top_supplier_per_nation,
     "q_having_big_customers": q_having_big_customers,
     "q_conditional_agg": q_conditional_agg,
+    "q_grouping_sets": q_grouping_sets,
+    "q_except_intersect": q_except_intersect,
+    "q_approx_distinct": q_approx_distinct,
     "q_sessionize": q_sessionize,
     # document-model ops (SURVEY §2.D / §2.V)
     "d1_latest_batch": d1_latest_batch,
@@ -1105,6 +1206,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_features": mm_features,
     "stream_window_counts": stream_window_counts_q,
     "stream_sessionize_closed": stream_sessionize_closed,
+    "stream_enrich_join": stream_enrich_join,
 }
 
 ORACLES: dict[str, Optional[str]] = {
@@ -1126,6 +1228,9 @@ ORACLES: dict[str, Optional[str]] = {
     "q_top_supplier_per_nation": Q_TOP_SUPP_SQL,
     "q_having_big_customers": Q_HAVING_SQL,
     "q_conditional_agg": Q_COND_SQL,
+    "q_grouping_sets": Q_GSETS_SQL,
+    "q_except_intersect": Q_EXCEPT_SQL,
+    # q_approx_distinct: sketch-based — rows-only (error-bound unit test)
     "q_sessionize": Q_SESSION_SQL,
     "d1_latest_batch": _D1_SQL,
     "d2_latest_version": D2_SQL,
@@ -1154,6 +1259,7 @@ ORACLES: dict[str, Optional[str]] = {
     # mm_features: mapInPandas — rows-only check
     "stream_window_counts": STREAM_SQL,
     "stream_sessionize_closed": STREAM_SESSION_SQL,
+    "stream_enrich_join": STREAM_ENRICH_SQL,
 }
 
 

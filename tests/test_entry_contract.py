@@ -23,7 +23,7 @@ def test_oracles_subset_of_queries():
     # every oracle is non-empty SQL
     assert all(isinstance(sql, str) and "SELECT" in sql.upper() for sql in oracles.values())
     # only deliberately rows-only ops lack an oracle
-    assert set(qs) - set(oracles) == {"mm_features"}
+    assert set(qs) - set(oracles) == {"mm_features", "q_approx_distinct"}
 
 
 def test_entry_smoke(spark):
