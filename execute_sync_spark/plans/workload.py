@@ -766,6 +766,41 @@ DEDUP_EMB_SQL = f"""
 """
 
 
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returned items per customer, top 20."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+    SELECT c_custkey, c_name, n_name, c_acctbal,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
 def q_percentiles(spark, sf_dir):
     """Exact interpolated percentiles per group (Spark percentile == DuckDB
     quantile_cont, both linear interpolation)."""
@@ -1157,6 +1192,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q4_priority_exists": q4_priority_exists,
     "q5_revenue_by_nation": q5_revenue_by_nation,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
     "q_customers_without_orders": q_customers_without_orders,
     "q_window_top3_orders": q_window_top3_orders,
     "q_rollup_status": q_rollup_status,
@@ -1215,6 +1251,7 @@ ORACLES: dict[str, Optional[str]] = {
     "q4_priority_exists": Q4_SQL,
     "q5_revenue_by_nation": Q5_SQL,
     "q6_forecast_revenue": Q6_SQL,
+    "q10_returned_items": Q10_SQL,
     "q_customers_without_orders": Q_ANTI_SQL,
     "q_window_top3_orders": Q_WINDOW_SQL,
     "q_rollup_status": Q_ROLLUP_SQL,

@@ -173,3 +173,19 @@ def test_cli_push_and_views(spark, feed_dir, tmp_path, capsys):
     assert main(["config", *common]) == 0
     out = capsys.readouterr().out
     assert json.loads(out)["database_type"] == "parquet"
+
+
+def test_cli_sync_loop_bounded(spark, feed_dir, tmp_path, capsys):
+    """The sync command's poll loop, bounded to one iteration for tests."""
+    from execute_sync_spark.cli import main
+
+    args = [
+        "sync",
+        "--execute-url", f"file://{feed_dir}",
+        "--database-type", "parquet", "--database-dsn", str(tmp_path / "sync_wh"),
+        "--state-dir", str(tmp_path / "sync_state"),
+        "--wait", "0", "--max-iterations", "1",
+    ]
+    assert main(args) == 0
+    wm = (tmp_path / "sync_state" / "last_sync_date.txt").read_text()
+    assert wm == "batch_3.ndjson"
