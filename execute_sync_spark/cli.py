@@ -36,9 +36,13 @@ def _build_sink(cfg: Config, spark):
 
     if cfg.database_type == "parquet":
         return ParquetSink(spark, cfg.database_dsn)
+    if cfg.database_type == "duckdb":
+        from execute_sync_spark.sinks import DuckDBSink
+
+        return DuckDBSink(spark, cfg.database_dsn)
     if cfg.database_type == "jdbc":
         return JdbcSink(spark, cfg.database_dsn)
-    raise SystemExit(f"unsupported DATABASE_TYPE {cfg.database_type!r} (parquet|jdbc)")
+    raise SystemExit(f"unsupported DATABASE_TYPE {cfg.database_type!r} (parquet|duckdb|jdbc)")
 
 
 def _load_schema(cfg: Config, source):

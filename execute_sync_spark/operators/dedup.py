@@ -71,7 +71,7 @@ def superseded_rows(landing: DataFrame) -> DataFrame:
     return landing.join(keys, D1_KEYS + ["batch_date"], "left_anti").select(*landing.columns)
 
 
-def prune_parquet(spark, path: str, mode: str = "join", partition_by: list[str] | None = None) -> int:
+def prune_parquet(spark, path: str, mode: str = "join", partition_by: list[str] | None = None, file_format: str = "parquet") -> int:
     """D3: compact a parquet landing directory to only-current copies.
 
     Parquet has no DELETE, so compaction is a rewrite: read -> D1 -> write to a
@@ -87,15 +87,15 @@ def prune_parquet(spark, path: str, mode: str = "join", partition_by: list[str] 
     import shutil
     import uuid
 
-    df = spark.read.parquet(path)
+    df = spark.read.format(file_format).load(path)
     before = df.count()
     kept = latest_all_versions(df, mode=mode)
     tmp = f"{path.rstrip('/')}_pruned_{uuid.uuid4().hex[:8]}"
-    writer = kept.write.mode("overwrite")
+    writer = kept.write.mode("overwrite").format(file_format)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(tmp)
-    after = spark.read.parquet(tmp).count()
+    writer.save(tmp)
+    after = spark.read.format(file_format).load(tmp).count()
     shutil.rmtree(path)
     os.rename(tmp, path)
     return before - after

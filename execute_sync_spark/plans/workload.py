@@ -307,6 +307,38 @@ Q_WINDOW_SQL = """
 """
 
 
+def q_window_funcs(spark, sf_dir):
+    """Window-function breadth: lag, rank, dense_rank, ntile, running sum —
+    one pass per customer ordered by date (deterministic via unique key)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_total"),
+    )
+
+
+Q_WINDOW_FUNCS_SQL = """
+    SELECT o_custkey, o_orderkey,
+           lag(o_totalprice) OVER w AS prev_price,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING), 2) AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 def q_rollup_status(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
@@ -1195,6 +1227,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q10_returned_items": q10_returned_items,
     "q_customers_without_orders": q_customers_without_orders,
     "q_window_top3_orders": q_window_top3_orders,
+    "q_window_funcs": q_window_funcs,
     "q_rollup_status": q_rollup_status,
     "q_distinct_nations": q_distinct_nations,
     "q_percentiles": q_percentiles,
@@ -1254,6 +1287,7 @@ ORACLES: dict[str, Optional[str]] = {
     "q10_returned_items": Q10_SQL,
     "q_customers_without_orders": Q_ANTI_SQL,
     "q_window_top3_orders": Q_WINDOW_SQL,
+    "q_window_funcs": Q_WINDOW_FUNCS_SQL,
     "q_rollup_status": Q_ROLLUP_SQL,
     "q_distinct_nations": Q_UNION_SQL,
     "q_percentiles": Q_PCT_SQL,

@@ -26,10 +26,16 @@ TABLE_NAME = "EXECUTE_DOCUMENTS"
 
 
 class ParquetSink:
-    def __init__(self, spark: SparkSession, path: str, partition_by_type: bool = True):
+    """Columnar-file landing sink; ``file_format`` may be "parquet"
+    (default) or "orc" — both columnar, splittable, predicate-pushdown
+    formats Spark writes natively."""
+
+    def __init__(self, spark: SparkSession, path: str, partition_by_type: bool = True,
+                 file_format: str = "parquet"):
         self.spark = spark
         self.path = path
         self.partition_by_type = partition_by_type
+        self.file_format = file_format
 
     def append(self, landed: DataFrame, txn_id: str | None = None) -> int:
         """Append one batch. With ``txn_id`` the append is idempotent (P10):
@@ -42,10 +48,10 @@ class ParquetSink:
         # cluster files by (id, version) so downstream dedup shuffles read
         # locally-sorted input (the parquet stand-in for Delta Z-ordering)
         clustered = landed.select(*LANDING_COLUMNS).sortWithinPartitions("id", "version")
-        writer = clustered.write.mode("append")
+        writer = clustered.write.mode("append").format(self.file_format)
         if self.partition_by_type:
             writer = writer.partitionBy("type")
-        writer.parquet(self.path)
+        writer.save(self.path)
         if txn_id is not None:
             os.makedirs(os.path.dirname(self._txn_marker(txn_id)), exist_ok=True)
             with open(self._txn_marker(txn_id), "w") as f:
@@ -59,7 +65,7 @@ class ParquetSink:
         return os.path.join(self.path, "_txns", digest)
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path).select(*LANDING_COLUMNS)
+        return self.spark.read.format(self.file_format).load(self.path).select(*LANDING_COLUMNS)
 
     def exists(self) -> bool:
         return os.path.isdir(self.path) and any(
@@ -91,8 +97,9 @@ class ParquetSink:
         (
             dedup_ops.latest(self.read())
             .write.mode("overwrite")
+            .format(self.file_format)
             .partitionBy("type")
-            .parquet(tmp)
+            .save(tmp)
         )
         if os.path.isdir(snap):
             shutil.rmtree(snap)
@@ -113,7 +120,7 @@ class ParquetSink:
             self.materialize_latest()
             return ["*"]
 
-        mark_row = self.spark.read.parquet(snap).agg(F.max("batch_date").alias("m")).first()
+        mark_row = self.spark.read.format(self.file_format).load(snap).agg(F.max("batch_date").alias("m")).first()
         mark = mark_row.m
         raw = self.read()
         touched = [
@@ -126,7 +133,7 @@ class ParquetSink:
         # those partitions in the snapshot
         fresh = dedup_ops.latest(raw.filter(F.col("type").isin(touched)))
         tmp = f"{snap}_delta_{os.getpid()}"
-        fresh.write.mode("overwrite").partitionBy("type").parquet(tmp)
+        fresh.write.mode("overwrite").format(self.file_format).partitionBy("type").save(tmp)
         for t in touched:
             src = os.path.join(tmp, f"type={t}")
             dst = os.path.join(snap, f"type={t}")
@@ -141,7 +148,7 @@ class ParquetSink:
         """Read the materialized snapshot (falls back to the lazy D2 view)."""
         snap = f"{self.path.rstrip('/')}_latest"
         if os.path.isdir(snap):
-            return self.spark.read.parquet(snap).select(*LANDING_COLUMNS)
+            return self.spark.read.format(self.file_format).load(snap).select(*LANDING_COLUMNS)
         return dedup_ops.latest(self.read())
 
     def prune(self) -> int:
@@ -159,6 +166,7 @@ class ParquetSink:
                 self.spark,
                 self.path,
                 partition_by=["type"] if self.partition_by_type else None,
+                file_format=self.file_format,
             )
         finally:
             if saved is not None:
