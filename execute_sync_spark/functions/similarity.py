@@ -182,6 +182,53 @@ def assign_cells(
     )
 
 
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column with pure DataFrame ops —
+    the real IVF coarse quantizer (ROADMAP item; assign_cells accepts the
+    result as its centroids).
+
+    Per iteration: assign every vector to its nearest centroid (broadcast
+    argmax — the corpus never shuffles for assignment), then recompute each
+    centroid as the element-wise mean via posexplode + groupBy(cell, dim) —
+    a map-side-combined aggregation whose shuffle is k * dims doubles per
+    map task. Centroids (k x dims, tiny) pass through the driver between
+    iterations. Deterministic init: the k lowest-id vectors.
+    """
+    c = corpus.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    centroids = c.orderBy(id_col).limit(k).select(
+        F.row_number().over(Window.orderBy(id_col)).alias("cell_id"), "v"
+    )
+
+    spark = corpus.sparkSession
+    for _ in range(iters):
+        cent = F.broadcast(centroids.select("cell_id", F.col("v").alias("cv")))
+        scored = c.crossJoin(cent).select(
+            id_col, "v", "cell_id", cosine(F.col("v"), F.col("cv")).alias("sim")
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cell_id"))
+        assigned = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        means = (
+            assigned.select("cell_id", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cell_id", "dim")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cell_id", F.transform("dm", lambda s: s["m"]).alias("v"))
+        )
+        # empty cells keep their previous centroid
+        kept = centroids.join(means.select("cell_id"), "cell_id", "left_anti")
+        centroids = means.unionByName(kept)
+        centroids = spark.createDataFrame(centroids.collect(), schema=centroids.schema)
+
+    return centroids.select(F.col("cell_id").alias(id_col), F.col("v").alias(vec_col))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -51,10 +51,11 @@ def land_ndjson_lines(
     lines: Iterable[str],
     batch_date: datetime,
     chunk_size: int | None = None,
+    uppercase_keys: bool = False,
 ) -> DataFrame:
     """Land an in-memory iterable of NDJSON lines (tests / small batches)."""
     df = spark.createDataFrame([(l,) for l in lines if l.strip()], "value string")
-    return _land(df, batch_date, chunk_size)
+    return _land(df, batch_date, chunk_size, uppercase_keys)
 
 
 def land_ndjson_files(
@@ -62,18 +63,27 @@ def land_ndjson_files(
     paths: str | list[str],
     batch_date: datetime,
     chunk_size: int | None = None,
+    uppercase_keys: bool = False,
 ) -> DataFrame:
     """Land NDJSON files (one JSON document per line) as one batch.
 
     ``paths`` may be a glob; reading is fully distributed.
     """
     df = spark.read.text(paths)
-    return _land(df, batch_date, chunk_size)
+    return _land(df, batch_date, chunk_size, uppercase_keys)
 
 
-def _land(raw: DataFrame, batch_date: datetime, chunk_size: int | None) -> DataFrame:
+def _land(raw: DataFrame, batch_date: datetime, chunk_size: int | None, uppercase_keys: bool = False) -> DataFrame:
     if batch_date.tzinfo is None:
         batch_date = batch_date.replace(tzinfo=timezone.utc)
+
+    if uppercase_keys:
+        # compat option for feeds whose key casing drifts from the schema:
+        # Snowflake's data:FIELD path lookup is case-insensitive, Spark's
+        # from_json is not — uppercase every key (recursively) at ingest to
+        # match the Execute convention of uppercase schema field names.
+        # Metadata keys ($TYPE, DOCUMENT_ID, ...) are already uppercase.
+        raw = _uppercase_json_keys(raw)
 
     meta = raw.select(
         F.from_json(F.col("value"), _META_STRUCT).alias("m"),
@@ -106,6 +116,31 @@ def _land(raw: DataFrame, batch_date: datetime, chunk_size: int | None) -> DataF
     # In-batch idempotency on the logical PK (SURVEY §4 P10): if the same
     # (type,id,version,chunk) appears twice within one batch, keep one copy.
     return landed.dropDuplicates(["type", "id", "version", "chunk"]).select(*LANDING_COLUMNS)
+
+
+def _uppercase_json_keys(raw: DataFrame) -> DataFrame:
+    """Uppercase JSON object keys recursively (Arrow-batched; runs once at
+    ingest, never in the query path). Malformed lines pass through untouched
+    for the normal parse-skip path."""
+
+    def upper_keys(obj):
+        if isinstance(obj, dict):
+            return {k.upper() if isinstance(k, str) else k: upper_keys(v) for k, v in obj.items()}
+        if isinstance(obj, list):
+            return [upper_keys(v) for v in obj]
+        return obj
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for line in pdf["value"]:
+                try:
+                    out.append(json.dumps(upper_keys(json.loads(line)), separators=(",", ":")))
+                except (json.JSONDecodeError, TypeError):
+                    out.append(line)
+            yield pd.DataFrame({"value": out})
+
+    return raw.mapInPandas(run, schema="value string")
 
 
 def _apply_chunking(landed: DataFrame, chunk_size: int) -> DataFrame:
