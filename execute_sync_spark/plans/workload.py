@@ -1024,6 +1024,77 @@ def dedup_embedding_pairs_vec(spark, sf_dir):
     return similarity.blocked_near_dup_pairs_vectorized(emb, threshold=0.3)
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join — for each event, the user's most recent order on or before
+    the event (Spark has no native ASOF): expressed as an inequality join +
+    per-event argmax window with deterministic tie-breaks. At scale the
+    inequality join needs bounding (bucket by key, band by time) or the
+    pandas-on-Spark merge_asof; this is the exact-semantics form."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    joined = ev.join(
+        orders,
+        (ev.user_id == orders.o_custkey) & (orders.o_orderdate <= ev.ts),
+        "inner",
+    )
+    w = Window.partitionBy("event_id").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+Q_ASOF_SQL = """
+    SELECT event_id, user_id, o_orderkey, o_orderdate, o_totalprice FROM (
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e JOIN orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+    WHERE rn = 1
+"""
+
+
+def q_unpivot_measures(spark, sf_dir):
+    """Unpivot/melt: lineitem measures to long form (one row per measure)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "measure",
+            "value",
+        )
+    )
+
+
+Q_UNPIVOT_SQL = """
+    SELECT l_orderkey, l_linenumber, measure, value
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+          FROM lineitem)
+    UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount))
+"""
+
+
+def q_string_agg(spark, sf_dir):
+    """Ordered string aggregation (deterministic via sort before join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+Q_STRING_AGG_SQL = """
+    SELECT l_returnflag,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS (finer control than rollup/cube)."""
     orders = _t(spark, sf_dir, "orders")
@@ -1239,6 +1310,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_top_supplier_per_nation": q_top_supplier_per_nation,
     "q_having_big_customers": q_having_big_customers,
     "q_conditional_agg": q_conditional_agg,
+    "q_asof_join": q_asof_join,
+    "q_unpivot_measures": q_unpivot_measures,
+    "q_string_agg": q_string_agg,
     "q_grouping_sets": q_grouping_sets,
     "q_except_intersect": q_except_intersect,
     "q_approx_distinct": q_approx_distinct,
@@ -1299,6 +1373,9 @@ ORACLES: dict[str, Optional[str]] = {
     "q_top_supplier_per_nation": Q_TOP_SUPP_SQL,
     "q_having_big_customers": Q_HAVING_SQL,
     "q_conditional_agg": Q_COND_SQL,
+    "q_asof_join": Q_ASOF_SQL,
+    "q_unpivot_measures": Q_UNPIVOT_SQL,
+    "q_string_agg": Q_STRING_AGG_SQL,
     "q_grouping_sets": Q_GSETS_SQL,
     "q_except_intersect": Q_EXCEPT_SQL,
     # q_approx_distinct: sketch-based — rows-only (error-bound unit test)
