@@ -50,6 +50,19 @@ def _docs(spark, sf_dir):
     return _t(spark, sf_dir, "documents")
 
 
+# Money sums: double summation is order-dependent, and with 32-way partial
+# aggregation the merge order varies run to run, so ROUND(SUM(double), 2) can
+# flip on a .xx5 boundary between engines (observed at sf0.01). Rounding each
+# row to integer cents first is deterministic (same parquet bits -> same IEEE
+# product on both engines) and the integer sum is order-independent.
+def _cents_sum(col):
+    return F.sum(F.round(col * 100).cast("long")) / 100.0
+
+
+def _cents_sum_sql(expr: str) -> str:
+    return f"SUM(CAST(ROUND(({expr}) * 100) AS BIGINT)) / 100.0"
+
+
 # The documents-as-landing derivation: a deterministic Execute-style landing
 # log synthesized from the events table, identically in Spark and SQL, so the
 # dedup operators (SURVEY §2.D) are oracle-checkable on driver data.
@@ -135,12 +148,16 @@ def q1_pricing_summary(spark, sf_dir):
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
+            _cents_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _cents_sum(disc_price).alias("sum_disc_price"),
+            _cents_sum(charge).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0 / F.count("*"), 4
+            ).alias("avg_price"),
+            F.round(
+                F.sum(F.round(F.col("l_discount") * 10000).cast("long")) / 10000.0 / F.count("*"), 4
+            ).alias("avg_disc"),
             F.count("*").cast("long").alias("count_order"),
         )
     )
@@ -149,12 +166,12 @@ def q1_pricing_summary(spark, sf_dir):
 Q1_SQL = """
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS sum_disc_price,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) / 100.0 AS sum_charge,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
-           ROUND(AVG(l_discount), 4) AS avg_disc,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_price,
+           ROUND(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) / 10000.0 / COUNT(*), 4) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -170,7 +187,7 @@ def q3_top_orders(spark, sf_dir):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -178,7 +195,7 @@ def q3_top_orders(spark, sf_dir):
 
 Q3_SQL = """
     SELECT l_orderkey, o_orderdate, o_orderpriority,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -229,13 +246,13 @@ def q5_revenue_by_nation(spark, sf_dir):
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
 Q5_SQL = """
     SELECT r_name, n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -256,11 +273,14 @@ def q6_forecast_revenue(spark, sf_dir):
         & (F.col("l_discount") >= 0.05)
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
-    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    ).agg(
+        # price*discount has 4 decimals: scale by 1e4 for an exact integer sum
+        F.round(F.sum(F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000).cast("long")) / 10000.0, 2).alias("revenue")
+    )
 
 
 Q6_SQL = """
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -343,13 +363,13 @@ def q_rollup_status(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count("*").cast("long").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        _cents_sum(F.col("o_totalprice")).alias("total_price"),
     )
 
 
 Q_ROLLUP_SQL = """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_price
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
     FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
@@ -811,7 +831,7 @@ def q10_returned_items(spark, sf_dir):
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -819,7 +839,7 @@ def q10_returned_items(spark, sf_dir):
 
 Q10_SQL = """
     SELECT c_custkey, c_name, n_name, c_acctbal,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -899,12 +919,12 @@ def q17_small_quantity(spark, sf_dir):
     return (
         li.join(avg_per_part, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_limit"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(F.round(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 700.0, 2).alias("avg_yearly"))
     )
 
 
 Q17_SQL = """
-    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 700.0, 2) AS avg_yearly
     FROM lineitem l
     JOIN (SELECT l_partkey, AVG(l_quantity) * 0.2 AS qty_limit
           FROM lineitem GROUP BY l_partkey) a
@@ -989,13 +1009,13 @@ def q_having_big_customers(spark, sf_dir):
     return (
         orders.groupBy("o_custkey")
         .agg(F.count("*").cast("long").alias("n_orders"),
-             F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+             _cents_sum(F.col("o_totalprice")).alias("total_spent"))
         .filter(F.col("n_orders") > 15)
     )
 
 
 Q_HAVING_SQL = """
-    SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_spent
+    SELECT o_custkey, COUNT(*) AS n_orders, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_spent
     FROM orders GROUP BY o_custkey HAVING COUNT(*) > 15
 """
 
@@ -1095,13 +1115,221 @@ Q_STRING_AGG_SQL = """
 """
 
 
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 analog — bilateral shipping volume between distinct nations
+    by ship year. Dimension chain (supplier/customer/nation) is broadcast;
+    the only shuffle is lineitem<->orders and the final partial-agg."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        # sum exact integer cents: double summation is order-dependent and the
+        # engines accumulate in different orders, which flips .xx5 boundaries
+        .agg(
+            (
+                F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long"))
+                / 100.0
+            ).alias("revenue")
+        )
+    )
+
+
+Q7_SQL = """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(year FROM l_shipdate) AS l_year,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND n1.n_name <> n2.n_name
+    GROUP BY 1, 2, 3
+"""
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 analog — NATION_7 suppliers' share of PROMO-part revenue
+    sold to ASIA customers, per order year. The share is a conditional-sum /
+    total-sum over one aggregation pass (no second scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    nat_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("c_regionkey")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("c_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat_s), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        # exact integer-cents sums -> order-independent, so the ratio is
+        # bit-identical across engines before the final round
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", F.round(vol * 100).cast("long")).otherwise(F.lit(0)))
+                / F.sum(F.round(vol * 100).cast("long")),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+Q8_SQL = """
+    SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+           ROUND(SUM(CASE WHEN n1.n_name = 'NATION_7'
+                          THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) ELSE 0 END)
+                 / SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)), 6) AS mkt_share
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    JOIN region   ON n2.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+"""
+
+
+def q12_ship_lag_buckets(spark, sf_dir):
+    """TPC-H Q12 analog (no l_shipmode column here) — order-to-ship latency
+    bucketed, counting urgent vs non-urgent orders per bucket. One join,
+    one aggregation; the CASE ladder stays in whole-stage codegen."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(lag < 30, "fast")
+        .when(lag < 90, "normal")
+        .otherwise("slow")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30 THEN 'fast'
+                WHEN date_diff('day', o_orderdate, l_shipdate) < 90 THEN 'normal'
+                ELSE 'slow' END AS ship_bucket,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+"""
+
+
+def q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 — distribution of per-customer order counts, zeros included
+    (left join), excluding URGENT orders. Two cascaded aggregations; the
+    second groups on a tiny domain so it collapses to a near-free shuffle."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").cast("long").alias("custdist"))
+
+
+Q13_SQL = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+    GROUP BY c_count
+"""
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 — PROMO parts' percentage of revenue for one ship-month.
+    part is broadcast; the conditional share needs a single agg pass."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", F.round(vol * 100).cast("long")).otherwise(F.lit(0)))
+                / F.sum(F.round(vol * 100).cast("long")),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+Q14_SQL = """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) ELSE 0 END)
+                 / SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)), 6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+
 def q_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS (finer control than rollup/cube)."""
     orders = _t(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("__orders_gs")
+    # CAST(... AS DOUBLE): Spark SQL parses the bare literal 100.0 as
+    # DECIMAL(4,1), which would make the quotient a Decimal, not a double
     return spark.sql("""
         SELECT o_orderstatus, o_orderpriority,
-               COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / CAST(100 AS DOUBLE) AS total
         FROM __orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """)
@@ -1313,6 +1541,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_asof_join": q_asof_join,
     "q_unpivot_measures": q_unpivot_measures,
     "q_string_agg": q_string_agg,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q12_ship_lag_buckets": q12_ship_lag_buckets,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q14_promo_revenue": q14_promo_revenue,
     "q_grouping_sets": q_grouping_sets,
     "q_except_intersect": q_except_intersect,
     "q_approx_distinct": q_approx_distinct,
@@ -1376,6 +1609,11 @@ ORACLES: dict[str, Optional[str]] = {
     "q_asof_join": Q_ASOF_SQL,
     "q_unpivot_measures": Q_UNPIVOT_SQL,
     "q_string_agg": Q_STRING_AGG_SQL,
+    "q7_volume_shipping": Q7_SQL,
+    "q8_market_share": Q8_SQL,
+    "q12_ship_lag_buckets": Q12_SQL,
+    "q13_order_count_distribution": Q13_SQL,
+    "q14_promo_revenue": Q14_SQL,
     "q_grouping_sets": Q_GSETS_SQL,
     "q_except_intersect": Q_EXCEPT_SQL,
     # q_approx_distinct: sketch-based — rows-only (error-bound unit test)
