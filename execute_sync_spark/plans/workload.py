@@ -1320,6 +1320,377 @@ Q14_SQL = """
 """
 
 
+def q16_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 analog (no partsupp table — lineitem is the part<->supplier
+    relation): distinct suppliers per brand/type/size, excluding one brand
+    and suppliers with negative account balance (the NOT IN subquery).
+    The exclusion list is tiny -> broadcast anti-join; count-distinct is the
+    only real shuffle."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 — customers with orders whose total quantity exceeds 250.
+    The HAVING filter runs on the lineitem-only aggregate (smallest possible
+    shuffle) before joining orders and the broadcast customer dim."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+Q18_SQL = """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+    FROM (SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+          FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250) big
+    JOIN orders   ON big.l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19 — revenue under three OR'd brand/size/quantity branches.
+    Catalyst pushes the whole disjunction below the broadcast-hash join, so
+    the lineitem scan filters before joining part."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 15)) & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 25)) & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#34") & (F.col("p_size").between(1, 35)) & (F.col("l_quantity").between(20, 30)))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(_cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+Q19_SQL = """
+    SELECT SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def _part_suppliers(spark, sf_dir):
+    """The part<->supplier relation (this dataset has no partsupp table):
+    distinct (partkey, suppkey) pairs observed in lineitem."""
+    return (
+        _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+
+
+_PS_SQL = "(SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)"
+
+
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 analog — for each size-10 part, the EUROPE supplier(s) with
+    the minimum account balance among those who supplied it. The correlated
+    MIN subquery becomes a window-min over the eligible pairs: one shuffle on
+    p_partkey instead of a re-aggregating self-join."""
+    ps = _part_suppliers(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 10)
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eligible.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
+    )
+
+
+Q2_SQL = f"""
+    SELECT p_partkey, p_name, s_name, s_acctbal, n_name
+    FROM {_PS_SQL} ps
+    JOIN part     ON ps.l_partkey = p_partkey
+    JOIN supplier ON ps.l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_size = 10 AND r_name = 'EUROPE'
+      AND s_acctbal = (
+        SELECT MIN(s2.s_acctbal)
+        FROM {_PS_SQL} ps2
+        JOIN supplier s2 ON ps2.l_suppkey = s2.s_suppkey
+        JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+        WHERE ps2.l_partkey = ps.l_partkey AND r2.r_name = 'EUROPE')
+"""
+
+
+def q9_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9 analog — profit by supplier nation and order year for parts
+    named like '%bolt%', with cost proxied as 60% of retail price (no
+    ps_supplycost here). All dims broadcast; amounts summed as exact
+    integer cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(_cents_sum(amount).alias("profit"))
+    )
+
+
+Q9_SQL = """
+    SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+           SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)
+                           - 0.6 * p_retailprice * l_quantity) * 100) AS BIGINT)) / 100.0 AS profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY 1, 2
+"""
+
+
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 analog — parts whose shipped inventory value (quantity x
+    retail price, exact cents) exceeds 0.1% of the grand total. The scalar
+    total is a one-row broadcast cross-join, not a driver collect."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    value_cents = F.round(F.col("l_quantity") * F.col("p_retailprice") * 100).cast("long")
+    per_part = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey")
+        .agg(F.sum(value_cents).alias("value_cents"))
+    )
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") > F.col("total_cents") / 1000.0)
+        .select("p_partkey", (F.col("value_cents") / 100.0).alias("part_value"))
+    )
+
+
+Q11_SQL = """
+    WITH per_part AS (
+        SELECT p_partkey,
+               SUM(CAST(ROUND(l_quantity * p_retailprice * 100) AS BIGINT)) AS value_cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_partkey)
+    SELECT p_partkey, value_cents / 100.0 AS part_value
+    FROM per_part
+    WHERE value_cents > (SELECT SUM(value_cents) FROM per_part) / 1000.0
+"""
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 — the supplier(s) with maximum revenue in 1996H1. The
+    correlated MAX is a window over the (tiny) per-supplier aggregate."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")).alias("rev_cents"))
+    )
+    w = Window.partitionBy()
+    return (
+        rev.withColumn("max_cents", F.max("rev_cents").over(w))
+        .filter(F.col("rev_cents") == F.col("max_cents"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", (F.col("rev_cents") / 100.0).alias("total_revenue"))
+    )
+
+
+Q15_SQL = """
+    WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS rev_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, rev_cents / 100.0 AS total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rev_cents = (SELECT MAX(rev_cents) FROM rev)
+"""
+
+
+def q20_supplier_semi_chain(spark, sf_dir):
+    """TPC-H Q20 analog — suppliers who shipped more than 100 units of any
+    'cold'-named part during 1997, as a semi-join chain that never widens
+    supplier rows."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("cold%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "s_acctbal", "n_name")
+    )
+
+
+Q20_SQL = """
+    SELECT s_name, s_acctbal, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'cold%')
+          AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey, l_partkey HAVING SUM(l_quantity) > 100)
+"""
+
+
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 analog (no receipt/commit dates) — per supplier, the number
+    of finished multi-supplier orders where that supplier was strictly the
+    last to ship. exists/not-exists become one max-over-order window plus a
+    distinct-supplier count, avoiding the classic double self-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    lif = li.join(orders, li.l_orderkey == orders.o_orderkey, "left_semi")
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        lif.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .withColumn("max_ship", F.max("l_shipdate").over(w))
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .filter(F.col("n_supp") > 1)
+    )
+    # the strictly-last shipper: their ship date is the order max AND no other
+    # supplier shares that max ship date
+    last = (
+        flagged.groupBy("l_orderkey", "max_ship")
+        .agg(F.array_distinct(F.collect_list(F.when(F.col("l_shipdate") == F.col("max_ship"), F.col("l_suppkey")))).alias("last_supps"))
+        .filter(F.size("last_supps") == 1)
+        .select("l_orderkey", F.col("last_supps")[0].alias("l_suppkey"))
+    )
+    return (
+        last.join(F.broadcast(supp), last.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").cast("long").alias("numwait"))
+    )
+
+
+Q21_SQL = """
+    WITH lif AS (
+        SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')),
+    flagged AS (
+        SELECT l_orderkey, l_suppkey, l_shipdate,
+               MAX(l_shipdate) OVER (PARTITION BY l_orderkey) AS max_ship,
+               COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey) AS n_supp
+        FROM lif),
+    last AS (
+        SELECT l_orderkey, MIN(l_suppkey) AS l_suppkey
+        FROM flagged
+        WHERE n_supp > 1 AND l_shipdate = max_ship
+        GROUP BY l_orderkey
+        HAVING COUNT(DISTINCT l_suppkey) = 1)
+    SELECT s_name, COUNT(DISTINCT l_orderkey) AS numwait
+    FROM last JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+"""
+
+
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 analog — per nation, customers with above-average positive
+    balance and at most 5 orders (every customer here has some orders, so
+    the literal no-orders test is vacuous at any SF). The average is an
+    exact cents-mean scalar (deterministic threshold); the order count is a
+    left join against the pre-aggregated orders side."""
+    cust = _t(spark, sf_dir, "customer")
+    ord_counts = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_ord"))
+        .filter(F.col("n_ord") > 5)
+        .select("o_custkey")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    avg_pos = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / 100.0 / F.count("*")).alias("avg_bal"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(ord_counts, cust.c_custkey == ord_counts.o_custkey, "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            _cents_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+Q22_SQL = """
+    SELECT n_name, COUNT(*) AS numcust,
+           SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0 / COUNT(*)
+                       FROM customer WHERE c_acctbal > 0)
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                            GROUP BY o_custkey HAVING COUNT(*) > 5)
+    GROUP BY n_name
+"""
+
+
 def q_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS (finer control than rollup/cube)."""
     orders = _t(spark, sf_dir, "orders")
@@ -1546,6 +1917,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q12_ship_lag_buckets": q12_ship_lag_buckets,
     "q13_order_count_distribution": q13_order_count_distribution,
     "q14_promo_revenue": q14_promo_revenue,
+    "q16_supplier_variety": q16_supplier_variety,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q19_disjunctive_predicates": q19_disjunctive_predicates,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_profit_by_nation_year": q9_profit_by_nation_year,
+    "q11_important_parts": q11_important_parts,
+    "q15_top_supplier": q15_top_supplier,
+    "q20_supplier_semi_chain": q20_supplier_semi_chain,
+    "q21_waiting_supplier": q21_waiting_supplier,
+    "q22_idle_customers": q22_idle_customers,
     "q_grouping_sets": q_grouping_sets,
     "q_except_intersect": q_except_intersect,
     "q_approx_distinct": q_approx_distinct,
@@ -1614,6 +1995,16 @@ ORACLES: dict[str, Optional[str]] = {
     "q12_ship_lag_buckets": Q12_SQL,
     "q13_order_count_distribution": Q13_SQL,
     "q14_promo_revenue": Q14_SQL,
+    "q16_supplier_variety": Q16_SQL,
+    "q18_large_volume_customers": Q18_SQL,
+    "q19_disjunctive_predicates": Q19_SQL,
+    "q2_min_cost_supplier": Q2_SQL,
+    "q9_profit_by_nation_year": Q9_SQL,
+    "q11_important_parts": Q11_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q20_supplier_semi_chain": Q20_SQL,
+    "q21_waiting_supplier": Q21_SQL,
+    "q22_idle_customers": Q22_SQL,
     "q_grouping_sets": Q_GSETS_SQL,
     "q_except_intersect": Q_EXCEPT_SQL,
     # q_approx_distinct: sketch-based — rows-only (error-bound unit test)
