@@ -1076,9 +1076,56 @@ Q_ASOF_SQL = """
 """
 
 
+def q_asof_join_merge(spark, sf_dir):
+    """As-of join, scale path — same semantics as q_asof_join but via
+    union + sorted forward-fill: events and orders interleave in one
+    per-user time-sorted window and each event picks up the last preceding
+    order row. O(n log n) per user versus the inequality join's
+    events x orders-per-user blowup; one shuffle on user_id total. The
+    whole order row rides in a struct so the fill is atomic (per-column
+    last(ignorenulls) could mix rows)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("ukey"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("struct<o_orderkey:bigint,o_orderdate:timestamp,o_totalprice:double>").alias("ord"),
+    )
+    od = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ukey"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.struct("o_orderkey", "o_orderdate", "o_totalprice").alias("ord"),
+    )
+    # at equal t orders sort first (<= semantics); among same-date orders the
+    # max o_orderkey is filled last, matching the argmax tie-break
+    w = (
+        Window.partitionBy("ukey")
+        .orderBy("t", "is_event", F.col("ord.o_orderkey").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.unionByName(od)
+        .withColumn("last_ord", F.last("ord", ignorenulls=True).over(w))
+        .filter((F.col("is_event") == 1) & F.col("last_ord").isNotNull())
+        .select(
+            "event_id",
+            F.col("ukey").alias("user_id"),
+            F.col("last_ord.o_orderkey").alias("o_orderkey"),
+            F.col("last_ord.o_orderdate").alias("o_orderdate"),
+            F.col("last_ord.o_totalprice").alias("o_totalprice"),
+        )
+    )
+
+
 def q_unpivot_measures(spark, sf_dir):
-    """Unpivot/melt: lineitem measures to long form (one row per measure)."""
-    li = _t(spark, sf_dir, "lineitem")
+    """Unpivot/melt: lineitem measures to long form (one row per measure).
+    Bounded to one ship-month: the operator's cost is the (cheap, narrow)
+    generate, and an unbounded melt would make result transfer dominate."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
     return (
         li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
         .unpivot(
@@ -1093,7 +1140,8 @@ def q_unpivot_measures(spark, sf_dir):
 Q_UNPIVOT_SQL = """
     SELECT l_orderkey, l_linenumber, measure, value
     FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
-          FROM lineitem)
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01')
     UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount))
 """
 
@@ -1877,6 +1925,27 @@ STREAM_SESSION_SQL = f"""
 """
 
 
+def stream_sessionize_flushed(spark, sf_dir):
+    """Stateful streaming sessionizer with event-time timeout: the watermark
+    flushes trailing open sessions (bounded state on an infinite stream).
+    Over the backlog: every closed session, plus open sessions whose
+    end + gap precedes the final watermark (max(ts) - 1h, ms-truncated —
+    Spark tracks watermarks in milliseconds)."""
+    from execute_sync_spark.streaming import streaming_sessionize_flushed as _f
+
+    return _f(spark, sf_dir)
+
+
+STREAM_SESSION_FLUSHED_SQL = f"""
+    WITH sessions AS ({Q_SESSION_SQL}),
+    wm AS (SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT s.* FROM sessions s, wm
+    WHERE session_start < (SELECT MAX(session_start) FROM sessions s2
+                           WHERE s2.user_id = s.user_id)
+       OR session_end + INTERVAL 30 MINUTE < wm.w
+"""
+
+
 STREAM_SQL = """
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
@@ -1910,6 +1979,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_having_big_customers": q_having_big_customers,
     "q_conditional_agg": q_conditional_agg,
     "q_asof_join": q_asof_join,
+    "q_asof_join_merge": q_asof_join_merge,
     "q_unpivot_measures": q_unpivot_measures,
     "q_string_agg": q_string_agg,
     "q7_volume_shipping": q7_volume_shipping,
@@ -1963,6 +2033,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_features": mm_features,
     "stream_window_counts": stream_window_counts_q,
     "stream_sessionize_closed": stream_sessionize_closed,
+    "stream_sessionize_flushed": stream_sessionize_flushed,
     "stream_enrich_join": stream_enrich_join,
 }
 
@@ -1988,6 +2059,7 @@ ORACLES: dict[str, Optional[str]] = {
     "q_having_big_customers": Q_HAVING_SQL,
     "q_conditional_agg": Q_COND_SQL,
     "q_asof_join": Q_ASOF_SQL,
+    "q_asof_join_merge": Q_ASOF_SQL,
     "q_unpivot_measures": Q_UNPIVOT_SQL,
     "q_string_agg": Q_STRING_AGG_SQL,
     "q7_volume_shipping": Q7_SQL,
@@ -2036,6 +2108,7 @@ ORACLES: dict[str, Optional[str]] = {
     # mm_features: mapInPandas — rows-only check
     "stream_window_counts": STREAM_SQL,
     "stream_sessionize_closed": STREAM_SESSION_SQL,
+    "stream_sessionize_flushed": STREAM_SESSION_FLUSHED_SQL,
     "stream_enrich_join": STREAM_ENRICH_SQL,
 }
 

@@ -70,6 +70,89 @@ def streaming_sessionize(
                 columns=["user_id", "session_start", "session_end", "n_events", "session_value"],
             )
 
+    stream = _events_stream(spark, sf_dir)
+    sessions = stream.select("user_id", "ts", "value").groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory_table(spark, sessions)
+
+
+def streaming_sessionize_flushed(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """The infinite-stream form of the sessionizer: event-time timeout
+    (GroupStateTimeout.EventTimeTimeout) flushes a user's trailing open
+    session once the watermark passes session_end + gap, so state is bounded
+    and no session waits forever for a successor event. Over a finite backlog
+    this emits every closed session PLUS open sessions whose end precedes
+    max(ts) - watermark_delay - gap; the final no-data micro-batch fires the
+    timeouts."""
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, session_value double"
+    )
+    state_schema = "start timestamp, last timestamp, n long, value_sum double"
+
+    def sessionize(
+        key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n, value_sum = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, pd.Timestamp(start), pd.Timestamp(last), n, round(value_sum, 2))],
+                columns=["user_id", "session_start", "session_end", "n_events", "session_value"],
+            )
+            return
+        events = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        if state.exists:
+            start, last, n, value_sum = state.get
+            start, last = pd.Timestamp(start), pd.Timestamp(last)
+        else:
+            start = last = None
+            n, value_sum = 0, 0.0
+
+        closed = []
+        for ts, value in zip(events["ts"], events["value"]):
+            if start is None:
+                start, last, n, value_sum = ts, ts, 1, float(value)
+            elif ts - last >= gap:
+                closed.append((user_id, start, last, n, round(value_sum, 2)))
+                start, last, n, value_sum = ts, ts, 1, float(value)
+            else:
+                last, n, value_sum = ts, n + 1, value_sum + float(value)
+        state.update((start.to_pydatetime(), last.to_pydatetime(), n, value_sum))
+        # flush once the watermark passes the point where a successor event
+        # could still extend this session
+        state.setTimeoutTimestamp(int((last + gap).timestamp() * 1000))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end", "n_events", "session_value"],
+            )
+
+    stream = _events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    sessions = stream.select("user_id", "ts", "value").groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return _run_to_memory_table(spark, sessions)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
@@ -78,15 +161,10 @@ def streaming_sessionize(
     stream = spark.readStream.schema(schema).parquet(stream_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
 
-    sessions = stream.select("user_id", "ts", "value").groupBy("user_id").applyInPandasWithState(
-        sessionize,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
 
+def _run_to_memory_table(spark: SparkSession, sessions: DataFrame) -> DataFrame:
     name = f"sessions_{uuid.uuid4().hex[:8]}"
     # the stateful shuffle creates one state store per shuffle partition;
     # sizing it to the key cardinality (not the relational default) cuts
