@@ -1925,6 +1925,26 @@ STREAM_SESSION_SQL = f"""
 """
 
 
+def stream_purchase_attribution(spark, sf_dir):
+    """Stream-stream join (two live streams, watermark-bounded state):
+    purchases matched to same-user views in the preceding hour. Inner
+    stream-stream joins emit on match, so the backlog result equals the
+    batch self-join oracle."""
+    from execute_sync_spark.streaming import stream_purchase_attribution as _f
+
+    return _f(spark, sf_dir)
+
+
+STREAM_ATTRIBUTION_SQL = """
+    SELECT p.event_id AS p_event_id, p.user_id AS p_user_id, p.ts AS p_ts,
+           p.value AS p_value, v.event_id AS v_event_id, v.ts AS v_ts
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+"""
+
+
 def stream_sessionize_flushed(spark, sf_dir):
     """Stateful streaming sessionizer with event-time timeout: the watermark
     flushes trailing open sessions (bounded state on an infinite stream).
@@ -2034,6 +2054,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_window_counts": stream_window_counts_q,
     "stream_sessionize_closed": stream_sessionize_closed,
     "stream_sessionize_flushed": stream_sessionize_flushed,
+    "stream_purchase_attribution": stream_purchase_attribution,
     "stream_enrich_join": stream_enrich_join,
 }
 
@@ -2109,6 +2130,7 @@ ORACLES: dict[str, Optional[str]] = {
     "stream_window_counts": STREAM_SQL,
     "stream_sessionize_closed": STREAM_SESSION_SQL,
     "stream_sessionize_flushed": STREAM_SESSION_FLUSHED_SQL,
+    "stream_purchase_attribution": STREAM_ATTRIBUTION_SQL,
     "stream_enrich_join": STREAM_ENRICH_SQL,
 }
 
