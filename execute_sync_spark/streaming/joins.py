@@ -60,12 +60,20 @@ def stream_purchase_attribution(
     ).select("p_event_id", "p_user_id", "p_ts", "p_value", "v_event_id", "v_ts")
 
     name = f"attribution_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # a stream-stream join keeps FOUR state stores per shuffle partition
+    # (keyToNumValues + keyWithIndexToValue per side); size the shuffle to the
+    # key cardinality, not the relational default, to cut store init cost
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
