@@ -402,6 +402,37 @@ def d3_superseded(spark, sf_dir):
     return dedup_ops.superseded_rows(_derived_landing(spark, sf_dir))
 
 
+_ASOF_CUTOFF = "2024-01-15 00:00:00"
+
+
+def d2_asof_snapshot(spark, sf_dir):
+    """Time travel on the append-only landing log: the D2 latest-version
+    snapshot as of a past batch_date. Because the log is append-only,
+    filtering batches <= T before dedup reproduces exactly the snapshot a
+    reader would have seen at T (the parquet/Delta VERSION AS OF analog —
+    here by predicate, on Delta by transaction log). The cutoff filter
+    pushes to the scan, so old-snapshot reads scan only old partitions."""
+    landing = _derived_landing(spark, sf_dir).filter(F.col("batch_date") <= _ASOF_CUTOFF)
+    return dedup_ops.latest(landing)
+
+
+_LANDING_ASOF_SQL = f"""
+    SELECT * FROM ({_LANDING_SQL}) WHERE batch_date <= TIMESTAMP '{_ASOF_CUTOFF}'
+"""
+
+D2_ASOF_SQL = f"""
+    WITH cut AS ({_LANDING_ASOF_SQL}),
+    d1 AS (
+        SELECT ed.* FROM cut ed
+        JOIN (SELECT type, id, version, MAX(batch_date) AS batch_date
+              FROM cut GROUP BY type, id, version) k
+        USING (type, id, version, batch_date))
+    SELECT d1.* FROM d1
+    JOIN (SELECT type, id, MAX(version) AS version FROM cut GROUP BY type, id) k2
+    USING (type, id, version)
+"""
+
+
 D2_SQL = f"""
     SELECT ed.* FROM ({_D1_SQL}) ed
     JOIN (SELECT type, id, MAX(version) AS version
@@ -2024,6 +2055,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # document-model ops (SURVEY §2.D / §2.V)
     "d1_latest_batch": d1_latest_batch,
     "d2_latest_version": d2_latest_version,
+    "d2_asof_snapshot": d2_asof_snapshot,
     "d3_superseded": d3_superseded,
     "ingest_roundtrip": ingest_roundtrip,
     "v_shred_props": v_shred_props,
@@ -2104,6 +2136,7 @@ ORACLES: dict[str, Optional[str]] = {
     "q_sessionize": Q_SESSION_SQL,
     "d1_latest_batch": _D1_SQL,
     "d2_latest_version": D2_SQL,
+    "d2_asof_snapshot": D2_ASOF_SQL,
     "d3_superseded": D3_SQL,
     "ingest_roundtrip": INGEST_RT_SQL,
     "v_shred_props": V_SHRED_SQL,
