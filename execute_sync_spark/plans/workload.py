@@ -18,7 +18,7 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from execute_sync_spark.functions import dedupe, multimodal, similarity, text
+from execute_sync_spark.functions import curation, dedupe, multimodal, similarity, text
 from execute_sync_spark.functions.hashing import h32_sql
 from execute_sync_spark.operators import dedup as dedup_ops
 
@@ -753,6 +753,61 @@ TEXT_FP_SQL = f"""
            ROUND(list_min(list_transform(range(1, GREATEST(LENGTH(text) - 7, 1) + 1),
                                          i -> {_FP_HASH})) / 4294967296, 6) AS fingerprint_unit
     FROM documents
+"""
+
+
+def curate_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment: a pure function of doc_id
+    (portable md5-prefix hash buckets), so the same example lands in the same
+    split on every run, engine, and scale — what df.sample cannot give.
+    Returned as per-(split, lang) counts."""
+    docs = _docs(spark, sf_dir)
+    return (
+        curation.hash_split(docs, "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+_CURATE_BUCKET_SQL = curation.hash_bucket_sql("doc_id")
+
+CURATE_SPLIT_SQL = f"""
+    SELECT CASE WHEN {_CURATE_BUCKET_SQL} < 800 THEN 'train'
+                WHEN {_CURATE_BUCKET_SQL} < 900 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+"""
+
+
+def curate_balanced_sample(spark, sf_dir):
+    """Class-balanced downsampling: cap each language at 20 docs chosen by
+    hash order (a deterministic uniform draw). One shuffle on the group key;
+    the cap bounds skew by construction."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return curation.balanced_sample(docs, "lang", "doc_id", 20)
+
+
+CURATE_BALANCED_SQL = f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY {_CURATE_BUCKET_SQL}, doc_id) AS rn
+        FROM documents)
+    WHERE rn <= 20
+"""
+
+
+def curate_stratified_sample(spark, sf_dir):
+    """Deterministic ~10% sample (hash bucket < 100): reproducible, portable,
+    and filter-only — no shuffle at any scale."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return curation.stratified_hash_sample(docs, "doc_id", 10)
+
+
+CURATE_STRATIFIED_SQL = f"""
+    SELECT doc_id, lang, source FROM documents WHERE {_CURATE_BUCKET_SQL} < 100
 """
 
 
@@ -2076,6 +2131,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": text_fingerprint,
     "text_tfidf_top_term": text_tfidf_top_term,
     "text_redact_pii": text_redact_pii,
+    "curate_hash_split": curate_hash_split,
+    "curate_balanced_sample": curate_balanced_sample,
+    "curate_stratified_sample": curate_stratified_sample,
     # similarity search
     "sim_cosine_topk": sim_cosine_topk,
     "sim_cosine_topk_vec": sim_cosine_topk_vec,
@@ -2155,6 +2213,9 @@ ORACLES: dict[str, Optional[str]] = {
     "text_fingerprint": TEXT_FP_SQL,
     "text_tfidf_top_term": TEXT_TFIDF_SQL,
     "text_redact_pii": TEXT_REDACT_SQL,
+    "curate_hash_split": CURATE_SPLIT_SQL,
+    "curate_balanced_sample": CURATE_BALANCED_SQL,
+    "curate_stratified_sample": CURATE_STRATIFIED_SQL,
     "sim_cosine_topk": SIM_COSINE_SQL,
     "sim_cosine_topk_vec": SIM_COSINE_SQL,
     "sim_ivf_topk": SIM_IVF_SQL,

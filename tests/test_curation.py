@@ -1,0 +1,47 @@
+"""Curation invariants that the DuckDB oracle can't express directly:
+split stability under repartitioning, approximate split fractions, and the
+balanced cap."""
+
+from pyspark.sql import functions as F
+
+from execute_sync_spark.functions import curation
+
+
+def _docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+
+def test_hash_split_fractions_and_stability(spark):
+    docs = _docs(spark)
+    split = curation.hash_split(docs, "doc_id")
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / total - 0.8) < 0.05
+    assert abs(counts["val"] / total - 0.1) < 0.03
+    # stability: the assignment is a pure function of doc_id — repartitioning
+    # (a different physical order) must not move any row
+    again = curation.hash_split(docs.repartition(13), "doc_id").select("doc_id", "split")
+    assert split.select("doc_id", "split").exceptAll(again).count() == 0
+
+
+def test_balanced_sample_cap_and_determinism(spark):
+    docs = _docs(spark).select("doc_id", "lang")
+    capped = curation.balanced_sample(docs, "lang", "doc_id", 7)
+    per_group = capped.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    assert all(r["n"] <= 7 for r in per_group)
+    assert len(per_group) == docs.select("lang").distinct().count()
+    # same draw twice
+    again = curation.balanced_sample(docs.repartition(5), "lang", "doc_id", 7)
+    assert capped.exceptAll(again).count() == 0
+
+
+def test_stratified_sample_is_subset_and_scale_free(spark):
+    docs = _docs(spark).select("doc_id")
+    s10 = curation.stratified_hash_sample(docs, "doc_id", 10)
+    s20 = curation.stratified_hash_sample(docs, "doc_id", 20)
+    n, n10, n20 = docs.count(), s10.count(), s20.count()
+    assert abs(n10 / n - 0.10) < 0.03
+    # nested property: raising the rate only ADDS rows (bucket < pct*10)
+    assert s10.exceptAll(s20).count() == 0
+    assert n10 < n20 < n
