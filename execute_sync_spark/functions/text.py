@@ -81,9 +81,13 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
-def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", gram: int = 8) -> DataFrame:
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", gram: int = 8,
+                stride: int = 4) -> DataFrame:
     """Document fingerprint: minimum rolling hash over character n-grams
-    (winnowing's min-selection, one window = whole doc).
+    (winnowing's min-selection, one window = whole doc), sampling every
+    ``stride``-th gram start — hashing is the whole cost of this operator
+    and a strided sample keeps the min-hash property (any shared region
+    >= gram+stride chars still collides) at 1/stride the work.
 
     Physical shape mirrors minhash_signatures: explode the gram positions
     (explode_outer — see word_shingles for why), md5 each gram in CODEGEN'd
@@ -91,7 +95,9 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     one long per doc per map task. (A transform()-lambda formulation keeps
     everything per-row but runs interpreted, ~3x slower.)"""
     c = F.col(text_col)
-    positions = F.sequence(F.lit(1), F.greatest(F.length(c) - (gram - 1), F.lit(1)))
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length(c) - (gram - 1), F.lit(1)), F.lit(stride)
+    )
     # build gram STRINGS per-row (cheap substrings), explode those, then md5
     # in codegen — exploding positions instead would copy the whole text
     # into every gram row

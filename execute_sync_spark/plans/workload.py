@@ -746,11 +746,12 @@ def text_fingerprint(spark, sf_dir):
 
 
 _FP_HASH = h32_sql("substr(text, CAST(i AS INT), 8)")
+# range step 4 == the Spark side's stride-4 gram sampling
 TEXT_FP_SQL = f"""
     SELECT doc_id,
-           list_min(list_transform(range(1, GREATEST(LENGTH(text) - 7, 1) + 1),
+           list_min(list_transform(range(1, GREATEST(LENGTH(text) - 7, 1) + 1, 4),
                                    i -> {_FP_HASH})) AS fingerprint,
-           ROUND(list_min(list_transform(range(1, GREATEST(LENGTH(text) - 7, 1) + 1),
+           ROUND(list_min(list_transform(range(1, GREATEST(LENGTH(text) - 7, 1) + 1, 4),
                                          i -> {_FP_HASH})) / 4294967296, 6) AS fingerprint_unit
     FROM documents
 """
