@@ -1124,6 +1124,32 @@ Q_COND_SQL = """
 """
 
 
+def dedup_clusters(spark, sf_dir):
+    """Transitive dedup clusters: connected components over the embedding
+    near-dup pairs (if A~B and B~C, {A,B,C} dedups to one canonical doc even
+    though A and C never compared). Iterative min-label propagation,
+    deterministic fixpoint; the recursive-CTE oracle computes the same
+    closure."""
+    from execute_sync_spark.functions.graph import connected_components
+
+    pairs = dedup_embedding_pairs(spark, sf_dir).select("id_a", "id_b")
+    return connected_components(pairs, "id_a", "id_b").select(
+        F.col("id").alias("vec_id"), "cluster_id"
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+    WITH RECURSIVE base AS ({DEDUP_EMB_SQL}),
+    edges AS (SELECT id_a AS s, id_b AS d FROM base
+              UNION ALL SELECT id_b, id_a FROM base),
+    walk(id, lab) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, w.lab FROM walk w JOIN edges e ON e.s = w.id)
+    SELECT id AS vec_id, MIN(lab) AS cluster_id FROM walk GROUP BY id
+"""
+
+
 def dedup_embedding_pairs_vec(spark, sf_dir):
     """Same semantics as dedup_embedding_pairs via the vectorized
     (applyInPandas per block, BLAS matrix product) scale path."""
@@ -2132,6 +2158,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": text_fingerprint,
     "text_tfidf_top_term": text_tfidf_top_term,
     "text_redact_pii": text_redact_pii,
+    "dedup_clusters": dedup_clusters,
     "curate_hash_split": curate_hash_split,
     "curate_balanced_sample": curate_balanced_sample,
     "curate_stratified_sample": curate_stratified_sample,
@@ -2214,6 +2241,7 @@ ORACLES: dict[str, Optional[str]] = {
     "text_fingerprint": TEXT_FP_SQL,
     "text_tfidf_top_term": TEXT_TFIDF_SQL,
     "text_redact_pii": TEXT_REDACT_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "curate_hash_split": CURATE_SPLIT_SQL,
     "curate_balanced_sample": CURATE_BALANCED_SQL,
     "curate_stratified_sample": CURATE_STRATIFIED_SQL,
