@@ -1,16 +1,31 @@
 """Connected-components semantics on a hand-built graph (chain, clique,
 singleton edge) — independent of the embedding data."""
 
-from execute_sync_spark.functions.graph import connected_components
+import pytest
+
+from execute_sync_spark.functions.graph import (
+    connected_components,
+    connected_components_star,
+)
+
+EDGES = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+WANT = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
-def test_connected_components_chain_and_clique(spark):
+@pytest.mark.parametrize("cc", [connected_components, connected_components_star])
+def test_connected_components_chain_and_clique(spark, cc):
     # chain 1-2-3-4 (diameter 3), clique 10-11-12, lone edge 20-21
+    edges = spark.createDataFrame(EDGES, ["src", "dst"])
+    got = {r["id"]: r["cluster_id"] for r in cc(edges).collect()}
+    assert got == WANT
+
+
+@pytest.mark.parametrize("cc", [connected_components, connected_components_star])
+def test_connected_components_long_chain(spark, cc):
+    # diameter-40 chain: pointer doubling / star contraction must converge
+    # well inside max_iter=20 where naive propagation would need 40 rounds
     edges = spark.createDataFrame(
-        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
-        ["src", "dst"],
+        [(i, i + 1) for i in range(40)], ["src", "dst"]
     )
-    got = {
-        r["id"]: r["cluster_id"] for r in connected_components(edges).collect()
-    }
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    got = {r["id"]: r["cluster_id"] for r in cc(edges).collect()}
+    assert got == {i: 0 for i in range(41)}
