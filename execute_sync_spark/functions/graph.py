@@ -1,4 +1,4 @@
-"""Iterative graph operator: connected components by min-label propagation.
+"""Iterative graph operator: connected components over near-dup pair sets.
 
 The missing last step of every near-dup pipeline: pairwise candidates
 (MinHash/SimHash/embedding pairs) must become transitive CLUSTERS — if A~B
@@ -7,80 +7,57 @@ never compared. That closure is a connected-components problem; the cluster
 id is the component's minimum node id, which also serves as the canonical
 (keep) document.
 
-Implementation is the textbook DataFrame fixpoint: each node takes the min
-label among itself and its neighbors until nothing changes. Convergence in
-O(diameter) rounds; near-dup graphs are overwhelmingly tiny stars/cliques
-(diameter 2-4). Each round is one shuffle on node id, and
-``localCheckpoint`` truncates the growing plan lineage (without it the plan
-doubles every round and Catalyst analysis time, not the data, becomes the
-bottleneck). At 100 TB scale, swap the plain propagation for the
-alternating large-star/small-star rounds of Kiveris et al., "Connected
-Components in MapReduce and Beyond" (SOCC'14) — same per-round join shape,
-provably O(log^2 n) rounds on adversarial graphs.
+Two exact, deterministic strategies with one output contract:
+
+* ``connected_components`` — the production hybrid. Distributed
+  large-star/small-star contraction rounds (Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SOCC'14 — O(log^2 n) rounds on any
+  graph) run only while the edge set exceeds ``local_edge_threshold``;
+  once a round shrinks it under the threshold the remainder is finished in
+  ONE vectorized union-find pass on a single partition. Near-dup edge sets
+  are a tiny fraction of the corpus (pairs ≪ documents), so at bench scale
+  this is a single Spark job instead of 3+ shuffle rounds, while at 100 TB
+  the star rounds bound every partition's size before anything is
+  localized.
+* ``connected_components_star`` — the pure-distributed path (no local
+  finish), for when even the contracted graph must stay partitioned.
+
+Both produce cluster_id = min node id of the component (exact fixpoint), so
+they are interchangeable under one DuckDB oracle.
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["connected_components", "connected_components_star"]
 
 
-def connected_components(
-    edges: DataFrame,
-    src: str = "src",
-    dst: str = "dst",
-    max_iter: int = 25,
-) -> DataFrame:
-    """Return (id, cluster_id) for every node appearing in ``edges``;
-    cluster_id = min node id in the component. Deterministic (exact
-    fixpoint), so the result is engine-independent."""
-    # checkpoint BEFORE deriving anything: edges is typically the expensive
-    # near-dup candidate plan, and every derivation from the raw plan would
-    # recompute it (labels, round-1 joins, the round-1 convergence count)
-    sym = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .localCheckpoint(eager=True)
-    )
-    labels = (
-        sym.select(F.col("s").alias("id"))
+def _canonical(edges: DataFrame, src: str, dst: str) -> tuple[DataFrame, DataFrame]:
+    """(canonical edge set, all-node set). Canonical = undirected (a < b),
+    deduped, self-loops dropped; nodes come from the RAW edges so a node
+    seen only in self-loops still gets a (singleton) cluster. Both are
+    checkpointed: edges is typically the expensive near-dup candidate plan
+    and every later round would otherwise recompute it."""
+    cur = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
-        .withColumn("lab", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.s == labels.id)
-            .groupBy("d")
-            .agg(F.min("lab").alias("nlab"))
-        )
-        stepped = labels.join(neighbor_min, labels.id == neighbor_min.d, "left").select(
-            "id",
-            F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
-        )
-        # pointer doubling: follow lab -> lab(lab) so label distance halves
-        # every round — a diameter-21 chain converges in ~5 rounds, not 21
-        mapping = stepped.select(F.col("id").alias("mid"), F.col("lab").alias("mlab"))
-        new_labels = (
-            stepped.join(mapping, stepped.lab == mapping.mid, "left")
-            .select(
-                "id",
-                F.least(F.col("lab"), F.coalesce(F.col("mlab"), F.col("lab"))).alias("lab"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select(F.col("id"), F.col("lab").alias("cluster_id"))
+    all_nodes = (
+        edges.select(F.col(src).alias("id"))
+        .unionByName(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return cur, all_nodes
 
 
 def _star_phase(sym: DataFrame, large: bool) -> DataFrame:
@@ -107,11 +84,121 @@ def _star_phase(sym: DataFrame, large: bool) -> DataFrame:
         )
     return (
         hooked.filter(F.col("x") != F.col("y"))
-        .select(
-            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
-        )
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
         .distinct()
     )
+
+
+def _symmetric(cur: DataFrame) -> DataFrame:
+    return cur.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
+        cur.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    )
+
+
+def _star_round(cur: DataFrame) -> DataFrame:
+    """One full contraction round: large-star then small-star, checkpointed."""
+    nxt = _star_phase(_symmetric(cur), large=True)
+    return _star_phase(_symmetric(nxt), large=False).localCheckpoint(eager=True)
+
+
+def _labels_from_stars(cur: DataFrame) -> DataFrame:
+    """At convergence the edge set is a forest of stars whose centers are
+    the component minima: every node's label is min(neighbors + self)."""
+    return (
+        _symmetric(cur)
+        .groupBy("s")
+        .agg(F.least(F.min("d"), F.col("s")).alias("cluster_id"))
+        .select(F.col("s").alias("id"), "cluster_id")
+    )
+
+
+def _local_labels(cur: DataFrame, id_type: str) -> DataFrame:
+    """Exact components of a small edge set in ONE Spark job: coalesce to a
+    single partition and run vectorized min-label propagation with pointer
+    jumping (numpy), the in-core equivalent of the distributed rounds.
+    np.unique gives SORTED codes, so min-over-codes == min-over-ids and the
+    result is identical to the distributed path for any orderable id type."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        srcs: list[pd.Series] = []
+        dsts: list[pd.Series] = []
+        for b in batches:
+            srcs.append(b["a"])
+            dsts.append(b["b"])
+        if not srcs:
+            yield pd.DataFrame({"id": pd.Series(dtype=object), "cluster_id": pd.Series(dtype=object)})
+            return
+        s = pd.concat(srcs).to_numpy()
+        d = pd.concat(dsts).to_numpy()
+        uni = np.unique(np.concatenate([s, d]))  # sorted — code order == id order
+        a = np.searchsorted(uni, s)
+        b = np.searchsorted(uni, d)
+        lab = np.arange(len(uni))
+        while True:
+            old = lab
+            lab = lab.copy()
+            np.minimum.at(lab, a, lab[b])
+            np.minimum.at(lab, b, lab[a])
+            while True:  # pointer jumping: halve label-chain depth
+                nxt = lab[lab]
+                if np.array_equal(nxt, lab):
+                    break
+                lab = nxt
+            if np.array_equal(old, lab):
+                break
+        yield pd.DataFrame({"id": uni, "cluster_id": uni[lab]})
+
+    return cur.coalesce(1).mapInPandas(run, schema=f"id {id_type}, cluster_id {id_type}")
+
+
+def _attach_singletons(labels: DataFrame, all_nodes: DataFrame) -> DataFrame:
+    """Nodes with no canonical edge (isolated / self-loop-only) label
+    themselves."""
+    return all_nodes.join(labels, "id", "left").select(
+        "id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id")
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+    local_edge_threshold: int = 2_000_000,
+) -> DataFrame:
+    """Return (id, cluster_id) for every node appearing in ``edges``;
+    cluster_id = min node id in the component (exact fixpoint, so the
+    result is engine-independent and DuckDB-oracle-checkable).
+
+    Hybrid execution: star-contraction rounds while the edge set exceeds
+    ``local_edge_threshold`` (each round is 2 window-min shuffles + a
+    dedup and provably shrinks adversarial graphs in O(log^2 n) rounds),
+    then a single-partition vectorized union-find finish. 2M canonical
+    edges is ~32 MB of longs — far under an executor's working memory —
+    and near-dup candidate sets at 100 TB contract under it within a few
+    rounds because each round collapses every star to its center."""
+    cur, all_nodes = _canonical(edges, src, dst)
+    id_type = edges.schema[src].dataType.simpleString()
+    n = cur.count()
+    for _ in range(max_iter):
+        if n <= local_edge_threshold:
+            return _attach_singletons(_local_labels(cur, id_type), all_nodes)
+        nxt = _star_round(cur)
+        m = nxt.count()
+        if m == n:  # star rounds strictly shrink until convergence
+            converged = (
+                nxt.unionByName(cur)
+                .groupBy("a", "b")
+                .count()
+                .filter(F.col("count") == 1)
+                .limit(1)
+                .count()
+                == 0
+            )
+            if converged:
+                return _attach_singletons(_labels_from_stars(nxt), all_nodes)
+        cur, n = nxt, m
+    return _attach_singletons(_labels_from_stars(cur), all_nodes)
 
 
 def connected_components_star(
@@ -120,50 +207,25 @@ def connected_components_star(
     dst: str = "dst",
     max_iter: int = 20,
 ) -> DataFrame:
-    """Connected components by alternating large-star / small-star rounds
-    (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    SOCC'14): provably O(log^2 n) rounds on any graph, versus the
-    O(diameter) of plain min-label propagation — the difference between 4
-    and 20+ shuffles on chain-shaped near-dup graphs. Each round is one
-    window-min per node plus a dedup; at convergence the edge set is a
-    forest of stars whose centers are the component minima.
-
-    Same output contract as :func:`connected_components` (exact, so the two
-    are interchangeable under one oracle)."""
-    cur = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    all_nodes = (
-        cur.select(F.col("a").alias("id"))
-        .unionByName(cur.select(F.col("b").alias("id")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    """Pure-distributed star contraction (no local finish): alternate
+    large-star / small-star rounds to convergence, then read labels off the
+    star forest. Same output contract as :func:`connected_components`; use
+    when even the contracted graph must stay partitioned (e.g. the dedup
+    graph itself has billions of non-singleton nodes)."""
+    cur, all_nodes = _canonical(edges, src, dst)
     for _ in range(max_iter):
-        sym = cur.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
-            cur.select(F.col("b").alias("s"), F.col("a").alias("d"))
+        nxt = _star_round(cur)
+        # one-job symmetric-difference probe: both sides are distinct sets,
+        # so every pair appearing once (not twice) in the union is a change
+        changed = (
+            nxt.unionByName(cur)
+            .groupBy("a", "b")
+            .count()
+            .filter(F.col("count") == 1)
+            .limit(1)
+            .count()
         )
-        nxt = _star_phase(sym, large=True)
-        sym2 = nxt.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
-            nxt.select(F.col("b").alias("s"), F.col("a").alias("d"))
-        )
-        nxt = _star_phase(sym2, large=False).localCheckpoint(eager=True)
-        diff = nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(1).count()
         cur = nxt
-        if diff == 0:
+        if changed == 0:
             break
-    # converged: stars — every non-root neighbors its root (the min)
-    sym = cur.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
-        cur.select(F.col("b").alias("s"), F.col("a").alias("d"))
-    )
-    labels = sym.groupBy("s").agg(F.least(F.min("d"), F.col("s")).alias("cluster_id"))
-    return (
-        all_nodes.join(labels, all_nodes.id == labels.s, "left")
-        .select(
-            "id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id")
-        )
-    )
+    return _attach_singletons(_labels_from_stars(cur), all_nodes)

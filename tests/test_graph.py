@@ -20,6 +20,22 @@ def test_connected_components_chain_and_clique(spark, cc):
     assert got == WANT
 
 
+def test_connected_components_distributed_path(spark):
+    # threshold=0 forces star-contraction rounds (no local finish)
+    edges = spark.createDataFrame(EDGES + [(30, 30)], ["src", "dst"])
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(edges, local_edge_threshold=0).collect()
+    }
+    assert got == {**WANT, 30: 30}  # self-loop node stays a singleton
+
+
+def test_connected_components_self_loop_local(spark):
+    edges = spark.createDataFrame(EDGES + [(30, 30)], ["src", "dst"])
+    got = {r["id"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert got == {**WANT, 30: 30}
+
+
 @pytest.mark.parametrize("cc", [connected_components, connected_components_star])
 def test_connected_components_long_chain(spark, cc):
     # diameter-40 chain: pointer doubling / star contraction must converge
