@@ -224,3 +224,32 @@ def simhash(
         bit = F.when(s_b > 0, F.lit(2**b)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     return row.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def cross_contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Train/eval contamination check: (train_id, eval_id, n_shared) for
+    every training document sharing >= ``min_shared`` DISTINCT word k-grams
+    with an eval document — the decontamination step of a training-data
+    pipeline (benchmark text must not leak into the training corpus).
+
+    Scale shape: the eval set is the BROADCAST side (benchmarks are
+    thousands of docs; the train corpus is the 100 TB side), so the train
+    shingle stream never shuffles for the join — each task probes its
+    shingles against the broadcast eval inverted index, and map-side partial
+    aggregation shrinks the per-(train,eval) intersection counts to one row
+    per pair per task before the only shuffle (the count groupBy)."""
+    t = word_shingles(train, text_col, id_col, k).withColumnRenamed(id_col, "train_id")
+    e = word_shingles(eval_docs, text_col, id_col, k).withColumnRenamed(id_col, "eval_id")
+    return (
+        t.join(F.broadcast(e), "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

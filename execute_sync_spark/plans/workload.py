@@ -812,6 +812,103 @@ CURATE_STRATIFIED_SQL = f"""
 """
 
 
+def curate_contamination(spark, sf_dir):
+    """Benchmark-decontamination check: training docs (source != src0)
+    sharing >= 2 distinct word 3-grams with any eval doc (source = src0).
+    The eval side is broadcast — at 100 TB the train corpus streams past a
+    replicated eval inverted index with no train-side shuffle before the
+    pair-count aggregation."""
+    docs = _docs(spark, sf_dir)
+    return dedupe.cross_contamination(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        k=3,
+        min_shared=2,
+    )
+
+
+CURATE_CONTAM_SQL = f"""
+    WITH {_SHINGLE_CTE},
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT t.doc_id AS train_id, e.doc_id AS eval_id, COUNT(*) AS n_shared
+    FROM sh t
+    JOIN src st ON st.doc_id = t.doc_id AND st.source <> 'src0'
+    JOIN sh e ON e.shingle = t.shingle
+    JOIN src se ON se.doc_id = e.doc_id AND se.source = 'src0'
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+"""
+
+
+def curate_pipeline(spark, sf_dir):
+    """End-to-end corpus curation, the composite every stage feeds:
+    quality gate (token count + alpha ratio) -> exact dedup keeping the
+    min-id copy -> drop docs contaminated vs the src0 eval set -> per-doc
+    BPE-ish token count for training-budget accounting.
+
+    Every stage is a filter, window, or broadcast anti-join over the SAME
+    partitioning of the corpus — the only wide shuffles are the exact-dedup
+    window (keyed on the content digest) and the contamination pair count,
+    both map-side combinable."""
+    docs = _docs(spark, sf_dir)
+    t = text.tokens("text")
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    quality = docs.filter(
+        (F.size(t) >= 30) & (n_alpha / F.length("text") >= 0.8)
+    )
+    # exact dedup, canonical copy only (window-min over the content digest)
+    w = Window.partitionBy(F.md5(F.col("text")))
+    deduped = (
+        quality.withColumn("__min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__min_id"))
+        .drop("__min_id")
+    )
+    contaminated = dedupe.cross_contamination(
+        deduped.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        k=3,
+        min_shared=2,
+    ).select(F.col("train_id").alias("doc_id")).distinct()
+    kept = deduped.filter(F.col("source") != "src0").join(
+        F.broadcast(contaminated), "doc_id", "left_anti"
+    )
+    return kept.select(
+        "doc_id",
+        "lang",
+        F.regexp_count(F.col("text"), F.lit(text.BPE_TOKEN_RE)).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+CURATE_PIPELINE_SQL = rf"""
+    WITH {_SHINGLE_CTE},
+    quality AS (
+        SELECT * FROM documents
+        WHERE LENGTH(regexp_split_to_array(trim(lower(text)), '\s+')) >= 30
+          AND LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) / LENGTH(text) >= 0.8
+    ),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS __min_id
+            FROM quality)
+        WHERE doc_id = __min_id
+    ),
+    contaminated AS (
+        SELECT DISTINCT t.doc_id
+        FROM sh t
+        JOIN deduped dt ON dt.doc_id = t.doc_id AND dt.source <> 'src0'
+        JOIN sh e ON e.shingle = t.shingle
+        JOIN documents de ON de.doc_id = e.doc_id AND de.source = 'src0'
+        GROUP BY t.doc_id, e.doc_id
+        HAVING COUNT(*) >= 2
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(LENGTH(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+    FROM deduped d
+    LEFT JOIN contaminated c ON c.doc_id = d.doc_id
+    WHERE d.source <> 'src0' AND c.doc_id IS NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 
@@ -2164,6 +2261,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_hash_split": curate_hash_split,
     "curate_balanced_sample": curate_balanced_sample,
     "curate_stratified_sample": curate_stratified_sample,
+    "curate_contamination": curate_contamination,
+    "curate_pipeline": curate_pipeline,
     # similarity search
     "sim_cosine_topk": sim_cosine_topk,
     "sim_cosine_topk_vec": sim_cosine_topk_vec,
@@ -2247,6 +2346,8 @@ ORACLES: dict[str, Optional[str]] = {
     "curate_hash_split": CURATE_SPLIT_SQL,
     "curate_balanced_sample": CURATE_BALANCED_SQL,
     "curate_stratified_sample": CURATE_STRATIFIED_SQL,
+    "curate_contamination": CURATE_CONTAM_SQL,
+    "curate_pipeline": CURATE_PIPELINE_SQL,
     "sim_cosine_topk": SIM_COSINE_SQL,
     "sim_cosine_topk_vec": SIM_COSINE_SQL,
     "sim_ivf_topk": SIM_IVF_SQL,
