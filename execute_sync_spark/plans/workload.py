@@ -50,6 +50,19 @@ def _docs(spark, sf_dir):
     return _t(spark, sf_dir, "documents")
 
 
+def _docs_wide(spark, sf_dir):
+    """documents with per-row compute spread across every core. The corpus
+    arrives as few large row groups (one per file at bench scale), so Spark's
+    scan gives row-group parallelism — and the expensive per-doc expression
+    work (shingling, per-gram md5, regex passes) would run on a handful of
+    tasks. The round-robin repartition moves only the raw text bytes (MBs),
+    negligible next to the compute it unlocks, and is sized to the
+    deployment's core count. Compute-bound corpus operators should ALWAYS
+    decouple compute parallelism from file layout like this — at 100 TB a
+    128 MB scan split is still too coarse for explode-amplified work."""
+    return _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+
+
 # Money sums: double summation is order-dependent, and with 32-way partial
 # aggregation the merge order varies run to run, so ROUND(SUM(double), 2) can
 # flip on a .xx5 boundary between engines (observed at sf0.01). Rounding each
@@ -459,7 +472,10 @@ def ingest_roundtrip(spark, sf_dir):
     from execute_sync_spark.landing.ingest import _land
     from execute_sync_spark.operators import dedup as dedup_ops
 
-    ev = _events(spark, sf_dir)
+    # spread the JSON render/parse across cores: the events file is one row
+    # group, so without this every to_json/from_json runs in the scan's few
+    # tasks (see _docs_wide — same file-layout-vs-compute decoupling)
+    ev = _events(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
     lines = ev.select(
         F.to_json(
             F.struct(
@@ -521,7 +537,7 @@ def v_variant_shred(spark, sf_dir):
 
 def v_explode_tokens(spark, sf_dir):
     """V6 explode pattern: flatten a list column, aggregate over items."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_wide(spark, sf_dir)
     return (
         docs.select(F.explode(text.tokens("text")).alias("token"))
         .groupBy("token")
@@ -551,14 +567,14 @@ DEDUP_EXACT_SQL = """
 
 
 def dedup_minhash_sig(spark, sf_dir):
-    return dedupe.minhash_signatures(_docs(spark, sf_dir), num_hashes=_NUM_MINHASH)
+    return dedupe.minhash_signatures(_docs_wide(spark, sf_dir), num_hashes=_NUM_MINHASH)
 
 
 DEDUP_MINHASH_SQL = f"WITH {_SIG_CTE} SELECT * FROM sig"
 
 
 def dedup_lsh_pairs(spark, sf_dir):
-    sigs = dedupe.minhash_signatures(_docs(spark, sf_dir), num_hashes=_NUM_MINHASH)
+    sigs = dedupe.minhash_signatures(_docs_wide(spark, sf_dir), num_hashes=_NUM_MINHASH)
     return dedupe.lsh_candidate_pairs(sigs, num_hashes=_NUM_MINHASH, band_size=2)
 
 
@@ -581,7 +597,7 @@ DEDUP_LSH_SQL = f"""
 
 
 def dedup_jaccard_pairs(spark, sf_dir):
-    return dedupe.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.05)
+    return dedupe.ngram_jaccard_pairs(_docs_wide(spark, sf_dir), threshold=0.05)
 
 
 DEDUP_JACCARD_SQL = f"""
@@ -604,7 +620,7 @@ _SIMHASH_BITS = 16
 
 
 def dedup_simhash(spark, sf_dir):
-    return dedupe.simhash(_docs(spark, sf_dir), bits=_SIMHASH_BITS)
+    return dedupe.simhash(_docs_wide(spark, sf_dir), bits=_SIMHASH_BITS)
 
 
 _SIMHASH_SUMS = ", ".join(
@@ -626,7 +642,7 @@ DEDUP_SIMHASH_SQL = f"""
 # text analysis
 
 def text_stats_q(spark, sf_dir):
-    return text.text_stats(_docs(spark, sf_dir))
+    return text.text_stats(_docs_wide(spark, sf_dir))
 
 
 TEXT_STATS_SQL = r"""
@@ -641,7 +657,7 @@ TEXT_STATS_SQL = r"""
 
 
 def text_lang_id(spark, sf_dir):
-    return text.lang_id(_docs(spark, sf_dir))
+    return text.lang_id(_docs_wide(spark, sf_dir))
 
 
 def _lang_hits_sql(lang: str) -> str:
@@ -667,7 +683,7 @@ TEXT_LANG_SQL = f"""
 
 
 def text_token_count(spark, sf_dir):
-    return text.token_count(_docs(spark, sf_dir))
+    return text.token_count(_docs_wide(spark, sf_dir))
 
 
 TEXT_TOKEN_SQL = r"""
@@ -682,7 +698,7 @@ def text_tfidf_top_term(spark, sf_dir):
     """Classic corpus-statistics pipeline op: the highest tf-idf token per
     document (idf = ln(N/df)). Two map-side-combined aggregations + a
     broadcast of the (small) df table; deterministic tie-break by token."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_wide(spark, sf_dir)
     n_docs = docs.count()
     tok = docs.select("doc_id", F.explode_outer(text.tokens("text")).alias("token")).filter(
         F.col("token").isNotNull()
@@ -724,7 +740,7 @@ TEXT_TFIDF_SQL = r"""
 def text_redact_pii(spark, sf_dir):
     """PII-style masking pass: long digit runs redacted, with a count of
     masked spans — the shape of a compliance scrub over a corpus."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_wide(spark, sf_dir)
     pattern = "[0-9]{3,}"
     return docs.select(
         "doc_id",
@@ -742,7 +758,7 @@ TEXT_REDACT_SQL = """
 
 
 def text_fingerprint(spark, sf_dir):
-    return text.fingerprint(_docs(spark, sf_dir))
+    return text.fingerprint(_docs_wide(spark, sf_dir))
 
 
 _FP_HASH = h32_sql("substr(text, CAST(i AS INT), 8)")
@@ -818,7 +834,7 @@ def curate_contamination(spark, sf_dir):
     The eval side is broadcast — at 100 TB the train corpus streams past a
     replicated eval inverted index with no train-side shuffle before the
     pair-count aggregation."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_wide(spark, sf_dir)
     return dedupe.cross_contamination(
         docs.filter(F.col("source") != "src0"),
         docs.filter(F.col("source") == "src0"),
@@ -850,7 +866,7 @@ def curate_pipeline(spark, sf_dir):
     partitioning of the corpus — the only wide shuffles are the exact-dedup
     window (keyed on the content digest) and the contamination pair count,
     both map-side combinable."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_wide(spark, sf_dir)
     t = text.tokens("text")
     n_alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
     quality = docs.filter(
@@ -2068,6 +2084,9 @@ MM_META_SQL = """
 
 def mm_features(spark, sf_dir):
     """mapInPandas feature extraction — not SQL-expressible (rows-only check)."""
+    # narrow reader: at corpus scale the binary columns arrive across many
+    # files/tasks already; forcing a 32-way fan-out here only multiplies
+    # Arrow python-worker startup at bench scale
     bm = multimodal.binary_with_meta(_docs(spark, sf_dir))
     return multimodal.extract_features(bm)
 
