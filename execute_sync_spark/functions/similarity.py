@@ -20,6 +20,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 
+def _np_round_half_up(x, decimals: int = 4):
+    """HALF_UP rounding for numpy arrays, matching Spark F.round and DuckDB
+    ROUND (np.round is banker's half-to-even, which diverges on exact .xxxx5
+    boundaries). Away-from-zero on ties, sign-symmetric."""
+    import numpy as np
+
+    scale = 10.0**decimals
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
@@ -102,7 +112,7 @@ def cosine_topk_vectorized(
             Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
             S = Cn @ bQn.T  # |batch| x |queries|
             for j, qid in enumerate(bqids):
-                col = np.round(S[:, j], 4)
+                col = _np_round_half_up(S[:, j], 4)
                 cand_idx = np.nonzero(ids != qid)[0]
                 if len(cand_idx) == 0:
                     continue
@@ -146,7 +156,7 @@ def blocked_near_dup_pairs_vectorized(
         ids = pdf[id_col].to_numpy()
         V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-        S = np.round(Vn @ Vn.T, 4)
+        S = _np_round_half_up(Vn @ Vn.T, 4)
         iu, ju = np.triu_indices(len(ids), k=1)
         keep = S[iu, ju] >= threshold
         a, b = ids[iu[keep]], ids[ju[keep]]

@@ -35,11 +35,20 @@ D2_KEYS = ["type", "id"]
 def latest_all_versions(landing: DataFrame, mode: str = "join") -> DataFrame:
     """D1: keep the newest landed copy (max batch_date) of every version."""
     if mode == "window":
-        w = Window.partitionBy(*D1_KEYS, "chunk").orderBy(F.desc("batch_date"))
+        # Newest batch is per VERSION (type,id,version), not per chunk — a
+        # re-land with fewer chunks supersedes all chunks of the older copy.
+        # After filtering to the winning batch, row_number per chunk collapses
+        # exact same-batch duplicates to one row (the tie behavior this mode
+        # exists for). Both windows hash-partition on the same prefix, so
+        # this is still a single exchange.
+        wv = Window.partitionBy(*D1_KEYS)
+        wc = Window.partitionBy(*D1_KEYS, "chunk").orderBy(F.desc("batch_date"))
         return (
-            landing.withColumn("__rn", F.row_number().over(w))
+            landing.withColumn("__maxb", F.max("batch_date").over(wv))
+            .filter(F.col("batch_date") == F.col("__maxb"))
+            .withColumn("__rn", F.row_number().over(wc))
             .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            .drop("__maxb", "__rn")
         )
     keys = (
         landing.groupBy(*D1_KEYS)
@@ -58,8 +67,17 @@ def latest(landing: DataFrame, mode: str = "join") -> DataFrame:
     """
     d1 = latest_all_versions(landing, mode=mode)
     if mode == "window":
-        w = Window.partitionBy(*D2_KEYS, "chunk").orderBy(F.desc("version"))
-        return d1.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+        # The winner is max(version) per DOCUMENT, not per chunk: a current
+        # version with fewer chunks must still supersede ALL chunks of older
+        # versions (reference MAX(VERSION) GROUP BY TYPE,ID, snowflake.go
+        # _LATEST view). An analytic max over (type,id) needs no extra
+        # shuffle beyond the (type,id)-hash exchange the window already does.
+        w = Window.partitionBy(*D2_KEYS)
+        return (
+            d1.withColumn("__maxv", F.max("version").over(w))
+            .filter(F.col("version") == F.col("__maxv"))
+            .drop("__maxv")
+        )
     keys = d1.groupBy(*D2_KEYS).agg(F.max("version").alias("version"))
     return d1.join(keys, D2_KEYS + ["version"], "left_semi").select(*landing.columns)
 

@@ -26,8 +26,12 @@ from execute_sync_spark.operators import dedup as dedup_ops
 # helpers
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # the driver may run these under its own session: pin UTC so
-    # TimestampType -> naive conversions agree with the DuckDB oracle
+    # The driver may run these under its own session: pin UTC so
+    # TimestampType -> naive conversions agree with the DuckDB oracle.
+    # Deliberately NOT restored: the returned DataFrame is lazy and the conf
+    # is read at execution (collect) time, so a try/finally here would un-pin
+    # it before the query runs. Sessions built by session.get_spark already
+    # set it at construction; this is a no-op there.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _events(spark, sf_dir)
@@ -38,7 +42,12 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.ts is TIMESTAMP(NANOS) parquet, which the Spark reader rejects;
     read nanos as long and truncate to microseconds (exactly what DuckDB's
     reader does), using integer division — double division would lose
-    precision at 1e18 nanos."""
+    precision at 1e18 nanos.
+
+    The conf pin is for foreign sessions (the driver's); not restored because
+    it is read at execution time, after this lazy DataFrame is returned —
+    session.get_spark sets it at construction so it's a no-op on our own
+    sessions."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     if dict(ev.dtypes).get("ts") == "bigint":
@@ -1231,8 +1240,8 @@ def q_conditional_agg(spark, sf_dir):
 
 Q_COND_SQL = """
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_high,
-           SUM(CASE WHEN o_totalprice > 100000 THEN 0 ELSE 1 END) AS n_low
+           CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 0 ELSE 1 END) AS BIGINT) AS n_low
     FROM orders GROUP BY o_orderpriority
 """
 
@@ -1534,8 +1543,8 @@ Q12_SQL = """
     SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30 THEN 'fast'
                 WHEN date_diff('day', o_orderdate, l_shipdate) < 90 THEN 'normal'
                 ELSE 'slow' END AS ship_bucket,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 1
 """

@@ -27,9 +27,17 @@ def get_spark(app_name: str = "execute_sync_spark", cpus: str | None = None) -> 
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet carries TIMESTAMP(NANOS), which the Spark reader
+        # rejects; reading nanos as long (then truncating to micros in the
+        # query) is the session-wide convention — see plans/workload._events.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
+        # FAIR job scheduling so concurrent queries (bench throughput pass,
+        # multi-tenant notebook use) share executor cores instead of queueing
+        # FIFO behind the largest job
+        .config("spark.scheduler.mode", "FAIR")
         # parse-once JSON reuse (SURVEY §4 P8): collapse repeated
         # get_json_object over the same column into a single parse.
         .config("spark.sql.optimizer.enableJsonExpressionOptimization", "true")

@@ -38,24 +38,54 @@ class ParquetSink:
         self.file_format = file_format
 
     def append(self, landed: DataFrame, txn_id: str | None = None) -> int:
-        """Append one batch. With ``txn_id`` the append is idempotent (P10):
-        a marker file under ``_txns/`` records applied batches, so a crash
-        between append and watermark save cannot double-land a page (the
-        Delta analog is ``txnAppId``/``txnVersion`` on the writer)."""
+        """Append one batch. With ``txn_id`` the append is *effectively-once*:
+        a marker file under ``_txns/`` records applied batches, so a retry of
+        an already-marked batch is a no-op (the Delta analog is
+        ``txnAppId``/``txnVersion`` on the writer, which closes this window
+        transactionally).
+
+        Delivery contract on plain parquet: the batch is staged to a temp dir
+        by one Spark job, then published into the table as per-file renames
+        followed by the marker write. A crash inside that publish loop can
+        leave a partially-visible batch that a retry re-appends — i.e.
+        at-least-once within a narrow window; the D1/D2 dedup views absorb
+        exact duplicate copies (same (type,id,version), newest batch wins),
+        which is why the sync protocol remains correct.
+        """
+        import shutil
+        import uuid
+
         if txn_id is not None and os.path.exists(self._txn_marker(txn_id)):
             return 0
-        n = landed.count()
         # cluster files by (id, version) so downstream dedup shuffles read
         # locally-sorted input (the parquet stand-in for Delta Z-ordering)
         clustered = landed.select(*LANDING_COLUMNS).sortWithinPartitions("id", "version")
-        writer = clustered.write.mode("append").format(self.file_format)
+        tmp = f"{self.path.rstrip('/')}_stage_{uuid.uuid4().hex[:8]}"
+        writer = clustered.write.mode("overwrite").format(self.file_format)
         if self.partition_by_type:
             writer = writer.partitionBy("type")
-        writer.save(self.path)
-        if txn_id is not None:
-            os.makedirs(os.path.dirname(self._txn_marker(txn_id)), exist_ok=True)
-            with open(self._txn_marker(txn_id), "w") as f:
-                f.write(txn_id)
+        writer.save(tmp)
+        # row count from the staged footers (metadata-only scan) — the plan
+        # executes exactly once, in the write above
+        n = self.spark.read.format(self.file_format).load(tmp).count()
+        try:
+            for root_dir, _, files in os.walk(tmp):
+                rel = os.path.relpath(root_dir, tmp)
+                dst_dir = self.path if rel == "." else os.path.join(self.path, rel)
+                for fname in files:
+                    if fname.startswith(("_", ".")):
+                        continue
+                    os.makedirs(dst_dir, exist_ok=True)
+                    os.rename(
+                        os.path.join(root_dir, fname),
+                        os.path.join(dst_dir, f"{uuid.uuid4().hex[:8]}-{fname}"),
+                    )
+            if txn_id is not None:
+                os.makedirs(os.path.dirname(self._txn_marker(txn_id)), exist_ok=True)
+                with open(self._txn_marker(txn_id), "w") as f:
+                    f.write(txn_id)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
         return n
 
     def _txn_marker(self, txn_id: str) -> str:

@@ -154,6 +154,8 @@ def streaming_sessionize_flushed(
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "events.parquet")
+    # pin for foreign sessions; read at execution time so not restorable
+    # here — session.get_spark sets it at construction (no-op there)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     stream_dir = tempfile.mkdtemp(prefix="stream_sess_")

@@ -31,6 +31,8 @@ def stream_window_counts(
     path = os.path.join(sf_dir, "events.parquet")
     # events.ts is nanos parquet — read as long, truncate to micros (see
     # plans.workload._events for the batch-side twin of this conversion)
+    # pin for foreign sessions; read at execution time so not restorable
+    # here — session.get_spark sets it at construction (no-op there)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     # the file-stream source requires a *directory*; expose the single file

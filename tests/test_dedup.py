@@ -53,6 +53,40 @@ def test_d2_latest(landed, mode):
     assert_df_equal(d2, con.sql(D2_ORACLE), f"D2[{mode}]")
 
 
+@pytest.mark.parametrize("mode", ["join", "window"])
+def test_shrinking_chunks_no_stale_leak(spark, mode):
+    """Regression: when the current version (or newest land of a version) has
+    FEWER chunks than an older one, no stale chunk of the superseded copy may
+    leak through. window mode used to partition per-chunk and leak them."""
+    from datetime import datetime
+
+    from execute_sync_spark.landing.schema import LANDING_SCHEMA
+
+    b1, b2 = datetime(2024, 1, 1), datetime(2024, 1, 2)
+    rows = [
+        # v1 landed with 3 chunks; v2 (current) with only 1 chunk
+        (b1, "AFE", "doc-1", 1, 0, None, None, False, "{}"),
+        (b1, "AFE", "doc-1", 1, 1, None, None, False, "{}"),
+        (b1, "AFE", "doc-1", 1, 2, None, None, False, "{}"),
+        (b2, "AFE", "doc-1", 2, 0, None, None, False, "{}"),
+        # same VERSION re-landed in a newer batch with fewer chunks
+        (b1, "AFE", "doc-2", 1, 0, None, None, False, "{}"),
+        (b1, "AFE", "doc-2", 1, 1, None, None, False, "{}"),
+        (b2, "AFE", "doc-2", 1, 0, None, None, False, "{}"),
+    ]
+    df = spark.createDataFrame(rows, LANDING_SCHEMA)
+
+    d1 = latest_all_versions(df, mode=mode)
+    # doc-2 v1: only the batch-2 copy (1 chunk) survives D1
+    got = [(r.chunk, r.batch_date) for r in d1.filter(F.col("id") == "doc-2").collect()]
+    assert got == [(0, b2)], got
+
+    d2 = latest(df, mode=mode)
+    # doc-1: only v2's single chunk; v1's chunks 1,2 must not leak
+    got = sorted((r.version, r.chunk) for r in d2.filter(F.col("id") == "doc-1").collect())
+    assert got == [(2, 0)], got
+
+
 def test_d3_superseded(landed):
     df, con = landed
     sup = superseded_rows(df)
