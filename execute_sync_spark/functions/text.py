@@ -112,3 +112,38 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         "fingerprint",
         F.round(F.col("fingerprint") / F.lit(2**32), 6).alias("fingerprint_unit"),
     )
+
+
+def quality_rules(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style heuristic quality gate (Rae et al. 2021, "Scaling
+    Language Models" §A.1.1 repetition/format rules, adapted to what a
+    whitespace tokenizer can see): token-count bounds, mean token length
+    bounds, symbol ratio, and a stopword-presence check. Emits the rule
+    verdicts per document plus the combined pass flag, so downstream
+    curation can both filter and report per-rule rejection rates.
+
+    All expressions are JVM-side codegen'd string ops — no UDFs — and the
+    operator is embarrassingly parallel: no shuffle at any scale."""
+    t = tokens(text_col)
+    n_tokens = F.size(t)
+    n_chars = F.length(F.col(text_col))
+    # characters that are part of tokens (everything but whitespace)
+    n_nonspace = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    mean_tok_len = n_nonspace / n_tokens
+    n_symbols = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[#*\.]{3,}|[#*]", ""))
+    symbol_ratio = n_symbols / n_nonspace
+    has_stopword = F.lower(F.col(text_col)).rlike(r"(^|\s)(the|and|of|to|in)(\s|$)")
+    r_tokens = (n_tokens >= 5) & (n_tokens <= 50000)
+    r_tok_len = (mean_tok_len >= 2.0) & (mean_tok_len <= 12.0)
+    r_symbols = symbol_ratio <= 0.1
+    return docs.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(mean_tok_len, 4).alias("mean_tok_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        r_tokens.alias("ok_token_count"),
+        r_tok_len.alias("ok_token_len"),
+        r_symbols.alias("ok_symbols"),
+        has_stopword.alias("ok_stopword"),
+        (r_tokens & r_tok_len & r_symbols & has_stopword).alias("passes"),
+    )

@@ -2214,6 +2214,273 @@ STREAM_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# round-2 additions: recursive traversal, range join, SCD2, merge, quality
+# gate, frame sampling, LSH ANN, streaming dedup
+
+
+def q_recursive_hierarchy(spark, sf_dir):
+    """Native recursive CTE (Spark 4's WITH RECURSIVE): walk every user up a
+    synthetic binary-tree hierarchy (parent(u) = u div 2) to the root,
+    emitting depth and the ancestor-id sum. The recursion is acyclic and
+    log-depth, so UNION ALL terminates; each iteration is one shuffle-free
+    projection + filter over the frontier — exactly the iterate-until-empty
+    plan Catalyst builds for recursive CTEs. (Spark cannot yet do UNION
+    DISTINCT recursion, so cyclic closures — dedup_clusters — stay on the
+    iterative operator in functions/graph.py.)"""
+    spark.conf.set("spark.sql.cteRecursionEnabled", "true")
+    ev = _t(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(user_id, anc, depth) AS (
+            SELECT DISTINCT user_id, user_id, 0 FROM {ev}
+            UNION ALL
+            SELECT user_id, anc div 2, depth + 1 FROM walk WHERE anc > 0
+        )
+        SELECT user_id,
+               CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+               CAST(SUM(anc) AS BIGINT) AS ancestor_sum
+        FROM walk GROUP BY user_id
+        """,
+        ev=ev,
+    )
+
+
+Q_RECURSIVE_SQL = """
+    WITH RECURSIVE walk(user_id, anc, depth) AS (
+        SELECT DISTINCT user_id, user_id, 0 FROM events
+        UNION ALL
+        SELECT user_id, anc // 2, depth + 1 FROM walk WHERE anc > 0
+    )
+    SELECT user_id,
+           CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+           CAST(SUM(anc) AS BIGINT) AS ancestor_sum
+    FROM walk GROUP BY user_id
+"""
+
+
+_PRICE_BANDS = [
+    (0, 0.0, 20_000.0),
+    (1, 20_000.0, 40_000.0),
+    (2, 40_000.0, 60_000.0),
+    (3, 60_000.0, 80_000.0),
+    (4, 80_000.0, 1e9),
+]
+
+
+def q_range_band_join(spark, sf_dir):
+    """Range (interval) join: assign each lineitem to a price band by
+    l_extendedprice BETWEEN lo AND hi. The band table is tiny and broadcast,
+    so Catalyst plans a BroadcastNestedLoopJoin with the range predicate
+    evaluated stream-side — the big table never shuffles for the join, only
+    for the final per-band aggregate (5 groups). At 100 TB this is the
+    canonical static-binning pattern (histogramming, tiering); for dense
+    interval tables switch to a bucketed equi-join on floor(price/width)."""
+    li = _t(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(_PRICE_BANDS, "band_id int, lo double, hi double")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_extendedprice >= bands.lo) & (li.l_extendedprice < bands.hi),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            _cents_sum(F.col("l_extendedprice")).alias("total_price"),
+        )
+    )
+
+
+_BANDS_SQL = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)
+
+Q_RANGE_BAND_SQL = f"""
+    WITH bands(band_id, lo, hi) AS (VALUES {_BANDS_SQL})
+    SELECT band_id,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {_cents_sum_sql('l_extendedprice')} AS total_price
+    FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
+    GROUP BY band_id
+"""
+
+
+def q_scd2_history(spark, sf_dir):
+    """SCD type-2 interval build: each user's purchase stream becomes
+    validity intervals [valid_from, valid_to) via LEAD — the streaming-log ->
+    dimension-history idiom (the reference's versioned documents are exactly
+    this shape; dedup.latest picks the open interval). One shuffle on
+    user_id; the window sort is the only cost."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        "value",
+        nxt.isNull().alias("is_current"),
+    )
+
+
+Q_SCD2_SQL = """
+    SELECT user_id, event_id, ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to, value,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM events WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics as a full-outer join (the Delta/Iceberg MERGE
+    physical plan is exactly this + a file rewrite): per-customer spend
+    updates merge into the customer dim; matched -> update, source-only ->
+    insert (synthesized negative-key rows), target-only -> keep. At scale
+    the join shuffles on the key unless the target is bucketed/clustered by
+    it — on Delta this code becomes MERGE INTO with the same ON clause."""
+    cust = _t(spark, sf_dir, "customer")
+    upd = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("spend_cents"))
+    )
+    src = upd.unionByName(
+        upd.filter(F.col("custkey") <= 10).select(
+            (-F.col("custkey")).alias("custkey"), "spend_cents"
+        )
+    )
+    j = cust.join(src, cust.c_custkey == src.custkey, "full_outer")
+    return j.select(
+        F.coalesce(cust.c_custkey, src.custkey).alias("custkey"),
+        F.when(cust.c_custkey.isNotNull() & src.custkey.isNotNull(), "update")
+        .when(cust.c_custkey.isNull(), "insert")
+        .otherwise("keep")
+        .alias("merge_action"),
+        F.coalesce(src.spend_cents, F.lit(0)).alias("spend_cents"),
+        cust.c_mktsegment.alias("segment"),
+    )
+
+
+Q_MERGE_SQL = """
+    WITH upd AS (
+        SELECT o_custkey AS custkey,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS spend_cents
+        FROM orders GROUP BY o_custkey),
+    src AS (SELECT custkey, spend_cents FROM upd
+            UNION ALL
+            SELECT -custkey, spend_cents FROM upd WHERE custkey <= 10)
+    SELECT COALESCE(c.c_custkey, s.custkey) AS custkey,
+           CASE WHEN c.c_custkey IS NOT NULL AND s.custkey IS NOT NULL THEN 'update'
+                WHEN c.c_custkey IS NULL THEN 'insert'
+                ELSE 'keep' END AS merge_action,
+           COALESCE(s.spend_cents, 0) AS spend_cents,
+           c.c_mktsegment AS segment
+    FROM customer c FULL JOIN src s ON c.c_custkey = s.custkey
+"""
+
+
+def curate_quality_rules(spark, sf_dir):
+    return text.quality_rules(_docs_wide(spark, sf_dir))
+
+
+CURATE_QUALITY_SQL = r"""
+    SELECT doc_id,
+           CAST(LENGTH(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+           ROUND(LENGTH(regexp_replace(text, '\s', '', 'g'))
+                 / LENGTH(regexp_split_to_array(trim(lower(text)), '\s+')), 4) AS mean_tok_len,
+           ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[#*\.]{3,}|[#*]', '', 'g')))
+                 / LENGTH(regexp_replace(text, '\s', '', 'g')), 4) AS symbol_ratio,
+           (LENGTH(regexp_split_to_array(trim(lower(text)), '\s+')) BETWEEN 5 AND 50000) AS ok_token_count,
+           (LENGTH(regexp_replace(text, '\s', '', 'g'))
+                 / LENGTH(regexp_split_to_array(trim(lower(text)), '\s+')) BETWEEN 2.0 AND 12.0) AS ok_token_len,
+           ((LENGTH(text) - LENGTH(regexp_replace(text, '[#*\.]{3,}|[#*]', '', 'g')))
+                 / LENGTH(regexp_replace(text, '\s', '', 'g')) <= 0.1) AS ok_symbols,
+           regexp_matches(lower(text), '(^|\s)(the|and|of|to|in)(\s|$)') AS ok_stopword,
+           ((LENGTH(regexp_split_to_array(trim(lower(text)), '\s+')) BETWEEN 5 AND 50000)
+            AND (LENGTH(regexp_replace(text, '\s', '', 'g'))
+                 / LENGTH(regexp_split_to_array(trim(lower(text)), '\s+')) BETWEEN 2.0 AND 12.0)
+            AND ((LENGTH(text) - LENGTH(regexp_replace(text, '[#*\.]{3,}|[#*]', '', 'g')))
+                 / LENGTH(regexp_replace(text, '\s', '', 'g')) <= 0.1)
+            AND regexp_matches(lower(text), '(^|\s)(the|and|of|to|in)(\s|$)')) AS passes
+    FROM documents
+"""
+
+
+def mm_frame_sample(spark, sf_dir):
+    """Multimodal frame sampling plumbing: treat each document as a fake
+    video of n_frames = n_chars % 240 + 8 frames at 25 fps and emit every
+    24th frame with its timestamp and a per-frame content digest. The decode
+    itself is the stubbed step (no media libs in this env) — what's real and
+    tested is the Spark shape: metadata -> sequence() -> explode fan-out ->
+    per-frame digest, all JVM-side. explode_outer + filter, not explode: the
+    bare generator re-evaluates its input inside an interpreted pre-filter
+    (measured ~7x; see functions/dedupe.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_frames = (F.col("n_chars") % 240 + 8).cast("int")
+    frames = docs.select(
+        "doc_id",
+        F.explode_outer(F.sequence(F.lit(0), n_frames - 1, F.lit(24))).alias("frame_idx"),
+    ).filter(F.col("frame_idx").isNotNull())
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        (F.col("frame_idx") * 40).cast("long").alias("frame_ts_ms"),
+        F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.col("frame_idx").cast("string"))).alias("frame_sha"),
+    )
+
+
+MM_FRAME_SQL = """
+    SELECT doc_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(frame_idx * 40 AS BIGINT) AS frame_ts_ms,
+           md5(doc_id || '|' || frame_idx) AS frame_sha
+    FROM (SELECT doc_id, unnest(range(0, n_chars % 240 + 8, 24)) AS frame_idx
+          FROM documents)
+"""
+
+
+def sim_lsh_topk(spark, sf_dir):
+    """ANN top-k via sign-LSH bucket blocking (training-free counterpart of
+    sim_ivf_topk). Candidates are ranked only within the query's bucket —
+    recall trades against bucket count; 12 planes keeps buckets small enough
+    that the per-query work is ~|corpus|/2^12-ish, not |corpus|."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+SIM_LSH_SQL = f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {similarity.lsh_bucket_sql('embedding::DOUBLE[]')} AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM c WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROUND(list_dot_product(qv, v) /
+                     (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4) AS cos_sim
+        FROM c JOIN q USING (bucket) WHERE c.vec_id != q.query_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 5
+"""
+
+
+def stream_dedup(spark, sf_dir):
+    """Streaming exact dedup over a twice-replayed backlog —
+    dropDuplicatesWithinWatermark bounds state by event time. Result equals
+    DISTINCT over the original events."""
+    from execute_sync_spark.streaming import stream_dedup_events
+
+    return stream_dedup_events(spark, sf_dir)
+
+
+STREAM_DEDUP_SQL = """
+    SELECT event_id, ts, user_id, event_type, value FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2303,6 +2570,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sessionize_flushed": stream_sessionize_flushed,
     "stream_purchase_attribution": stream_purchase_attribution,
     "stream_enrich_join": stream_enrich_join,
+    # round-2 additions
+    "q_recursive_hierarchy": q_recursive_hierarchy,
+    "q_range_band_join": q_range_band_join,
+    "q_scd2_history": q_scd2_history,
+    "q_merge_upsert": q_merge_upsert,
+    "curate_quality_rules": curate_quality_rules,
+    "mm_frame_sample": mm_frame_sample,
+    "sim_lsh_topk": sim_lsh_topk,
+    "stream_dedup": stream_dedup,
 }
 
 ORACLES: dict[str, Optional[str]] = {
@@ -2386,6 +2662,14 @@ ORACLES: dict[str, Optional[str]] = {
     "stream_sessionize_flushed": STREAM_SESSION_FLUSHED_SQL,
     "stream_purchase_attribution": STREAM_ATTRIBUTION_SQL,
     "stream_enrich_join": STREAM_ENRICH_SQL,
+    "q_recursive_hierarchy": Q_RECURSIVE_SQL,
+    "q_range_band_join": Q_RANGE_BAND_SQL,
+    "q_scd2_history": Q_SCD2_SQL,
+    "q_merge_upsert": Q_MERGE_SQL,
+    "curate_quality_rules": CURATE_QUALITY_SQL,
+    "mm_frame_sample": MM_FRAME_SQL,
+    "sim_lsh_topk": SIM_LSH_SQL,
+    "stream_dedup": STREAM_DEDUP_SQL,
 }
 
 

@@ -67,3 +67,54 @@ def stream_window_counts(
         "n_events",
         "total_value",
     )
+
+
+def stream_dedup_events(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` on event_id
+    over a stream that replays the backlog TWICE (two links to the same
+    file), so every event arrives duplicated — the at-least-once delivery
+    shape a real ingest pipeline sees. The watermark bounds the dedup state:
+    a key is evictable once the watermark passes its event time, which is
+    what makes exact streaming dedup feasible on an infinite stream (plain
+    dropDuplicates would grow state forever).
+
+    Batch-parity: duplicates carry identical payloads, so the kept-first
+    result equals SELECT DISTINCT over the backlog."""
+    import tempfile
+
+    path = os.path.join(sf_dir, "events.parquet")
+    # pin for foreign sessions; read at execution time so not restorable
+    # here — session.get_spark sets it at construction (no-op there)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream_dir = tempfile.mkdtemp(prefix="stream_dedup_")
+    os.symlink(path, os.path.join(stream_dir, "events_a.parquet"))
+    os.symlink(path, os.path.join(stream_dir, "events_b.parquet"))
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    if "ts" in stream.columns and dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    deduped = (
+        stream.select("event_id", "ts", "user_id", "event_type", "value")
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    # one state-store per shuffle partition: size to the dedup key volume
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
