@@ -2466,6 +2466,151 @@ SIM_LSH_SQL = f"""
 """
 
 
+def curate_pack_sequences(spark, sf_dir):
+    """Sequence packing for training: assign documents to fixed token-budget
+    packs (2048 BPE-ish tokens) by running-total binning within a shard.
+    Packing is inherently sequential, so the scale form shards first (8-way
+    here; one shard per executor-task at 100 TB) and packs contiguously
+    within each shard — each shard is one window partition, so the only
+    shuffle is the 8-way hash exchange, and pack assembly parallelizes
+    per shard. Greedy first-fit would pack ~1% tighter but needs a serial
+    pass; contiguous binning is the standard distributed compromise."""
+    docs = _docs_wide(spark, sf_dir)
+    tok = F.regexp_count(F.col("text"), F.lit(text.BPE_TOKEN_RE)).cast("long")
+    shard = (F.col("doc_id") % 8).cast("int")
+    d = docs.select("doc_id", shard.alias("shard"), tok.alias("n_tokens"))
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum("n_tokens").over(w)
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / F.lit(2048)).cast("long").alias("pack_id"),
+    )
+
+
+CURATE_PACK_SQL = r"""
+    WITH d AS (
+        SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+               CAST(LENGTH(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        FROM documents)
+    SELECT doc_id, shard, n_tokens,
+           CAST((CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens) // 2048 AS BIGINT) AS pack_id
+    FROM d
+"""
+
+
+def curate_mixture_weights(spark, sf_dir):
+    """Data-mixture rebalancing: per-source sampling weights that would flatten
+    the corpus to a uniform source mixture (the per-domain up/down-weighting
+    step of training-data assembly). One tiny aggregate + a broadcast-size
+    window — nothing at corpus scale moves except the per-source counts."""
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    w = Window.partitionBy()
+    total = F.sum("n_docs").over(w)
+    n_sources = F.count(F.lit(1)).over(w)
+    actual = F.col("n_docs") / total
+    target = F.lit(1.0) / n_sources
+    return counts.select(
+        "source",
+        "n_docs",
+        F.round(actual, 6).alias("actual_share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(target / actual, 6).alias("sample_weight"),
+    )
+
+
+CURATE_MIX_SQL = """
+    WITH counts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                    FROM documents GROUP BY source)
+    SELECT source, n_docs,
+           ROUND(n_docs / CAST(SUM(n_docs) OVER () AS BIGINT), 6) AS actual_share,
+           ROUND(CAST(1 AS DOUBLE) / COUNT(*) OVER (), 6) AS target_share,
+           ROUND((CAST(1 AS DOUBLE) / COUNT(*) OVER ())
+                 / (n_docs / CAST(SUM(n_docs) OVER () AS BIGINT)), 6) AS sample_weight
+    FROM counts
+"""
+
+
+def text_bigram_top(spark, sf_dir):
+    """Corpus-level n-gram statistics: top-20 token bigrams. Bigrams are
+    built JVM-side with zip_with over two shifted slices (no index lambda,
+    no UDF), then explode_outer + filter (see functions/dedupe.py for why
+    not bare explode) into a map-side-combined count. The global top-20 is a
+    two-stage rank: the partial agg shuffles only distinct-bigram counts."""
+    docs = _docs_wide(spark, sf_dir)
+    t = text.tokens("text")
+    n = F.size(t)
+    bigrams = F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    counted = (
+        docs.select(F.explode_outer(bigrams).alias("bigram"))
+        .filter(F.col("bigram").isNotNull())
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("bigram", "n", "rank")
+    )
+
+
+TEXT_BIGRAM_SQL = r"""
+    WITH toks AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+    bi AS (SELECT unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b FROM toks),
+    counted AS (SELECT a || ' ' || b AS bigram, CAST(COUNT(*) AS BIGINT) AS n
+                FROM bi GROUP BY 1),
+    ranked AS (SELECT bigram, n,
+                      CAST(ROW_NUMBER() OVER (ORDER BY n DESC, bigram) AS INT) AS rank
+               FROM counted)
+    SELECT bigram, n, rank FROM ranked WHERE rank <= 20
+"""
+
+
+def sim_range_search(spark, sf_dir):
+    """Similarity range search (radius query): every neighbor with cosine >=
+    0.25 of each query — the retrieval-filter form of cosine_topk (no rank,
+    threshold instead). Same broadcast-the-queries plan: the corpus never
+    shuffles; output size is data-dependent, so at scale the threshold (not
+    k) bounds the result."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").cast("array<double>").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").cast("array<double>").alias("cv"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(similarity.cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.25)
+    )
+
+
+SIM_RANGE_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings)
+    SELECT query_id, neighbor_id,
+           ROUND(list_dot_product(qv, cv) /
+                 (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cos_sim
+    FROM c, q
+    WHERE neighbor_id != query_id
+      AND ROUND(list_dot_product(qv, cv) /
+                (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) >= 0.25
+"""
+
+
 def stream_dedup(spark, sf_dir):
     """Streaming exact dedup over a twice-replayed backlog —
     dropDuplicatesWithinWatermark bounds state by event time. Result equals
@@ -2571,6 +2716,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_purchase_attribution": stream_purchase_attribution,
     "stream_enrich_join": stream_enrich_join,
     # round-2 additions
+    "curate_pack_sequences": curate_pack_sequences,
+    "curate_mixture_weights": curate_mixture_weights,
+    "text_bigram_top": text_bigram_top,
+    "sim_range_search": sim_range_search,
     "q_recursive_hierarchy": q_recursive_hierarchy,
     "q_range_band_join": q_range_band_join,
     "q_scd2_history": q_scd2_history,
@@ -2662,6 +2811,10 @@ ORACLES: dict[str, Optional[str]] = {
     "stream_sessionize_flushed": STREAM_SESSION_FLUSHED_SQL,
     "stream_purchase_attribution": STREAM_ATTRIBUTION_SQL,
     "stream_enrich_join": STREAM_ENRICH_SQL,
+    "curate_pack_sequences": CURATE_PACK_SQL,
+    "curate_mixture_weights": CURATE_MIX_SQL,
+    "text_bigram_top": TEXT_BIGRAM_SQL,
+    "sim_range_search": SIM_RANGE_SQL,
     "q_recursive_hierarchy": Q_RECURSIVE_SQL,
     "q_range_band_join": Q_RANGE_BAND_SQL,
     "q_scd2_history": Q_SCD2_SQL,
