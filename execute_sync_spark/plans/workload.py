@@ -2466,6 +2466,64 @@ SIM_LSH_SQL = f"""
 """
 
 
+def d2_change_feed(spark, sf_dir):
+    """Change data feed between two snapshots of the versioned-document log:
+    what changed from the as-of cutoff to now (the Delta CDF / CDC analog,
+    computed from the append-only log itself). Per-document key: 'insert' if
+    the key is new since the cutoff, 'update' if its current version/batch
+    moved. Both snapshots are partial aggregates over the same scan lineage;
+    the diff is one (type,id)-keyed full-outer join — at 100 TB both sides
+    prune to their batch_date ranges before shuffling."""
+    key = ["type", "id"]
+
+    def _state(df):
+        return df.groupBy(*key).agg(
+            F.max("version").alias("version"),
+            F.max("batch_date").alias("batch_date"),
+            F.max("event_id").alias("event_id"),
+        )
+
+    landing = _derived_landing(spark, sf_dir)
+    old = _state(dedup_ops.latest(landing.filter(F.col("batch_date") <= _ASOF_CUTOFF)))
+    new = _state(dedup_ops.latest(landing))
+    o, n = old.alias("o"), new.alias("n")
+    j = n.join(o, key, "left_outer")
+    return (
+        j.select(
+            *key,
+            F.when(F.col("o.event_id").isNull(), "insert").otherwise("update").alias("change"),
+            F.col("o.version").alias("old_version"),
+            F.col("n.version").alias("new_version"),
+            F.col("n.batch_date").alias("changed_at"),
+        )
+        .filter(
+            F.col("o.event_id").isNull()
+            | (F.col("o.version") != F.col("n.version"))
+            | (F.col("o.batch_date") != F.col("n.batch_date"))
+            | (F.col("o.event_id") != F.col("n.event_id"))
+        )
+    )
+
+
+D2_CHANGE_SQL = f"""
+    WITH old_state AS (
+        SELECT type, id, MAX(version) AS version, MAX(batch_date) AS batch_date,
+               MAX(event_id) AS event_id
+        FROM ({D2_ASOF_SQL}) GROUP BY type, id),
+    new_state AS (
+        SELECT type, id, MAX(version) AS version, MAX(batch_date) AS batch_date,
+               MAX(event_id) AS event_id
+        FROM ({D2_SQL}) GROUP BY type, id)
+    SELECT n.type, n.id,
+           CASE WHEN o.event_id IS NULL THEN 'insert' ELSE 'update' END AS change,
+           o.version AS old_version, n.version AS new_version,
+           n.batch_date AS changed_at
+    FROM new_state n LEFT JOIN old_state o USING (type, id)
+    WHERE o.event_id IS NULL OR o.version != n.version
+       OR o.batch_date != n.batch_date OR o.event_id != n.event_id
+"""
+
+
 def curate_pack_sequences(spark, sf_dir):
     """Sequence packing for training: assign documents to fixed token-budget
     packs (2048 BPE-ish tokens) by running-total binning within a shard.
@@ -2716,6 +2774,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_purchase_attribution": stream_purchase_attribution,
     "stream_enrich_join": stream_enrich_join,
     # round-2 additions
+    "d2_change_feed": d2_change_feed,
     "curate_pack_sequences": curate_pack_sequences,
     "curate_mixture_weights": curate_mixture_weights,
     "text_bigram_top": text_bigram_top,
@@ -2811,6 +2870,7 @@ ORACLES: dict[str, Optional[str]] = {
     "stream_sessionize_flushed": STREAM_SESSION_FLUSHED_SQL,
     "stream_purchase_attribution": STREAM_ATTRIBUTION_SQL,
     "stream_enrich_join": STREAM_ENRICH_SQL,
+    "d2_change_feed": D2_CHANGE_SQL,
     "curate_pack_sequences": CURATE_PACK_SQL,
     "curate_mixture_weights": CURATE_MIX_SQL,
     "text_bigram_top": TEXT_BIGRAM_SQL,

@@ -79,3 +79,28 @@ def test_all_unknown_types_yield_metadata_only_view(spark):
     landing = land_ndjson_lines(spark, [json.dumps(doc)], BATCH_DATES[0])
     views = create_views(latest(landing), root, register=False)
     assert set(views["W"].columns) == {"DOCUMENT_ID", "_DELETED", "_AUTHOR", "_VERSION", "_DATE"}
+
+
+def test_schema_evolution_added_and_dropped_fields(spark):
+    """Schema drift across syncs (the reference re-creates views from the
+    latest schema every sync): a field added to the schema AFTER old docs
+    landed reads as NULL for them; a field present in landed JSON but no
+    longer in the schema is simply not projected. The landing log itself
+    never rewrites — evolution is entirely at view-compile time."""
+    root_v2 = parse_root_schema({
+        "EV": {"OLD_F": _field("TEXT"), "NEW_F": _field("DECIMAL")}
+    })
+    old_doc = {"$TYPE": "EV", "DOCUMENT_ID": "e-1", "$VERSION": 1,
+               "$AUTHOR_ID": "u", "$DATE": "2026-01-01T00:00:00Z",
+               "$DELETED": False, "OLD_F": "v1", "GONE_F": "dropped"}
+    new_doc = {"$TYPE": "EV", "DOCUMENT_ID": "e-2", "$VERSION": 1,
+               "$AUTHOR_ID": "u", "$DATE": "2026-01-02T00:00:00Z",
+               "$DELETED": False, "OLD_F": "v2", "NEW_F": 7.5}
+    landing = land_ndjson_lines(
+        spark, [json.dumps(old_doc)], BATCH_DATES[0]
+    ).unionByName(land_ndjson_lines(spark, [json.dumps(new_doc)], BATCH_DATES[1]))
+    views = create_views(latest(landing), root_v2, register=False)
+    rows = {r.DOCUMENT_ID: r for r in views["EV"].collect()}
+    assert rows["e-1"].OLD_F == "v1" and rows["e-1"].NEW_F is None
+    assert rows["e-2"].NEW_F == 7.5
+    assert "GONE_F" not in views["EV"].columns
