@@ -271,7 +271,7 @@ def ivf_topk(
     )
 
 
-def _lsh_planes(n_planes: int = 6, dim: int = 64, seed: int = 7) -> list[list[float]]:
+def _lsh_planes(n_planes: int = 4, dim: int = 64, seed: int = 7) -> list[list[float]]:
     """Deterministic random-hyperplane family for sign-LSH, rounded to 6
     decimals so the same constants embed exactly in Spark literals and in the
     DuckDB oracle SQL (decimal text -> double is correctly rounded in both)."""
@@ -281,25 +281,39 @@ def _lsh_planes(n_planes: int = 6, dim: int = 64, seed: int = 7) -> list[list[fl
     return [[round(float(x), 6) for x in row] for row in rs.standard_normal((n_planes, dim))]
 
 
-LSH_PLANES = _lsh_planes()
+# OR-amplified LSH: L independent tables of b bits each. A pair is a
+# candidate if it collides in ANY table, so for sign-LSH the capture
+# probability of a pair at angle theta is 1 - (1 - (1-theta/pi)^b)^L —
+# b controls precision (bucket size ~ n/2^b), L recovers recall. 6x4 bits
+# gives ~55% recall on weakly-similar (near-random) vectors while each
+# probe still touches only ~1/16 of the corpus.
+LSH_TABLES: list[list[list[float]]] = [_lsh_planes(seed=11 + t) for t in range(6)]
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]] | None = None) -> Column:
-    """Sign-LSH bucket id: bit j = (vec . plane_j) > 0. Nearby vectors (small
-    angle) collide with high probability; the bucket becomes the blocking /
-    shuffle key, so ANN search is an equi-join instead of a cross product.
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id for one table: bit j = (vec . plane_j) > 0. Nearby
+    vectors (small angle) collide with high probability; the bucket becomes
+    the blocking / shuffle key, so ANN search is an equi-join instead of a
+    cross product.
 
     The dot products here are sequential F.aggregate folds — interpreted, but
     bit-identical to DuckDB's list_dot_product (same left-to-right order),
     which keeps the >0 sign decisions oracle-exact. The 100 TB path swaps
     this per-row expression for a Pandas-UDF matrix product (C @ P.T > 0)
     emitting the same buckets."""
-    planes = planes or LSH_PLANES
     bucket = F.lit(0)
     for j, p in enumerate(planes):
         lit_arr = F.array(*[F.lit(x) for x in p])
         bucket = bucket + F.when(_dot(vec, lit_arr) > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bucket
+
+
+def _with_table_buckets(df: DataFrame, vec: str, tables: list[list[list[float]]]) -> DataFrame:
+    """Explode a vector table into one row per (row, hash-table) with that
+    table's bucket id — turns multi-table LSH probing into ONE equi-join on
+    (table, bucket) instead of L separate joins."""
+    buckets = F.array(*[lsh_bucket(F.col(vec), planes) for planes in tables])
+    return df.select("*", F.posexplode(buckets).alias("table", "bucket"))
 
 
 def lsh_topk(
@@ -308,34 +322,36 @@ def lsh_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: list[list[float]] | None = None,
+    tables: list[list[list[float]]] | None = None,
 ) -> DataFrame:
-    """Approximate top-k cosine via sign-LSH blocking: rank candidates only
-    within the query's bucket. Unlike ivf_topk (centroid cells) the blocking
-    key needs no training pass; unlike cosine_topk the corpus-side work is
-    |bucket| not |corpus| per query. The bucket join broadcasts the (small)
-    query set — the corpus never shuffles; on a corpus table clustered by
-    bucket the probe becomes a pruned scan.
-
-    Size the plane count to the corpus: ~log2(corpus / wanted_bucket_size)
-    bits. The default 6 bits (64 buckets) fits the 500-2000-vector test
-    corpora; a 1B-vector corpus wants ~20 bits plus multi-probe of the
-    query's Hamming-1 neighbor buckets to recover recall."""
-    planes = planes or LSH_PLANES
-    c = corpus.select(F.col(id_col), _as_double(vec_col).alias("cv")).withColumn(
-        "bucket", lsh_bucket(F.col("cv"), planes)
+    """Approximate top-k cosine via OR-amplified sign-LSH: a candidate is any
+    corpus vector sharing a bucket with the query in at least one of the L
+    hash tables; candidates are deduped, scored exactly, and ranked. Unlike
+    ivf_topk (centroid cells) the blocking key needs no training pass;
+    unlike cosine_topk the corpus-side work per query is the union of L
+    buckets, not the whole corpus. The (small) query side is broadcast —
+    the corpus never shuffles; on a corpus table clustered by (table,
+    bucket) the probe becomes a pruned scan. Tune b (bits/table) to corpus
+    size and L (tables) to the recall target."""
+    tables = tables or LSH_TABLES
+    c = _with_table_buckets(
+        corpus.select(F.col(id_col), _as_double(vec_col).alias("cv")), "cv", tables
     )
-    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")).withColumn(
-        "bucket", lsh_bucket(F.col("qv"), planes)
+    q = _with_table_buckets(
+        queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")),
+        "qv",
+        tables,
     )
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["table", "bucket"])
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
             F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
         )
+        # a pair can collide in several tables: dedup before ranking
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -345,11 +361,23 @@ def lsh_topk(
     )
 
 
-def lsh_bucket_sql(vec_expr: str, planes: list[list[float]] | None = None) -> str:
-    """The DuckDB expression computing the same sign-LSH bucket (oracle)."""
-    planes = planes or LSH_PLANES
+def lsh_bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    """The DuckDB expression computing one table's sign-LSH bucket (oracle)."""
     terms = []
     for j, p in enumerate(planes):
         arr = "[" + ", ".join(repr(x) for x in p) + "]"
         terms.append(f"(CASE WHEN list_dot_product({vec_expr}, {arr}) > 0 THEN {1 << j} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
+
+
+def lsh_table_buckets_sql(src: str, id_expr: str, vec_expr: str,
+                          tables: list[list[list[float]]] | None = None) -> str:
+    """UNION ALL of per-table bucket assignments — the oracle twin of
+    _with_table_buckets."""
+    tables = tables or LSH_TABLES
+    parts = [
+        f"SELECT {id_expr} AS vid, {vec_expr} AS v, {t} AS tbl, "
+        f"{lsh_bucket_sql(vec_expr, planes)} AS bucket FROM {src}"
+        for t, planes in enumerate(tables)
+    ]
+    return " UNION ALL ".join(parts)

@@ -2439,24 +2439,28 @@ MM_FRAME_SQL = """
 
 
 def sim_lsh_topk(spark, sf_dir):
-    """ANN top-k via sign-LSH bucket blocking (training-free counterpart of
-    sim_ivf_topk). Candidates are ranked only within the query's bucket —
-    recall trades against bucket count; 12 planes keeps buckets small enough
-    that the per-query work is ~|corpus|/2^12-ish, not |corpus|."""
+    """ANN top-k via OR-amplified sign-LSH (6 tables x 4 bits) — the
+    training-free counterpart of sim_ivf_topk. A candidate shares a bucket
+    with the query in ANY table; candidates are deduped, scored exactly,
+    ranked. b bounds per-probe work (~|corpus|/2^b), L recovers recall."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
 SIM_LSH_SQL = f"""
-    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-                      {similarity.lsh_bucket_sql('embedding::DOUBLE[]')} AS bucket
-               FROM embeddings),
-    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM c WHERE vec_id < 10),
+    WITH cb AS ({similarity.lsh_table_buckets_sql('embeddings', 'vec_id', 'embedding::DOUBLE[]')}),
+    qb AS (SELECT vid AS query_id, v AS qv, tbl, bucket FROM cb WHERE vid < 10),
+    pairs AS (
+        SELECT DISTINCT query_id, cb.vid AS neighbor_id
+        FROM cb JOIN qb USING (tbl, bucket) WHERE cb.vid != qb.query_id),
     scored AS (
-        SELECT q.query_id, c.vec_id AS neighbor_id,
-               ROUND(list_dot_product(qv, v) /
-                     (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4) AS cos_sim
-        FROM c JOIN q USING (bucket) WHERE c.vec_id != q.query_id),
+        SELECT p.query_id, p.neighbor_id,
+               ROUND(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4) AS cos_sim
+        FROM pairs p
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN embeddings c ON c.vec_id = p.neighbor_id),
     ranked AS (
         SELECT query_id, neighbor_id, cos_sim,
                CAST(ROW_NUMBER() OVER (PARTITION BY query_id

@@ -1,0 +1,89 @@
+"""Behavioral invariants for the round-2 operators (beyond the oracle
+equality the driver gate already checks)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _emb(spark):
+    import os
+    return spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+
+def test_lsh_topk_recall_vs_exact(spark):
+    """OR-amplified ANN must (a) agree with the exact ranker on the cosine of
+    any pair both return, and (b) recover a solid fraction of true top-5
+    neighbors: 6 tables x 4 bits captures a weakly-similar pair with
+    p = 1-(1-(1-theta/pi)^4)^6 ~ 0.5-0.7 on this corpus."""
+    from execute_sync_spark.functions import similarity
+
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, q, k=5).collect()
+    approx = similarity.lsh_topk(emb, q, k=5).collect()
+    exact_pairs = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact}
+    approx_pairs = {(r.query_id, r.neighbor_id): r.cos_sim for r in approx}
+    # agreement: any ANN pair also scored by exact search has the same cosine
+    for pair, sim in approx_pairs.items():
+        if pair in exact_pairs:
+            assert exact_pairs[pair] == sim
+    hits = len(set(exact_pairs) & set(approx_pairs))
+    assert hits / len(exact_pairs) >= 0.4, f"recall {hits}/{len(exact_pairs)}"
+
+
+def test_pack_sequences_invariants(spark):
+    """Every doc is packed exactly once; within a shard, packs are dense
+    (0..max) and every pack except possibly the last stays under budget +
+    one document (contiguous binning can overshoot by at most the doc that
+    crosses the boundary)."""
+    from execute_sync_spark.plans import workload
+
+    out = workload.curate_pack_sequences(spark, SF_DIR).collect()
+    docs = {r.doc_id for r in out}
+    assert len(docs) == len(out)  # one row per doc
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.doc_id)
+        packs = sorted({r.pack_id for r in rows})
+        assert packs == list(range(len(packs))), f"shard {shard} packs not dense"
+        # replay the running total: pack boundary logic holds
+        cum = 0
+        for r in rows:
+            assert r.pack_id == cum // 2048
+            cum += r.n_tokens
+
+
+def test_stream_dedup_is_exact(spark):
+    """The twice-replayed stream dedups back to exactly the original events."""
+    from execute_sync_spark.plans import workload
+
+    out = workload.stream_dedup(spark, SF_DIR)
+    ev = workload._events(spark, SF_DIR)
+    assert out.count() == ev.count()
+    assert out.select("event_id").distinct().count() == ev.count()
+
+
+def test_change_feed_actions_partition_the_current_keys(spark):
+    """insert + update + unchanged = all current document keys; inserts are
+    exactly the keys absent from the as-of snapshot."""
+    from execute_sync_spark.operators import dedup as dedup_ops
+    from execute_sync_spark.plans import workload
+
+    feed = workload.d2_change_feed(spark, SF_DIR)
+    landing = workload._derived_landing(spark, SF_DIR)
+    cur_keys = dedup_ops.latest(landing).select("type", "id").distinct()
+    old_keys = (
+        dedup_ops.latest(landing.filter(F.col("batch_date") <= workload._ASOF_CUTOFF))
+        .select("type", "id")
+        .distinct()
+    )
+    inserts = feed.filter(F.col("change") == "insert").select("type", "id")
+    expected_inserts = cur_keys.exceptAll(old_keys)
+    assert inserts.exceptAll(expected_inserts).count() == 0
+    assert expected_inserts.exceptAll(inserts).count() == 0
+    # every feed row references a current key
+    assert feed.join(cur_keys, ["type", "id"], "left_anti").count() == 0
