@@ -67,9 +67,26 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
 
-    # JVM/codegen warmup on the smallest query so per-query times reflect the
-    # plan, not first-call class loading.
+    # Warmups so per-query times reflect the plan, not first-call costs:
+    # JVM/codegen class loading (q6), the Arrow python-worker pool (trivial
+    # mapInPandas — workers are reused across queries), and the streaming
+    # engine + state-store machinery (1-row memory-sink query).
     workload.q6_forecast_revenue(spark, sf_dir).collect()
+    spark.createDataFrame([(1,)], "x int").mapInPandas(lambda it: it, "x int").collect()
+    try:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="bench_warm_")
+        spark.createDataFrame([(1,)], "x int").write.mode("overwrite").parquet(d)
+        q = (
+            spark.readStream.schema("x int").parquet(d)
+            .groupBy("x").count()
+            .writeStream.format("memory").queryName("bench_warm")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    except Exception:
+        pass  # warmup only — never fail the bench for it
 
     times: dict[str, float] = {}
     for name, fn in workload.QUERIES.items():
