@@ -313,7 +313,12 @@ def _with_table_buckets(df: DataFrame, vec: str, tables: list[list[list[float]]]
     table's bucket id — turns multi-table LSH probing into ONE equi-join on
     (table, bucket) instead of L separate joins."""
     buckets = F.array(*[lsh_bucket(F.col(vec), planes) for planes in tables])
-    return df.select("*", F.posexplode(buckets).alias("table", "bucket"))
+    # posexplode_outer, NOT posexplode: the bare generator injects an
+    # implicit size(arr)>0 filter BELOW the Generate that re-evaluates the
+    # whole 24-dot-product bucket array in an interpreted Filter (the ~7x
+    # pitfall documented in functions/dedupe.py). The array here is a fixed
+    # 6-element literal structure, never null/empty, so outer is lossless.
+    return df.select("*", F.posexplode_outer(buckets).alias("table", "bucket"))
 
 
 def lsh_topk(
@@ -381,3 +386,80 @@ def lsh_table_buckets_sql(src: str, id_expr: str, vec_expr: str,
         for t, planes in enumerate(tables)
     ]
     return " UNION ALL ".join(parts)
+
+
+def lsh_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """lsh_topk, the vectorized scale path (same shape as
+    cosine_topk_vectorized): per Arrow batch, bucket bits come from ONE
+    C @ P.T matrix product over all L*b hyperplanes, candidates are the rows
+    colliding with a query in any table, and only candidates get scored —
+    then the same local-top-k prune + global rank. An expression-tree
+    formulation of the 24 dot products is pathological either way:
+    interpreted HOF folds cost ~90 us/dot, and inlining 64-term sums blows
+    codegen/planning up (measured slower). BLAS it is.
+
+    Bucket parity with the DuckDB oracle relies on float64 dot-product signs
+    agreeing between BLAS and list_dot_product's sequential sum — they can
+    differ only when |dot| ~ 1e-13 * ||v||*||p|| (probability ~1e-14/dot on
+    this data); cos_sim parity uses the round-4 convention every vectorized
+    twin here uses."""
+    import numpy as np
+    import pandas as pd
+
+    tables = tables or LSH_TABLES
+    L, b = len(tables), len(tables[0])
+    P = np.array([plane for table in tables for plane in table], dtype=np.float64)
+    weights = (1 << np.arange(b, dtype=np.int64))  # bit weights within a table
+
+    def buckets_of(M: "np.ndarray") -> "np.ndarray":
+        bits = (M @ P.T) > 0  # (n, L*b)
+        return (bits.reshape(len(M), L, b) * weights).sum(axis=2)  # (n, L)
+
+    spark = corpus.sparkSession
+    qpdf = queries.select(F.col(id_col).alias("qid"), vec_col).toPandas()
+    qids = qpdf["qid"].to_numpy()
+    Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    QB = buckets_of(Q)  # (nq, L)
+    bc = spark.sparkContext.broadcast((qids, Qn, QB))
+
+    out_schema = "query_id long, neighbor_id long, cos_sim double"
+
+    def topk_per_batch(batches):
+        bqids, bQn, bQB = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            CB = buckets_of(C)  # (m, L)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            for j, qid in enumerate(bqids):
+                cand = np.nonzero(((CB == bQB[j]).any(axis=1)) & (ids != qid))[0]
+                if len(cand) == 0:
+                    continue
+                sims = _np_round_half_up(Cn[cand] @ bQn[j], 4)
+                order = np.lexsort((ids[cand], -sims))
+                top = cand[order[:k]]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": ids[top],
+                        "cos_sim": sims[order[:k]],
+                    }
+                )
+
+    local = corpus.select(id_col, vec_col).mapInPandas(topk_per_batch, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

@@ -2442,9 +2442,16 @@ def sim_lsh_topk(spark, sf_dir):
     """ANN top-k via OR-amplified sign-LSH (6 tables x 4 bits) — the
     training-free counterpart of sim_ivf_topk. A candidate shares a bucket
     with the query in ANY table; candidates are deduped, scored exactly,
-    ranked. b bounds per-probe work (~|corpus|/2^b), L recovers recall."""
+    ranked. b bounds per-probe work (~|corpus|/2^b), L recovers recall.
+
+    Declared on the vectorized path (one C @ P.T BLAS product per Arrow
+    batch); similarity.lsh_topk is the pure-DataFrame twin with identical
+    results — tests assert their agreement. The corpus side repartitions
+    first: embeddings arrive as one row group (same file-layout-vs-compute
+    decoupling as _docs_wide)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    wide = emb.repartition(spark.sparkContext.defaultParallelism)
+    return similarity.lsh_topk_vectorized(wide, emb.filter(F.col("vec_id") < 10), k=5)
 
 
 SIM_LSH_SQL = f"""

@@ -87,3 +87,15 @@ def test_change_feed_actions_partition_the_current_keys(spark):
     assert expected_inserts.exceptAll(inserts).count() == 0
     # every feed row references a current key
     assert feed.join(cur_keys, ["type", "id"], "left_anti").count() == 0
+
+
+def test_lsh_topk_vectorized_matches_expression_twin(spark):
+    """The BLAS path and the pure-DataFrame path must emit identical rows
+    (same buckets, same rounded cosines, same ranks)."""
+    from execute_sync_spark.functions import similarity
+
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 10)
+    a = sorted(map(tuple, similarity.lsh_topk(emb, q, k=5).collect()))
+    b = sorted(map(tuple, similarity.lsh_topk_vectorized(emb, q, k=5).collect()))
+    assert a == b
