@@ -1,0 +1,78 @@
+"""Plan-shape assertions: the physical plans the 100 TB story depends on.
+These fail loudly if a Spark upgrade or refactor regresses pushdown,
+broadcast choice, or partial aggregation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_q6_filters_push_to_parquet_scan(spark):
+    from execute_sync_spark.plans import workload
+
+    plan = _formatted(workload.q6_forecast_revenue(spark, SF_DIR))
+    assert "PushedFilters:" in plan
+    # the selective predicates reach the scan, not a post-scan Filter only
+    pushed = [l for l in plan.splitlines() if "PushedFilters:" in l][0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+
+
+def test_q6_scan_prunes_columns(spark):
+    from execute_sync_spark.plans import workload
+
+    plan = _formatted(workload.q6_forecast_revenue(spark, SF_DIR))
+    read = [l for l in plan.splitlines() if "ReadSchema:" in l][0]
+    # only the 4 referenced columns are read, not all 16 lineitem columns
+    assert read.count(":") <= 6, read
+    assert "l_comment" not in read and "l_orderkey" not in read
+
+
+def test_q5_broadcasts_small_dims(spark):
+    from execute_sync_spark.plans import workload
+
+    plan = _plan(workload.q5_revenue_by_nation(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan  # nation/region/supplier side
+    # the fact table is never the build side of a shuffle join for dims
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q1_partial_aggregation_before_shuffle(spark):
+    from execute_sync_spark.plans import workload
+
+    plan = _plan(workload.q1_pricing_summary(spark, SF_DIR))
+    assert "partial_sum" in plan  # map-side combine: shuffle carries 6 rows/task
+
+
+def test_d2_type_filter_prunes_partitioned_landing(spark, tmp_path):
+    """A landing table partitioned by type serves a per-type view from one
+    partition subtree: the pushed partition filter appears in the scan."""
+    from execute_sync_spark.plans import workload
+    from execute_sync_spark.operators import dedup as dedup_ops
+
+    path = str(tmp_path / "landing")
+    workload._derived_landing(spark, SF_DIR).write.partitionBy("type").parquet(path)
+    d2 = dedup_ops.latest(
+        spark.read.parquet(path).filter(F.col("type") == "purchase")
+    )
+    plan = _formatted(d2)
+    scans = [l for l in plan.splitlines() if "PartitionFilters:" in l]
+    assert scans and any("type" in s for s in scans), plan[:500]
+
+
+def test_lineitem_window_single_exchange(spark):
+    """q_scd2_history: one hash exchange on user_id, then sort+window —
+    no second shuffle."""
+    from execute_sync_spark.plans import workload
+
+    plan = _plan(workload.q_scd2_history(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
