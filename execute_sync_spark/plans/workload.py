@@ -2603,6 +2603,96 @@ CURATE_MIX_SQL = """
 """
 
 
+def curate_weighted_sample(spark, sf_dir):
+    """Apply the mixture weights: deterministic per-source downsampling
+    toward a uniform source mixture at a 0.5 base rate. The keep decision is
+    an integer hash-bucket threshold (bucket < round(p*1000)) — a pure
+    function of doc_id, so the sample is reproducible across engines, runs,
+    and repartitioning (df.sample is none of those). Per-source keep
+    thresholds are a broadcast-size table; the corpus pass is a narrow
+    projection + filter, shuffle-free until the final per-source count."""
+    docs = _docs(spark, sf_dir)
+    stats = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    w = Window.partitionBy()
+    weight = F.sum("n_docs").over(w).cast("double") / (F.count(F.lit(1)).over(w) * F.col("n_docs"))
+    p = F.least(F.lit(1.0), weight) * F.lit(0.5)
+    keep = stats.select(
+        "source", "n_docs", F.round(p * 1000).cast("long").alias("thresh")
+    )
+    bucket = curation.hash_bucket("doc_id", salt=7)
+    return (
+        docs.select("source", bucket.alias("b"))
+        .join(F.broadcast(keep), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_before"),
+            F.sum(F.when(F.col("b") < F.col("thresh"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+CURATE_WEIGHTED_SQL = f"""
+    WITH stats AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                   FROM documents GROUP BY source),
+    keep AS (SELECT source, n_docs,
+                    CAST(ROUND(LEAST(CAST(1 AS DOUBLE),
+                                     CAST(SUM(n_docs) OVER () AS DOUBLE)
+                                     / (COUNT(*) OVER () * n_docs))
+                               * CAST(0.5 AS DOUBLE) * 1000) AS BIGINT) AS thresh
+             FROM stats)
+    SELECT d.source, MAX(k.n_docs) AS n_before,
+           CAST(SUM(CASE WHEN {curation.hash_bucket_sql('d.doc_id', salt=7)} < k.thresh
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d JOIN keep k USING (source)
+    GROUP BY d.source
+"""
+
+
+def q_event_funnel(spark, sf_dir):
+    """Ordered funnel analysis: users progressing signup -> view -> click ->
+    purchase, each stage's event at-or-after the previous stage's first
+    event time. Each stage is a conditional-min aggregate joined to the
+    previous stage's state — the per-stage state shrinks monotonically, so
+    every join after the first is broadcast-size; the events table is
+    scanned once per stage with the event_type filter pushed down."""
+    ev = _t(spark, sf_dir, "events")
+
+    def first_at_or_after(etype, prev, tcol):
+        base = ev.filter(F.col("event_type") == etype).select("user_id", "ts")
+        if prev is not None:
+            base = base.join(prev, "user_id").filter(F.col("ts") >= F.col(tcol))
+        return base.groupBy("user_id").agg(F.min("ts").alias(f"t_{etype}"))
+
+    s = first_at_or_after("signup", None, None)
+    v = first_at_or_after("view", s, "t_signup")
+    c = first_at_or_after("click", v, "t_view")
+    p = first_at_or_after("purchase", c, "t_click")
+    stages = [("1_signup", s), ("2_view", v), ("3_click", c), ("4_purchase", p)]
+    out = None
+    for name, df in stages:
+        cnt = df.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+        out = cnt if out is None else out.unionByName(cnt)
+    return out
+
+
+Q_FUNNEL_SQL = """
+    WITH s AS (SELECT user_id, MIN(ts) AS t_signup FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    v AS (SELECT e.user_id, MIN(e.ts) AS t_view FROM events e JOIN s USING (user_id)
+          WHERE e.event_type = 'view' AND e.ts >= s.t_signup GROUP BY e.user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY e.user_id)
+    SELECT '1_signup' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM s
+    UNION ALL SELECT '2_view', CAST(COUNT(*) AS BIGINT) FROM v
+    UNION ALL SELECT '3_click', CAST(COUNT(*) AS BIGINT) FROM c
+    UNION ALL SELECT '4_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+"""
+
+
 def text_bigram_top(spark, sf_dir):
     """Corpus-level n-gram statistics: top-20 token bigrams. Bigrams are
     built JVM-side with zip_with over two shifted slices (no index lambda,
@@ -2790,6 +2880,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_mixture_weights": curate_mixture_weights,
     "text_bigram_top": text_bigram_top,
     "sim_range_search": sim_range_search,
+    "curate_weighted_sample": curate_weighted_sample,
+    "q_event_funnel": q_event_funnel,
     "q_recursive_hierarchy": q_recursive_hierarchy,
     "q_range_band_join": q_range_band_join,
     "q_scd2_history": q_scd2_history,
@@ -2886,6 +2978,8 @@ ORACLES: dict[str, Optional[str]] = {
     "curate_mixture_weights": CURATE_MIX_SQL,
     "text_bigram_top": TEXT_BIGRAM_SQL,
     "sim_range_search": SIM_RANGE_SQL,
+    "curate_weighted_sample": CURATE_WEIGHTED_SQL,
+    "q_event_funnel": Q_FUNNEL_SQL,
     "q_recursive_hierarchy": Q_RECURSIVE_SQL,
     "q_range_band_join": Q_RANGE_BAND_SQL,
     "q_scd2_history": Q_SCD2_SQL,
