@@ -14,7 +14,6 @@ inside the watermark horizon only.
 
 from __future__ import annotations
 
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -59,21 +58,9 @@ def stream_purchase_attribution(
         "inner",
     ).select("p_event_id", "p_user_id", "p_ts", "p_value", "v_event_id", "v_ts")
 
-    name = f"attribution_{uuid.uuid4().hex[:8]}"
     # a stream-stream join keeps FOUR state stores per shuffle partition
-    # (keyToNumValues + keyWithIndexToValue per side); size the shuffle to the
-    # key cardinality, not the relational default, to cut store init cost
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name)
+    # (keyToNumValues + keyWithIndexToValue per side); run_to_memory sizes
+    # the shuffle to the key cardinality and is safe under concurrent starts
+    from execute_sync_spark.streaming.util import run_to_memory
+
+    return run_to_memory(spark, joined, "append", "attribution")

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import os
 import tempfile
-import uuid
 from typing import Iterator, Tuple
 
 import pandas as pd
@@ -167,21 +166,6 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_memory_table(spark: SparkSession, sessions: DataFrame) -> DataFrame:
-    name = f"sessions_{uuid.uuid4().hex[:8]}"
-    # the stateful shuffle creates one state store per shuffle partition;
-    # sizing it to the key cardinality (not the relational default) cuts
-    # several seconds of store init for low-cardinality keys
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            sessions.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name)
+    from execute_sync_spark.streaming.util import run_to_memory
+
+    return run_to_memory(spark, sessions, "append", "sessions")

@@ -1,0 +1,48 @@
+"""Shared helper for one-shot (availableNow) streaming queries landing in a
+memory sink, with state-store sizing that is safe under CONCURRENT query
+submission on a shared SparkSession."""
+
+from __future__ import annotations
+
+import threading
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Serializes only the conf-mutate -> start() window. Structured Streaming
+# pins spark.sql.shuffle.partitions (the state-store count) into the query's
+# batch-0 offset metadata at start, so the session value can be restored the
+# moment start() returns — later micro-batches keep the pinned value. Without
+# the lock, two queries starting together could leak "8" as the session-wide
+# relational default (observed in the bench's concurrent throughput pass).
+_START_LOCK = threading.Lock()
+
+
+def run_to_memory(
+    spark: SparkSession,
+    df: DataFrame,
+    output_mode: str,
+    name_prefix: str,
+    shuffle_partitions: int = 8,
+) -> DataFrame:
+    """Run df as an availableNow streaming query into a memory sink and
+    return the sink table. One state store exists per shuffle partition
+    (stream-stream joins keep four) — sizing the shuffle to key cardinality,
+    not the relational default, cuts store-init cost several-fold for
+    low-cardinality keys."""
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    with _START_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        try:
+            q = (
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    return spark.table(name)

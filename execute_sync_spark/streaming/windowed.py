@@ -102,19 +102,6 @@ def stream_dedup_events(
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["event_id"])
     )
-    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    # one state-store per shuffle partition: size to the dedup key volume
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            deduped.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name)
+    from execute_sync_spark.streaming.util import run_to_memory
+
+    return run_to_memory(spark, deduped, "append", "stream_dedup")
