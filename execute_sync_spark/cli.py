@@ -1,5 +1,5 @@
 """CLI mirroring the reference's command surface (SURVEY §2.C):
-sync / push / clone / create_views / prune / config / version.
+sync / push / clone / create_views / prune / compact / config / version.
 
     python -m execute_sync_spark.cli push --execute-url file:///path/to/feed
 
@@ -60,7 +60,7 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="execute-sync-spark")
     p.add_argument(
         "command",
-        choices=["sync", "push", "clone", "create_views", "prune", "config", "version", "gen", "upgrade"],
+        choices=["sync", "push", "clone", "create_views", "prune", "compact", "config", "version", "gen", "upgrade"],
     )
     p.add_argument("-u", "--execute-url", dest="execute_url")
     p.add_argument("--execute-key-id", dest="execute_key_id")
@@ -107,6 +107,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "prune":
         removed = sink.prune()
         print(f"pruned {removed} superseded rows")
+        return 0
+    if args.command == "compact":
+        # extension beyond the reference CLI: small-file bin-packing
+        # (Delta OPTIMIZE analog) for the parquet landing sink
+        if not hasattr(sink, "compact_files"):
+            print("compact: only supported for the parquet landing sink")
+            return 1
+        removed = sink.compact_files()
+        total = sum(removed.values())
+        print(f"compacted {total} files across {len(removed)} partitions")
         return 0
     if args.command == "create_views":
         views = sink.create_views(_load_schema(cfg, source))

@@ -202,3 +202,58 @@ class ParquetSink:
             if saved is not None:
                 shutil.copytree(saved, txn_dir, dirs_exist_ok=True)
                 shutil.rmtree(saved)
+
+    def compact_files(self, target_mb: int = 128) -> dict[str, int]:
+        """Small-file compaction (the Delta OPTIMIZE analog): incremental
+        appends leave one-file-per-batch per partition, and at 100 TB a
+        landing table fed every 10 minutes accretes thousands of tiny files
+        per partition — scan parallelism degrades to file count and the
+        namenode/listing cost dominates. Bin-pack each type partition into
+        ceil(bytes / target_mb) files, re-clustered by (id, version) so
+        dedup shuffles keep reading locally-sorted input.
+
+        Partitions already at or below the target file count are untouched
+        (no write amplification). Returns {type: files_removed}.
+        """
+        import glob
+        import math
+        import shutil
+        import uuid
+
+        results: dict[str, int] = {}
+        part_dirs = (
+            sorted(glob.glob(os.path.join(self.path, "type=*")))
+            if self.partition_by_type
+            else [self.path]
+        )
+        for part_dir in part_dirs:
+            files = [
+                f
+                for f in os.listdir(part_dir)
+                if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(part_dir, f))
+            ]
+            total = sum(os.path.getsize(os.path.join(part_dir, f)) for f in files)
+            n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+            if n_out >= len(files):
+                continue
+            df = self.spark.read.format(self.file_format).load(part_dir)
+            tmp = f"{part_dir.rstrip('/')}_compact_{uuid.uuid4().hex[:8]}"
+            (
+                df.coalesce(n_out)
+                .sortWithinPartitions("id", "version")
+                .write.mode("overwrite")
+                .format(self.file_format)
+                .save(tmp)
+            )
+            for f in files:
+                os.remove(os.path.join(part_dir, f))
+            moved = 0
+            for f in os.listdir(tmp):
+                if f.startswith(("_", ".")):
+                    continue
+                os.rename(os.path.join(tmp, f), os.path.join(part_dir, f))
+                moved += 1
+            shutil.rmtree(tmp, ignore_errors=True)
+            key = os.path.basename(part_dir).removeprefix("type=")
+            results[key] = len(files) - moved
+        return results

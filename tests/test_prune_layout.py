@@ -74,3 +74,41 @@ def test_incremental_refresh_matches_full(spark, tmp_path):
     # the new vendor version is visible
     v = [r for r in sink.read_latest().collect() if r.id == "vnd-01"]
     assert len(v) == 1 and v[0].version == 2
+
+
+def test_compact_files_binpacks_partitions(spark, tmp_path):
+    """Five small appends leave >= 5 files per type partition; compaction
+    bin-packs each partition to the target size (1 file here) with content
+    unchanged and the partitioned layout intact."""
+    import os
+
+    from execute_sync_spark.landing import land_ndjson_lines
+    from execute_sync_spark.sinks.parquet_sink import ParquetSink
+    from tests.fixtures import feed
+
+    sink = ParquetSink(spark, str(tmp_path / "landing"))
+    for i, (lines, bd) in enumerate(zip(feed.batch_lines(), feed.BATCH_DATES)):
+        sink.append(land_ndjson_lines(spark, lines, bd), txn_id=f"b{i}")
+    # duplicate appends to inflate file counts
+    for i, (lines, bd) in enumerate(zip(feed.batch_lines(), feed.BATCH_DATES)):
+        sink.append(land_ndjson_lines(spark, lines, bd), txn_id=f"c{i}")
+
+    def files_per_part():
+        out = {}
+        for d in os.listdir(sink.path):
+            if d.startswith("type="):
+                out[d] = len([f for f in os.listdir(os.path.join(sink.path, d))
+                              if not f.startswith(("_", "."))])
+        return out
+
+    before_rows = sorted(map(tuple, sink.read().collect()))
+    before_files = files_per_part()
+    assert any(n >= 2 for n in before_files.values()), before_files
+
+    removed = sink.compact_files(target_mb=128)
+    after_files = files_per_part()
+    assert all(n == 1 for n in after_files.values()), after_files
+    assert sum(removed.values()) == sum(before_files.values()) - len(after_files)
+    assert sorted(map(tuple, sink.read().collect())) == before_rows
+    # idempotent: nothing left to compact
+    assert sink.compact_files(target_mb=128) == {}
