@@ -395,6 +395,7 @@ def lsh_topk_vectorized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     tables: list[list[list[float]]] | None = None,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """lsh_topk, the vectorized scale path (same shape as
     cosine_topk_vectorized): per Arrow batch, bucket bits come from ONE
@@ -442,7 +443,16 @@ def lsh_topk_vectorized(
             CB = buckets_of(C)  # (m, L)
             Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
             for j, qid in enumerate(bqids):
-                cand = np.nonzero(((CB == bQB[j]).any(axis=1)) & (ids != qid))[0]
+                if multiprobe:
+                    # Hamming-1 probing: a candidate's bucket may differ from
+                    # the query's in at most one bit (x ^ q == 0 or a power
+                    # of two) — recall of ~b extra probes without extra
+                    # tables or corpus-side cost
+                    x = CB ^ bQB[j]
+                    hit = ((x == 0) | ((x & (x - 1)) == 0)).any(axis=1)
+                else:
+                    hit = (CB == bQB[j]).any(axis=1)
+                cand = np.nonzero(hit & (ids != qid))[0]
                 if len(cand) == 0:
                     continue
                 sims = _np_round_half_up(Cn[cand] @ bQn[j], 4)

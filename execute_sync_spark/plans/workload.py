@@ -2770,6 +2770,47 @@ SIM_RANGE_SQL = """
 """
 
 
+def sim_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH ANN: in each table, probe the query's bucket AND its
+    b Hamming-1 neighbor buckets — near-misses that flipped one hyperplane
+    sign become candidates, buying ~(b+1)x the recall surface of
+    sim_lsh_topk with no extra tables and no corpus-side cost (the probe
+    expansion is query-side only, so a clustered corpus still serves it as
+    a pruned scan)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    wide = emb.repartition(spark.sparkContext.defaultParallelism)
+    return similarity.lsh_topk_vectorized(
+        wide, emb.filter(F.col("vec_id") < 10), k=5, multiprobe=True
+    )
+
+
+_N_LSH_BITS = len(similarity.LSH_TABLES[0])
+_PROBE_LIST = ", ".join(["bucket"] + [f"xor(bucket, {1 << i})" for i in range(_N_LSH_BITS)])
+
+SIM_LSH_MP_SQL = f"""
+    WITH cb AS ({similarity.lsh_table_buckets_sql('embeddings', 'vec_id', 'embedding::DOUBLE[]')}),
+    qb AS (SELECT vid AS query_id, tbl, unnest([{_PROBE_LIST}]) AS bucket
+           FROM cb WHERE vid < 10),
+    pairs AS (
+        SELECT DISTINCT query_id, cb.vid AS neighbor_id
+        FROM cb JOIN qb USING (tbl, bucket) WHERE cb.vid != qb.query_id),
+    scored AS (
+        SELECT p.query_id, p.neighbor_id,
+               ROUND(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4) AS cos_sim
+        FROM pairs p
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN embeddings c ON c.vec_id = p.neighbor_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 5
+"""
+
+
 def stream_dedup(spark, sf_dir):
     """Streaming exact dedup over a twice-replayed backlog —
     dropDuplicatesWithinWatermark bounds state by event time. Result equals
@@ -2889,6 +2930,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_quality_rules": curate_quality_rules,
     "mm_frame_sample": mm_frame_sample,
     "sim_lsh_topk": sim_lsh_topk,
+    "sim_lsh_multiprobe": sim_lsh_multiprobe,
     "stream_dedup": stream_dedup,
 }
 
@@ -2987,6 +3029,7 @@ ORACLES: dict[str, Optional[str]] = {
     "curate_quality_rules": CURATE_QUALITY_SQL,
     "mm_frame_sample": MM_FRAME_SQL,
     "sim_lsh_topk": SIM_LSH_SQL,
+    "sim_lsh_multiprobe": SIM_LSH_MP_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
 }
 
