@@ -29,6 +29,15 @@ ANNOTATED = {
     "aggregation: the shuffle carries k longs per doc per map task",
     "sim_cosine_topk": "broadcast nested-loop of JVM-side dot products; "
     "corpus side stays where it is",
+    "q_range_band_join": "broadcast interval table + range predicate "
+    "stream-side (BroadcastNestedLoopJoin); the fact table never shuffles "
+    "for the join, only for the 5-group aggregate",
+    "q_scd2_history": "one hash exchange on user_id, then sort + window — "
+    "no second shuffle",
+    "q_recursive_hierarchy": "recursive CTE: iterate-until-empty frontier, "
+    "each step a shuffle-free projection + filter (UNION ALL recursion)",
+    "d2_change_feed": "two as-of snapshot states diffed by a keyed join; "
+    "both sides prune to their batch_date ranges before shuffling",
 }
 
 
