@@ -76,3 +76,40 @@ def test_lineitem_window_single_exchange(spark):
 
     plan = _plan(workload.q_scd2_history(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_runtime_bloom_filter_injects_for_selective_join(spark):
+    """Runtime bloom-filter injection (SPARK-32268): a selective filter on
+    the orders side materializes a bloom filter that pre-filters lineitem
+    BEFORE its shuffle — at 100 TB this is the difference between shuffling
+    the whole fact table and shuffling the ~1/5 that can match. Spark gates
+    the rewrite on the application side scanning >= 10 GB by default (at
+    real scale you keep that default); the test pins thresholds to the test
+    data size to assert the rewrite itself works."""
+    import contextlib
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt[:800]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                with contextlib.suppress(Exception):
+                    spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
