@@ -2770,6 +2770,47 @@ SIM_RANGE_SQL = """
 """
 
 
+def mm_resize_plan(spark, sf_dir):
+    """Multimodal resize planning: given (fabricated) source dimensions,
+    compute the target geometry for a max-side-256 aspect-preserving resize
+    — the metadata half of an image-resize stage. The pixel transform
+    itself would be a mapInPandas decode-resize-encode over the binary
+    column (stubbed here, like mm_features' decode); the planning columns
+    are what the shuffle/partitioning layer and the oracle can check. All
+    JVM-side arithmetic, shuffle-free."""
+    docs = _t(spark, sf_dir, "documents")
+    w = (F.lit(640) + F.col("doc_id") % 640).cast("long")
+    h = (F.lit(360) + (F.col("doc_id") * 7) % 360).cast("long")
+    scale = F.lit(256.0) / F.greatest(w, h)
+    needs = F.greatest(w, h) > 256
+    out_w = F.when(needs, F.round(w * scale).cast("long")).otherwise(w)
+    out_h = F.when(needs, F.round(h * scale).cast("long")).otherwise(h)
+    return docs.select(
+        "doc_id",
+        w.alias("src_w"),
+        h.alias("src_h"),
+        out_w.alias("out_w"),
+        out_h.alias("out_h"),
+        needs.alias("resized"),
+    )
+
+
+MM_RESIZE_SQL = """
+    SELECT doc_id, src_w, src_h,
+           CASE WHEN GREATEST(src_w, src_h) > 256
+                THEN CAST(ROUND(src_w * (CAST(256 AS DOUBLE) / GREATEST(src_w, src_h))) AS BIGINT)
+                ELSE src_w END AS out_w,
+           CASE WHEN GREATEST(src_w, src_h) > 256
+                THEN CAST(ROUND(src_h * (CAST(256 AS DOUBLE) / GREATEST(src_w, src_h))) AS BIGINT)
+                ELSE src_h END AS out_h,
+           GREATEST(src_w, src_h) > 256 AS resized
+    FROM (SELECT doc_id,
+                 CAST(640 + doc_id % 640 AS BIGINT) AS src_w,
+                 CAST(360 + (doc_id * 7) % 360 AS BIGINT) AS src_h
+          FROM documents)
+"""
+
+
 def sim_lsh_multiprobe(spark, sf_dir):
     """Multi-probe LSH ANN: in each table, probe the query's bucket AND its
     b Hamming-1 neighbor buckets — near-misses that flipped one hyperplane
@@ -2931,6 +2972,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_frame_sample": mm_frame_sample,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_lsh_multiprobe": sim_lsh_multiprobe,
+    "mm_resize_plan": mm_resize_plan,
     "stream_dedup": stream_dedup,
 }
 
@@ -3030,6 +3072,7 @@ ORACLES: dict[str, Optional[str]] = {
     "mm_frame_sample": MM_FRAME_SQL,
     "sim_lsh_topk": SIM_LSH_SQL,
     "sim_lsh_multiprobe": SIM_LSH_MP_SQL,
+    "mm_resize_plan": MM_RESIZE_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
 }
 
