@@ -2852,6 +2852,27 @@ SIM_LSH_MP_SQL = f"""
 """
 
 
+def stream_sliding_counts_q(spark, sf_dir):
+    """Sliding-window streaming counts (2h window, 1h slide): every event
+    lands in exactly 2 overlapping panes; the oracle unnests the two pane
+    starts per event. State is bounded by the watermark at
+    O(keys * duration/slide) panes."""
+    from execute_sync_spark.streaming import stream_sliding_counts
+
+    return stream_sliding_counts(spark, sf_dir)
+
+
+STREAM_SLIDE_SQL = """
+    SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM (SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                         date_trunc('hour', ts)]) AS window_start,
+                 event_type, value
+          FROM events)
+    GROUP BY 1, 2
+"""
+
+
 def stream_dedup(spark, sf_dir):
     """Streaming exact dedup over a twice-replayed backlog —
     dropDuplicatesWithinWatermark bounds state by event time. Result equals
@@ -2974,6 +2995,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_lsh_multiprobe": sim_lsh_multiprobe,
     "mm_resize_plan": mm_resize_plan,
     "stream_dedup": stream_dedup,
+    "stream_sliding_counts": stream_sliding_counts_q,
 }
 
 ORACLES: dict[str, Optional[str]] = {
@@ -3074,6 +3096,7 @@ ORACLES: dict[str, Optional[str]] = {
     "sim_lsh_multiprobe": SIM_LSH_MP_SQL,
     "mm_resize_plan": MM_RESIZE_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
+    "stream_sliding_counts": STREAM_SLIDE_SQL,
 }
 
 

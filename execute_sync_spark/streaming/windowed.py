@@ -69,6 +69,46 @@ def stream_window_counts(
     )
 
 
+def stream_sliding_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    duration: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding-window counts: each event contributes to duration/slide
+    overlapping windows (2 here). Same streaming machinery as the tumbling
+    form; state per (window, key) — the watermark bounds how many window
+    panes stay open, so state is O(keys * duration/slide), independent of
+    stream length."""
+    path = os.path.join(sf_dir, "events.parquet")
+    # pin for foreign sessions; read at execution time so not restorable
+    # here — session.get_spark sets it at construction (no-op there)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    import tempfile
+
+    stream_dir = tempfile.mkdtemp(prefix="stream_slide_")
+    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    if "ts" in stream.columns and dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    windowed = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration, slide).alias("win"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    from execute_sync_spark.streaming.util import run_to_memory
+
+    out = run_to_memory(spark, windowed, "complete", "stream_slide")
+    return out.select(
+        F.col("win.start").alias("window_start"), "event_type", "n_events", "total_value"
+    )
+
+
 def stream_dedup_events(
     spark: SparkSession,
     sf_dir: str,

@@ -51,3 +51,28 @@ def test_small_lists_not_chunked(landed):
     assert afe1.select("chunk").distinct().collect()[0].chunk == 0
     doc = json.loads(afe1.first().data)
     assert len(doc["PARTNERS"]) == 2  # 2 <= CHUNK_SIZE, untouched
+
+
+def test_csv_stage_roundtrip(spark, tmp_path):
+    """The reference's bulk-load wire format (quoted CSV, snowflake.go
+    temp-CSV -> PUT -> COPY): a landing batch staged as CSV and read back
+    with the landing schema is bit-identical — including JSON payloads full
+    of quotes, commas, and unicode."""
+    from execute_sync_spark.landing import land_ndjson_lines
+    from execute_sync_spark.landing.stage import read_csv_stage, write_csv_stage
+    from tests.fixtures import feed
+
+    batches = [
+        land_ndjson_lines(spark, lines, bd, chunk_size=10)
+        for lines, bd in zip(feed.batch_lines(), feed.BATCH_DATES)
+    ]
+    landing = batches[0]
+    for b in batches[1:]:
+        landing = landing.unionByName(b)
+
+    path = str(tmp_path / "stage_csv")
+    write_csv_stage(landing, path)
+    back = read_csv_stage(spark, path)
+    orig = sorted(map(tuple, landing.collect()))
+    rt = sorted(map(tuple, back.collect()))
+    assert rt == orig
