@@ -2852,6 +2852,37 @@ SIM_LSH_MP_SQL = f"""
 """
 
 
+def q_skew_salted_agg(spark, sf_dir):
+    """Skew-aware aggregation through the correctness gate: lineitem grouped
+    by l_returnflag (3 keys for ~600k rows at sf0.1 — exactly the shape
+    that funnels a key into one reduce task). The two-stage salted plan
+    splits each key into 16 sub-keys for the partial aggregate, then
+    merges; results are identical to the plain GROUP BY (the oracle), and
+    the salt column never leaves stage 1."""
+    from execute_sync_spark.operators.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n_items": ("count", "*"),
+            "max_qty": ("max", "l_quantity"),
+            "min_ship": ("min", "l_shipdate"),
+        },
+    )
+    return out.select(
+        "l_returnflag", F.col("n_items").cast("long").alias("n_items"), "max_qty", "min_ship"
+    )
+
+
+Q_SKEW_SQL = """
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+           MAX(l_quantity) AS max_qty, MIN(l_shipdate) AS min_ship
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def stream_sliding_counts_q(spark, sf_dir):
     """Sliding-window streaming counts (2h window, 1h slide): every event
     lands in exactly 2 overlapping panes; the oracle unnests the two pane
@@ -2996,6 +3027,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_resize_plan": mm_resize_plan,
     "stream_dedup": stream_dedup,
     "stream_sliding_counts": stream_sliding_counts_q,
+    "q_skew_salted_agg": q_skew_salted_agg,
 }
 
 ORACLES: dict[str, Optional[str]] = {
@@ -3097,6 +3129,7 @@ ORACLES: dict[str, Optional[str]] = {
     "mm_resize_plan": MM_RESIZE_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
     "stream_sliding_counts": STREAM_SLIDE_SQL,
+    "q_skew_salted_agg": Q_SKEW_SQL,
 }
 
 
