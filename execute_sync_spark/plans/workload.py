@@ -2535,6 +2535,45 @@ D2_CHANGE_SQL = f"""
 """
 
 
+def d_version_churn(spark, sf_dir):
+    """Document-churn analytics over the versioned landing log: the 20 most
+    re-written documents (distinct versions, total landed copies, time from
+    first to last land). The ops question this answers — which documents
+    dominate write volume and dedup work — is the input to partition-layout
+    and compaction decisions at scale. One map-side-combined aggregate on
+    the dedup key, then a tiny top-k."""
+    landing = _derived_landing(spark, sf_dir)
+    agg = landing.groupBy("type", "id").agg(
+        F.countDistinct("version").alias("n_versions"),
+        F.count(F.lit(1)).cast("long").alias("n_lands"),
+        F.max("batch_date").alias("last_land"),
+        F.min("batch_date").alias("first_land"),
+    )
+    w = Window.orderBy(F.desc("n_lands"), F.desc("n_versions"), F.asc("type"), F.asc("id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("type", "id", "n_versions", "n_lands", "first_land", "last_land", "rank")
+    )
+
+
+D_CHURN_SQL = f"""
+    WITH agg AS (
+        SELECT type, id,
+               CAST(COUNT(DISTINCT version) AS BIGINT) AS n_versions,
+               CAST(COUNT(*) AS BIGINT) AS n_lands,
+               MIN(batch_date) AS first_land,
+               MAX(batch_date) AS last_land
+        FROM ({_LANDING_SQL}) GROUP BY type, id),
+    ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY n_lands DESC, n_versions DESC,
+                                          type, id) AS INT) AS rank
+        FROM agg)
+    SELECT type, id, n_versions, n_lands, first_land, last_land, rank
+    FROM ranked WHERE rank <= 20
+"""
+
+
 def curate_pack_sequences(spark, sf_dir):
     """Sequence packing for training: assign documents to fixed token-budget
     packs (2048 BPE-ish tokens) by running-total binning within a shard.
@@ -3010,6 +3049,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_enrich_join": stream_enrich_join,
     # round-2 additions
     "d2_change_feed": d2_change_feed,
+    "d_version_churn": d_version_churn,
     "curate_pack_sequences": curate_pack_sequences,
     "curate_mixture_weights": curate_mixture_weights,
     "text_bigram_top": text_bigram_top,
@@ -3112,6 +3152,7 @@ ORACLES: dict[str, Optional[str]] = {
     "stream_purchase_attribution": STREAM_ATTRIBUTION_SQL,
     "stream_enrich_join": STREAM_ENRICH_SQL,
     "d2_change_feed": D2_CHANGE_SQL,
+    "d_version_churn": D_CHURN_SQL,
     "curate_pack_sequences": CURATE_PACK_SQL,
     "curate_mixture_weights": CURATE_MIX_SQL,
     "text_bigram_top": TEXT_BIGRAM_SQL,
