@@ -625,6 +625,45 @@ DEDUP_JACCARD_SQL = f"""
     WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.05
 """
 
+def dedup_jaccard_pairs_scaled(spark, sf_dir):
+    """Exact n-gram Jaccard with the document-frequency valve ON — the
+    declared 100 TB form. A shingle shared by d documents contributes d²
+    rows to the inverted-index self-join, so without a cutoff one
+    stop-phrase shared by a million docs is quadratic death; with
+    ``max_df`` every shingle is bounded to max_df² join rows and total work
+    grows with vocabulary size (≈ linearly in corpus size), not corpus².
+    max_df=20 keeps this corpus's result essentially identical to the exact
+    query (591 vs 590 pairs at sf0.1) while capping the blowup; similarity
+    is measured over the ≤max_df-shingle space (sizes shrink with the
+    vocabulary, so ratios can drift upward as the cutoff tightens — see
+    functions/dedupe.py). The unvalved exact form stays declared further
+    down for small-SF verification."""
+    return dedupe.ngram_jaccard_pairs(
+        _docs_wide(spark, sf_dir), threshold=0.05, max_df=_JACCARD_MAX_DF
+    )
+
+
+_JACCARD_MAX_DF = 20
+
+DEDUP_JACCARD_SCALED_SQL = f"""
+    WITH {_SHINGLE_CTE},
+    keep AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+             WHERE df <= {_JACCARD_MAX_DF}),
+    shv AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shv GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM shv a JOIN shv b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b, n_inter,
+           ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.05
+"""
+
 _SIMHASH_BITS = 16
 
 
@@ -1000,8 +1039,24 @@ SIM_IVF_SQL = f"""
 
 def dedup_embedding_pairs(spark, sf_dir):
     """Embedding-cosine near-dup candidates, blocked by label (at scale the
-    block key is an LSH bucket / IVF cell — same plan shape: equi-join on the
-    block key keeps the comparison quadratic only within blocks)."""
+    block key is an LSH bucket / IVF cell — same plan shape: one shuffle on
+    the block key keeps the comparison quadratic only within blocks).
+
+    Declared on the vectorized scale path: applyInPandas per block computes
+    the block's cosine matrix as ONE BLAS product. The pure-expression
+    formulation (dedup_embedding_pairs_expr below) folds each 64-dim cosine
+    through interpreted HOF lambdas at ~1 µs/element — measured ~5× slower
+    at sf0.1 (see functions/dedupe.py pitfall notes). Both forms share one
+    oracle and a frame-equality agreement test (tests/test_round3_ops.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.blocked_near_dup_pairs_vectorized(emb, threshold=0.3)
+
+
+def dedup_embedding_pairs_expr(spark, sf_dir):
+    """Agreement twin of dedup_embedding_pairs on the pure-expression path —
+    the readable spec of the semantics (exact per-pair HOF cosine), kept
+    declared for small-SF verification and as a cross-check on the BLAS
+    default."""
     emb = _t(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
     a, b = e.alias("a"), e.alias("b")
@@ -1254,9 +1309,7 @@ def dedup_clusters(spark, sf_dir):
     closure."""
     from execute_sync_spark.functions.graph import connected_components
 
-    # the vectorized pair finder produces the same (oracle-identical) edge
-    # set at ~half the cost of the expression path
-    pairs = dedup_embedding_pairs_vec(spark, sf_dir).select("id_a", "id_b")
+    pairs = dedup_embedding_pairs(spark, sf_dir).select("id_a", "id_b")
     return connected_components(pairs, "id_a", "id_b").select(
         F.col("id").alias("vec_id"), "cluster_id"
     )
@@ -1272,13 +1325,6 @@ DEDUP_CLUSTERS_SQL = f"""
         SELECT e.d, w.lab FROM walk w JOIN edges e ON e.s = w.id)
     SELECT id AS vec_id, MIN(lab) AS cluster_id FROM walk GROUP BY id
 """
-
-
-def dedup_embedding_pairs_vec(spark, sf_dir):
-    """Same semantics as dedup_embedding_pairs via the vectorized
-    (applyInPandas per block, BLAS matrix product) scale path."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return similarity.blocked_near_dup_pairs_vectorized(emb, threshold=0.3)
 
 
 def q_asof_join(spark, sf_dir):
@@ -2065,13 +2111,39 @@ Q_SESSION_SQL = """
 
 def q_approx_distinct(spark, sf_dir):
     """HyperLogLog++ approximate distinct counts — the 100 TB path for
-    cardinality estimation (no oracle: sketches are engine-specific; a unit
-    test asserts <5% relative error vs exact)."""
+    cardinality estimation. Sketch values are engine-specific, so the raw
+    estimate can never hash-match a DuckDB oracle; instead the query emits
+    the EXACT distinct counts (hash-comparable) plus in-query range checks
+    that the HLL estimate lands within ±5% of them (the oracle asserts the
+    checks are TRUE). The estimate is still computed by the sketch — the
+    exact columns exist to make the row verifiable, and a unit test keeps
+    the <5%-relative-error property pinned independently."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_approx_orders"),
     )
+    return agg.select(
+        "l_returnflag",
+        "n_parts",
+        "n_orders",
+        ((F.abs(F.col("_approx_parts") - F.col("n_parts")) / F.col("n_parts")) <= 0.05)
+        .alias("approx_parts_ok"),
+        ((F.abs(F.col("_approx_orders") - F.col("n_orders")) / F.col("n_orders")) <= 0.05)
+        .alias("approx_orders_ok"),
+    )
+
+
+Q_APPROX_DISTINCT_SQL = """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           TRUE AS approx_parts_ok,
+           TRUE AS approx_orders_ok
+    FROM lineitem GROUP BY l_returnflag
+"""
 
 
 def mm_binary_meta(spark, sf_dir):
@@ -2541,18 +2613,29 @@ def d_version_churn(spark, sf_dir):
     first to last land). The ops question this answers — which documents
     dominate write volume and dedup work — is the input to partition-layout
     and compaction decisions at scale. One map-side-combined aggregate on
-    the dedup key, then a tiny top-k."""
+    the dedup key, then a tiny top-k.
+
+    The top-k is orderBy().limit(20) — TakeOrderedAndProject, a per-partition
+    heap + driver merge of 20×P rows — NOT row_number() over an unpartitioned
+    window, which would shuffle the full (type,id)-cardinality aggregate
+    (≈ every document) to ONE task. rank is then assigned over the 20
+    surviving rows (the partitionBy(lit) keeps the window spec non-global)."""
     landing = _derived_landing(spark, sf_dir)
-    agg = landing.groupBy("type", "id").agg(
-        F.countDistinct("version").alias("n_versions"),
-        F.count(F.lit(1)).cast("long").alias("n_lands"),
-        F.max("batch_date").alias("last_land"),
-        F.min("batch_date").alias("first_land"),
+    order = [F.desc("n_lands"), F.desc("n_versions"), F.asc("type"), F.asc("id")]
+    top = (
+        landing.groupBy("type", "id")
+        .agg(
+            F.countDistinct("version").alias("n_versions"),
+            F.count(F.lit(1)).cast("long").alias("n_lands"),
+            F.max("batch_date").alias("last_land"),
+            F.min("batch_date").alias("first_land"),
+        )
+        .orderBy(*order)
+        .limit(20)
     )
-    w = Window.orderBy(F.desc("n_lands"), F.desc("n_versions"), F.asc("type"), F.asc("id"))
+    w = Window.partitionBy(F.lit(0)).orderBy(*order)
     return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
+        top.withColumn("rank", F.row_number().over(w))
         .select("type", "id", "n_versions", "n_lands", "first_land", "last_land", "rank")
     )
 
@@ -2736,8 +2819,11 @@ def text_bigram_top(spark, sf_dir):
     """Corpus-level n-gram statistics: top-20 token bigrams. Bigrams are
     built JVM-side with zip_with over two shifted slices (no index lambda,
     no UDF), then explode_outer + filter (see functions/dedupe.py for why
-    not bare explode) into a map-side-combined count. The global top-20 is a
-    two-stage rank: the partial agg shuffles only distinct-bigram counts."""
+    not bare explode) into a map-side-combined count. The top-20 is
+    orderBy().limit(20) (TakeOrderedAndProject: per-partition heap + driver
+    merge), not an unpartitioned row_number window — the distinct-bigram
+    cardinality is ≈ vocabulary², far too big for a single-task sort; rank
+    is assigned over the 20 surviving rows."""
     docs = _docs_wide(spark, sf_dir)
     t = text.tokens("text")
     n = F.size(t)
@@ -2746,18 +2832,16 @@ def text_bigram_top(spark, sf_dir):
         F.slice(t, 2, n - 1),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    counted = (
+    top = (
         docs.select(F.explode_outer(bigrams).alias("bigram"))
         .filter(F.col("bigram").isNotNull())
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
     )
-    w = Window.orderBy(F.desc("n"), F.asc("bigram"))
-    return (
-        counted.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .select("bigram", "n", "rank")
-    )
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("n"), F.asc("bigram"))
+    return top.withColumn("rank", F.row_number().over(w)).select("bigram", "n", "rank")
 
 
 TEXT_BIGRAM_SQL = r"""
