@@ -3105,7 +3105,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_pairs": dedup_embedding_pairs,
-    "dedup_embedding_pairs_vec": dedup_embedding_pairs_vec,
+    "dedup_embedding_pairs_vec": dedup_embedding_pairs_expr,
     # text analysis
     "text_stats": text_stats_q,
     "text_lang_id": text_lang_id,
