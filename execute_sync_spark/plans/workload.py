@@ -3045,7 +3045,74 @@ STREAM_DEDUP_SQL = """
 # registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # relational core
+    # -----------------------------------------------------------------
+    # Slots 1-50: the LLM-data-pipeline extension surface. The driver's
+    # CORRECTNESS gate covers the first 50 entries of this dict, so the
+    # operators that previously shipped only on the in-repo oracle
+    # harness (rounds 1.5-3 additions) are declared first; the
+    # relational core — stable and fully pytest-oracled since round 1 —
+    # rotates to slots 51+ (see VERDICT round 2, task 1).
+    # dedup family
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_sig": dedup_minhash_sig,
+    "dedup_lsh_pairs": dedup_lsh_pairs,
+    "dedup_jaccard_pairs": dedup_jaccard_pairs,
+    "dedup_jaccard_pairs_scaled": dedup_jaccard_pairs_scaled,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_pairs": dedup_embedding_pairs,
+    "dedup_clusters": dedup_clusters,
+    # text analysis
+    "text_stats": text_stats_q,
+    "text_lang_id": text_lang_id,
+    "text_token_count": text_token_count,
+    "text_fingerprint": text_fingerprint,
+    "text_tfidf_top_term": text_tfidf_top_term,
+    "text_redact_pii": text_redact_pii,
+    "text_bigram_top": text_bigram_top,
+    # curation
+    "curate_hash_split": curate_hash_split,
+    "curate_balanced_sample": curate_balanced_sample,
+    "curate_stratified_sample": curate_stratified_sample,
+    "curate_weighted_sample": curate_weighted_sample,
+    "curate_contamination": curate_contamination,
+    "curate_quality_rules": curate_quality_rules,
+    "curate_pack_sequences": curate_pack_sequences,
+    "curate_mixture_weights": curate_mixture_weights,
+    "curate_pipeline": curate_pipeline,
+    # similarity search
+    "sim_cosine_topk": sim_cosine_topk,
+    "sim_cosine_topk_vec": sim_cosine_topk_vec,
+    "sim_ivf_topk": sim_ivf_topk,
+    "sim_range_search": sim_range_search,
+    "sim_lsh_topk": sim_lsh_topk,
+    "sim_lsh_multiprobe": sim_lsh_multiprobe,
+    # multimodal
+    "mm_binary_meta": mm_binary_meta,
+    "mm_features": mm_features,
+    "mm_frame_sample": mm_frame_sample,
+    "mm_resize_plan": mm_resize_plan,
+    # streaming
+    "stream_window_counts": stream_window_counts_q,
+    "stream_sessionize_closed": stream_sessionize_closed,
+    "stream_sessionize_flushed": stream_sessionize_flushed,
+    "stream_purchase_attribution": stream_purchase_attribution,
+    "stream_enrich_join": stream_enrich_join,
+    "stream_dedup": stream_dedup,
+    "stream_sliding_counts": stream_sliding_counts_q,
+    # document-model / landing analytics
+    "v_explode_tokens": v_explode_tokens,
+    "d2_change_feed": d2_change_feed,
+    "d_version_churn": d_version_churn,
+    # round-2 relational additions
+    "q_event_funnel": q_event_funnel,
+    "q_recursive_hierarchy": q_recursive_hierarchy,
+    "q_range_band_join": q_range_band_join,
+    "q_scd2_history": q_scd2_history,
+    "q_merge_upsert": q_merge_upsert,
+    "q_skew_salted_agg": q_skew_salted_agg,
+    # -----------------------------------------------------------------
+    # Slots 51+: relational core + document-model ops (driver-green in
+    # CORRECTNESS_r01/r02; still pytest-oracled every run).
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q4_priority_exists": q4_priority_exists,
@@ -3089,7 +3156,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_except_intersect": q_except_intersect,
     "q_approx_distinct": q_approx_distinct,
     "q_sessionize": q_sessionize,
-    # document-model ops (SURVEY §2.D / §2.V)
     "d1_latest_batch": d1_latest_batch,
     "d2_latest_version": d2_latest_version,
     "d2_asof_snapshot": d2_asof_snapshot,
@@ -3097,61 +3163,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ingest_roundtrip": ingest_roundtrip,
     "v_shred_props": v_shred_props,
     "v_variant_shred": v_variant_shred,
-    "v_explode_tokens": v_explode_tokens,
-    # dedup extensions
-    "dedup_exact": dedup_exact,
-    "dedup_minhash_sig": dedup_minhash_sig,
-    "dedup_lsh_pairs": dedup_lsh_pairs,
-    "dedup_jaccard_pairs": dedup_jaccard_pairs,
-    "dedup_simhash": dedup_simhash,
-    "dedup_embedding_pairs": dedup_embedding_pairs,
-    "dedup_embedding_pairs_vec": dedup_embedding_pairs_expr,
-    # text analysis
-    "text_stats": text_stats_q,
-    "text_lang_id": text_lang_id,
-    "text_token_count": text_token_count,
-    "text_fingerprint": text_fingerprint,
-    "text_tfidf_top_term": text_tfidf_top_term,
-    "text_redact_pii": text_redact_pii,
-    "dedup_clusters": dedup_clusters,
-    "curate_hash_split": curate_hash_split,
-    "curate_balanced_sample": curate_balanced_sample,
-    "curate_stratified_sample": curate_stratified_sample,
-    "curate_contamination": curate_contamination,
-    "curate_pipeline": curate_pipeline,
-    # similarity search
-    "sim_cosine_topk": sim_cosine_topk,
-    "sim_cosine_topk_vec": sim_cosine_topk_vec,
-    "sim_ivf_topk": sim_ivf_topk,
-    # multimodal + streaming
-    "mm_binary_meta": mm_binary_meta,
-    "mm_features": mm_features,
-    "stream_window_counts": stream_window_counts_q,
-    "stream_sessionize_closed": stream_sessionize_closed,
-    "stream_sessionize_flushed": stream_sessionize_flushed,
-    "stream_purchase_attribution": stream_purchase_attribution,
-    "stream_enrich_join": stream_enrich_join,
-    # round-2 additions
-    "d2_change_feed": d2_change_feed,
-    "d_version_churn": d_version_churn,
-    "curate_pack_sequences": curate_pack_sequences,
-    "curate_mixture_weights": curate_mixture_weights,
-    "text_bigram_top": text_bigram_top,
-    "sim_range_search": sim_range_search,
-    "curate_weighted_sample": curate_weighted_sample,
-    "q_event_funnel": q_event_funnel,
-    "q_recursive_hierarchy": q_recursive_hierarchy,
-    "q_range_band_join": q_range_band_join,
-    "q_scd2_history": q_scd2_history,
-    "q_merge_upsert": q_merge_upsert,
-    "curate_quality_rules": curate_quality_rules,
-    "mm_frame_sample": mm_frame_sample,
-    "sim_lsh_topk": sim_lsh_topk,
-    "sim_lsh_multiprobe": sim_lsh_multiprobe,
-    "mm_resize_plan": mm_resize_plan,
-    "stream_dedup": stream_dedup,
-    "stream_sliding_counts": stream_sliding_counts_q,
-    "q_skew_salted_agg": q_skew_salted_agg,
+    # agreement twin of dedup_embedding_pairs on the pure-expression path
+    "dedup_embedding_pairs_expr": dedup_embedding_pairs_expr,
 }
 
 ORACLES: dict[str, Optional[str]] = {
@@ -3196,7 +3209,7 @@ ORACLES: dict[str, Optional[str]] = {
     "q22_idle_customers": Q22_SQL,
     "q_grouping_sets": Q_GSETS_SQL,
     "q_except_intersect": Q_EXCEPT_SQL,
-    # q_approx_distinct: sketch-based — rows-only (error-bound unit test)
+    "q_approx_distinct": Q_APPROX_DISTINCT_SQL,
     "q_sessionize": Q_SESSION_SQL,
     "d1_latest_batch": _D1_SQL,
     "d2_latest_version": D2_SQL,
@@ -3210,9 +3223,10 @@ ORACLES: dict[str, Optional[str]] = {
     "dedup_minhash_sig": DEDUP_MINHASH_SQL,
     "dedup_lsh_pairs": DEDUP_LSH_SQL,
     "dedup_jaccard_pairs": DEDUP_JACCARD_SQL,
+    "dedup_jaccard_pairs_scaled": DEDUP_JACCARD_SCALED_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_embedding_pairs": DEDUP_EMB_SQL,
-    "dedup_embedding_pairs_vec": DEDUP_EMB_SQL,
+    "dedup_embedding_pairs_expr": DEDUP_EMB_SQL,
     "text_stats": TEXT_STATS_SQL,
     "text_lang_id": TEXT_LANG_SQL,
     "text_token_count": TEXT_TOKEN_SQL,

@@ -23,7 +23,12 @@ def test_oracles_subset_of_queries():
     # every oracle is non-empty SQL
     assert all(isinstance(sql, str) and "SELECT" in sql.upper() for sql in oracles.values())
     # only deliberately rows-only ops lack an oracle
-    assert set(qs) - set(oracles) == {"mm_features", "q_approx_distinct"}
+    assert set(qs) - set(oracles) == {"mm_features"}
+    # the driver gates the first 50 entries: keep the LLM-pipeline
+    # extension surface (dedup/text/curate/sim/mm/stream/...) in front
+    first50 = list(qs)[:50]
+    assert sum(k.startswith(("q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9"))
+               for k in first50) == 0
 
 
 def test_entry_smoke(spark):
