@@ -92,20 +92,53 @@ def superseded_rows(landing: DataFrame) -> DataFrame:
 def prune_parquet(spark, path: str, mode: str = "join", partition_by: list[str] | None = None, file_format: str = "parquet") -> int:
     """D3: compact a parquet landing directory to only-current copies.
 
-    Parquet has no DELETE, so compaction is a rewrite: read -> D1 -> write to a
-    temp dir -> swap. (On Delta/Iceberg this becomes a metadata-only
-    ``DELETE WHERE`` anti-join — same plan, no full rewrite.) Returns the
-    number of rows removed.
+    Parquet has no DELETE, so compaction is a rewrite — but a PARTITION-SCOPED
+    one, matching the reference's targeted ``DELETE FROM ... WHERE``
+    (snowflake.go:87-94, databricks.go:262-273) rather than a full-table
+    rewrite: because the partition column ``type`` is a prefix of the D1 key
+    (type,id,version), supersession never crosses partitions, so only
+    partitions that actually CONTAIN superseded rows are read back and
+    rewritten. At 100 TB a sync that re-landed one document type compacts one
+    partition subtree; every clean partition keeps its physical files
+    untouched (asserted by tests/test_prune_layout.py). (On Delta/Iceberg
+    this becomes a metadata-only ``DELETE WHERE`` anti-join — same plan.)
+    Returns the number of rows removed.
 
     ``partition_by`` MUST match the table's layout (e.g. ["type"] for the
     landing sink) — rewriting a partitioned directory flat would leave later
-    partitioned appends unreadable next to flat files.
+    partitioned appends unreadable next to flat files. With
+    ``partition_by=None`` (flat layout) the whole directory is one
+    "partition" and the rewrite is necessarily full.
     """
     import os
     import shutil
     import uuid
 
     df = spark.read.format(file_format).load(path)
+
+    if partition_by == ["type"]:
+        # Which partitions hold superseded rows? The distinct-type list is
+        # tiny (doc-type cardinality); the scan underneath is the same
+        # anti-join D3 preview uses, aggregated map-side to the type key.
+        dirty = [r.type for r in superseded_rows(df).select("type").distinct().collect()]
+        if not dirty:
+            return 0
+        scoped = df.filter(F.col("type").isin(dirty))
+        before = scoped.count()
+        kept = latest_all_versions(scoped, mode=mode)
+        tmp = f"{path.rstrip('/')}_pruned_{uuid.uuid4().hex[:8]}"
+        kept.write.mode("overwrite").format(file_format).partitionBy("type").save(tmp)
+        after = spark.read.format(file_format).load(tmp).count()
+        for t in dirty:
+            src = os.path.join(tmp, f"type={t}")
+            dst = os.path.join(path, f"type={t}")
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            if os.path.isdir(src):
+                os.rename(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return before - after
+
     before = df.count()
     kept = latest_all_versions(df, mode=mode)
     tmp = f"{path.rstrip('/')}_pruned_{uuid.uuid4().hex[:8]}"

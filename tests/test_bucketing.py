@@ -55,17 +55,26 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
 
 
 def test_approx_distinct_error_bound(spark):
-    """HLL++ rsd=0.02 stays within 5% of exact on this data."""
+    """HLL++ rsd=0.02 stays within 5% of exact on this data. The declared
+    query now emits exact counts plus in-query range-check booleans (so the
+    driver can hash-compare it); this test independently pins the raw-sketch
+    error bound and that the query's checks agree."""
     from execute_sync_spark.plans import workload
 
-    approx = {r.l_returnflag: (r.approx_parts, r.approx_orders)
-              for r in workload.q_approx_distinct(spark, "/root/testdata/sf0.001").collect()}
+    rows = workload.q_approx_distinct(spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r.approx_parts_ok and r.approx_orders_ok for r in rows)
+
     li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
-    exact = {r.l_returnflag: (r.p, r.o)
-             for r in li.groupBy("l_returnflag")
-             .agg(F.countDistinct("l_partkey").alias("p"),
-                  F.countDistinct("l_orderkey").alias("o")).collect()}
-    for k, (ap, ao) in approx.items():
-        ep, eo = exact[k]
-        assert abs(ap - ep) / ep < 0.05
-        assert abs(ao - eo) / eo < 0.05
+    both = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("ep"),
+        F.countDistinct("l_orderkey").alias("eo"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("ao"),
+    ).collect()
+    exact = {r.l_returnflag: (r.ep, r.eo) for r in both}
+    for r in both:
+        assert abs(r.ap - r.ep) / r.ep < 0.05
+        assert abs(r.ao - r.eo) / r.eo < 0.05
+    # the query's exact columns match the direct aggregation
+    got = {r.l_returnflag: (r.n_parts, r.n_orders) for r in rows}
+    assert got == exact

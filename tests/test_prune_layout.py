@@ -25,6 +25,46 @@ def test_prune_preserves_partitioning_and_appendability(spark, tmp_path):
     assert {"AFE", "VENDOR", "TICKET", "WIDGET"} <= types
 
 
+def test_prune_rewrites_only_dirty_partitions(spark, tmp_path):
+    """Partition-scoped D3 (reference DELETE-parity, snowflake.go:87-94): the
+    fixture feed's single superseded row lives in type=AFE, so prune must
+    rewrite ONLY that partition — every other type partition keeps its exact
+    physical files (same names, same mtimes/inodes)."""
+    import os
+
+    sink = ParquetSink(spark, str(tmp_path / "wh"))
+    for lines, bd in zip(feed.batch_lines(), feed.BATCH_DATES):
+        sink.append(land_ndjson_lines(spark, lines, bd))
+
+    def part_files():
+        out = {}
+        for d in os.listdir(sink.path):
+            if d.startswith("type="):
+                pdir = os.path.join(sink.path, d)
+                out[d] = {
+                    f: os.stat(os.path.join(pdir, f)).st_ino
+                    for f in os.listdir(pdir)
+                    if not f.startswith(("_", "."))
+                }
+        return out
+
+    before = part_files()
+    rows_before = sink.read().count()
+    assert sink.prune() == 1
+    after = part_files()
+    assert sink.read().count() == rows_before - 1
+
+    clean = [p for p in before if p != "type=AFE"]
+    assert clean, before
+    for p in clean:
+        assert after[p] == before[p], f"clean partition {p} was rewritten"
+    assert after["type=AFE"] != before["type=AFE"]
+
+    # second prune: nothing superseded -> zero rows removed, zero rewrites
+    assert sink.prune() == 0
+    assert part_files() == after
+
+
 def test_materialized_latest_matches_lazy(spark, tmp_path):
     from execute_sync_spark.operators import latest
 
