@@ -40,9 +40,15 @@ def _build_sink(cfg: Config, spark):
         from execute_sync_spark.sinks import DuckDBSink
 
         return DuckDBSink(spark, cfg.database_dsn)
+    if cfg.database_type == "sqlite":
+        from execute_sync_spark.sinks import SqliteSink
+
+        return SqliteSink(spark, cfg.database_dsn)
     if cfg.database_type == "jdbc":
         return JdbcSink(spark, cfg.database_dsn)
-    raise SystemExit(f"unsupported DATABASE_TYPE {cfg.database_type!r} (parquet|duckdb|jdbc)")
+    raise SystemExit(
+        f"unsupported DATABASE_TYPE {cfg.database_type!r} (parquet|duckdb|sqlite|jdbc)"
+    )
 
 
 def _load_schema(cfg: Config, source):

@@ -156,7 +156,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin for foreign sessions; read at execution time so not restorable
     # here — session.get_spark sets it at construction (no-op there)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
+    from execute_sync_spark.streaming.util import stream_input_schema
+
+    schema = stream_input_schema(spark, path)
     stream_dir = tempfile.mkdtemp(prefix="stream_sess_")
     os.symlink(path, os.path.join(stream_dir, "events.parquet"))
     stream = spark.readStream.schema(schema).parquet(stream_dir)

@@ -8,6 +8,29 @@ import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def stream_input_schema(spark: SparkSession, path: str) -> T.StructType:
+    """Batch-inferred parquet schema with TIMESTAMP_NTZ fields promoted to
+    TIMESTAMP (LTZ). Watermarks/event-time require LTZ
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and the testdata's timestamp
+    encoding is not ours to pin: events.parquet has shipped as both
+    TIMESTAMP(NANOS) (read as long via legacy nanosAsLong, converted by the
+    callers) and plain micros with isAdjustedToUTC=false (inferred NTZ).
+    With the session timezone pinned UTC the promotion preserves wall-clock
+    values exactly, so batch oracles are unaffected."""
+    schema = spark.read.parquet(path).schema
+    return T.StructType(
+        [
+            T.StructField(
+                f.name,
+                T.TimestampType() if isinstance(f.dataType, T.TimestampNTZType) else f.dataType,
+                f.nullable,
+            )
+            for f in schema.fields
+        ]
+    )
 
 # Serializes only the conf-mutate -> start() window. Structured Streaming
 # pins spark.sql.shuffle.partitions (the state-store count) into the query's

@@ -34,7 +34,9 @@ def stream_window_counts(
     # pin for foreign sessions; read at execution time so not restorable
     # here — session.get_spark sets it at construction (no-op there)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
+    from execute_sync_spark.streaming.util import stream_input_schema
+
+    schema = stream_input_schema(spark, path)
     # the file-stream source requires a *directory*; expose the single file
     # through a temp dir of symlinks (testdata is read-only)
     import tempfile
@@ -85,7 +87,9 @@ def stream_sliding_counts(
     # pin for foreign sessions; read at execution time so not restorable
     # here — session.get_spark sets it at construction (no-op there)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
+    from execute_sync_spark.streaming.util import stream_input_schema
+
+    schema = stream_input_schema(spark, path)
     import tempfile
 
     stream_dir = tempfile.mkdtemp(prefix="stream_slide_")
@@ -130,7 +134,9 @@ def stream_dedup_events(
     # pin for foreign sessions; read at execution time so not restorable
     # here — session.get_spark sets it at construction (no-op there)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
+    from execute_sync_spark.streaming.util import stream_input_schema
+
+    schema = stream_input_schema(spark, path)
     stream_dir = tempfile.mkdtemp(prefix="stream_dedup_")
     os.symlink(path, os.path.join(stream_dir, "events_a.parquet"))
     os.symlink(path, os.path.join(stream_dir, "events_b.parquet"))

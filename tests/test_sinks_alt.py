@@ -57,6 +57,74 @@ def test_duckdb_sink_end_to_end(spark, tmp_path):
     assert {"AFE", "VENDOR"} <= set(views)
 
 
+def test_sqlite_sink_end_to_end(spark, tmp_path):
+    """Reference-SQLite parity on stdlib sqlite3 (sqlite.go:31-270): PK
+    upsert, in-warehouse anti-join prune, and the generated NATIVE view
+    forest queried directly in SQLite."""
+    import sqlite3
+
+    from execute_sync_spark.schema.model import parse_root_schema
+    from execute_sync_spark.sinks import SqliteSink
+
+    db = str(tmp_path / "wh.sqlite")
+    sink = SqliteSink(spark, db)
+    state = WatermarkStore(str(tmp_path / "st"))
+    src = FileFeedSource(_feed_dir(tmp_path))
+    assert sync_once(spark, src, sink, state, chunk_size=feed.CHUNK_SIZE) == 14
+
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT COUNT(*) FROM EXECUTE_DOCUMENTS").fetchone()[0] == 14
+
+    # INSERT OR REPLACE on the PK: appending the same landed batch twice
+    # (same PKs) replaces instead of duplicating
+    replay = land_ndjson_lines(spark, feed.batch_lines()[0], feed.BATCH_DATES[0],
+                               chunk_size=feed.CHUNK_SIZE)
+    n_replay = sink.append(replay)
+    sink.append(replay)
+    assert (
+        con.execute("SELECT COUNT(*) FROM EXECUTE_DOCUMENTS").fetchone()[0]
+        == 14 + n_replay
+    )
+
+    # native view forest
+    views = sink.create_views(parse_root_schema(src.fetch_schema()))
+    assert {"AFE", "AFE_DETAILS", "AFE_DETAILS_AUDIT", "AFE_PARTNERS",
+            "AFE_PARTNERS_NOTE", "VENDOR", "TICKET", "TICKET_LINES"} <= set(views)
+    assert "AFE_PARTNERS_NESTED_L" not in views  # list-in-list skipped
+
+    # golden expectations (same as the Spark view compiler)
+    afe = con.execute(
+        'SELECT DOCUMENT_ID, "_DELETED", "_VERSION" FROM AFE ORDER BY DOCUMENT_ID'
+    ).fetchall()
+    assert len(afe) == 3
+    assert ("afe-0002", 1, 3) in afe
+
+    n, q = con.execute("SELECT COUNT(*), SUM(QTY) FROM TICKET_LINES").fetchone()
+    assert (n, q) == (25, 300)  # chunk slices 1..3 re-unioned by json_each
+
+    partners = con.execute(
+        """SELECT p.DOCUMENT_ID, p.PARTNER, v.VENDOR_NAME, p.SHARE
+           FROM AFE_PARTNERS p JOIN VENDOR v ON v.DOCUMENT_ID = p.PARTNER"""
+    ).fetchall()
+    assert len(partners) == 2
+
+    # record-in-list views carry LISTITEM_ID
+    cols = [d[0] for d in con.execute("SELECT * FROM AFE_PARTNERS_NOTE LIMIT 1").description]
+    assert "LISTITEM_ID" in cols
+
+    # D3 as in-warehouse DML: the feed's 1 superseded copy plus the
+    # n_replay older-batch-date replays are all anti-join targets
+    assert sink.prune() == 1 + n_replay
+    assert sink.prune() == 0
+    assert con.execute("SELECT COUNT(*) FROM EXECUTE_DOCUMENTS").fetchone()[0] == 13
+
+    # read() round-trips into Spark with the landing schema
+    assert sink.read().count() == 13
+    assert set(sink.read().columns) == {
+        "batch_date", "type", "id", "version", "chunk", "author", "date", "deleted", "data"
+    }
+
+
 def test_orc_sink_roundtrip(spark, tmp_path):
     sink = ParquetSink(spark, str(tmp_path / "wh_orc"), file_format="orc")
     for lines, bd in zip(feed.batch_lines(), feed.BATCH_DATES):
