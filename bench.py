@@ -62,6 +62,41 @@ def _aliases(names: list[str]) -> dict[str, str]:
     return out
 
 
+def _timed_pass(spark, sf_dir: str) -> dict[str, float]:
+    """One sequential timing pass over every declared query."""
+    times: dict[str, float] = {}
+    for name, fn in workload.QUERIES.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def _scale10_pass(spark, detail: dict) -> None:
+    """--scale10: re-time the workload on the committed 10x synthesis
+    (tools/make_scale10.py; built on first use) and record per-query wall
+    ratios vs the base pass — the harness that catches superlinear plan
+    regressions instead of ad-hoc 10x checks. Ratio reading: ~10x = linear
+    in data (good); >>10x = superlinear SUSPECT — profile before blaming
+    the plan (driver-side result collection and the deliberately-exact
+    pair finders are the known benign/declared cases, see ROADMAP)."""
+    from tools.make_scale10 import build
+
+    dst = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale10", "sf1.0")
+    if not os.path.isdir(os.path.join(dst, "lineitem.parquet")):
+        build(spark, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"), dst, 10)
+    times10 = _timed_pass(spark, dst)
+    base = detail["queries"]
+    detail["scale10"] = {
+        "sf_dir": dst,
+        "seq_total_sec": round(sum(times10.values()), 3),
+        "queries": times10,
+        "ratio_vs_base": {
+            k: round(times10[k] / base[k], 1) for k in times10 if base.get(k)
+        },
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -88,13 +123,7 @@ def main() -> None:
     except Exception:
         pass  # warmup only — never fail the bench for it
 
-    times: dict[str, float] = {}
-    for name, fn in workload.QUERIES.items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.collect()
-        times[name] = round(time.perf_counter() - t0, 3)
-
+    times = _timed_pass(spark, sf_dir)
     seq_total = round(sum(times.values()), 3)
 
     # Throughput pass (TPC-H-style multi-stream run): the same workload with
@@ -134,6 +163,9 @@ def main() -> None:
         "queries": times,
         "aliases": alias,
     }
+    if "--scale10" in sys.argv:
+        _scale10_pass(spark, detail)
+
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
 

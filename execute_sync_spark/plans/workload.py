@@ -1330,9 +1330,12 @@ DEDUP_CLUSTERS_SQL = f"""
 def q_asof_join(spark, sf_dir):
     """As-of join — for each event, the user's most recent order on or before
     the event (Spark has no native ASOF): expressed as an inequality join +
-    per-event argmax window with deterministic tie-breaks. At scale the
-    inequality join needs bounding (bucket by key, band by time) or the
-    pandas-on-Spark merge_asof; this is the exact-semantics form."""
+    per-event argmax window with deterministic tie-breaks. This is the
+    readable SPEC of the semantics, kept declared for verification; it
+    inflates to events x all-prior-orders before the argmax, so at scale use
+    q_asof_join_merge (the documented primary: union + forward-fill, one
+    shuffle) or q_asof_join_banded (equi-join on time buckets, no unbounded
+    inequality join in the plan)."""
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
     joined = ev.join(
@@ -1360,8 +1363,8 @@ Q_ASOF_SQL = """
 
 
 def q_asof_join_merge(spark, sf_dir):
-    """As-of join, scale path — same semantics as q_asof_join but via
-    union + sorted forward-fill: events and orders interleave in one
+    """As-of join, PRIMARY scale path — same semantics as q_asof_join but
+    via union + sorted forward-fill: events and orders interleave in one
     per-user time-sorted window and each event picks up the last preceding
     order row. O(n log n) per user versus the inequality join's
     events x orders-per-user blowup; one shuffle on user_id total. The
@@ -1398,6 +1401,80 @@ def q_asof_join_merge(spark, sf_dir):
             F.col("last_ord.o_orderkey").alias("o_orderkey"),
             F.col("last_ord.o_orderdate").alias("o_orderdate"),
             F.col("last_ord.o_totalprice").alias("o_totalprice"),
+        )
+    )
+
+
+def q_asof_join_banded(spark, sf_dir):
+    """As-of join via time-bucket band join — exact q_asof_join semantics
+    with NO unbounded inequality join anywhere in the plan. Two bounded
+    sources of candidates, then one argmax:
+
+    1. in-band: events equi-join orders on (user, bucket(ts)) — blowup
+       bounded by orders-per-user-per-bucket, never events x all-history;
+    2. pre-band: per (user, bucket) reduce orders to the bucket's best
+       order (max struct = latest date, largest key — map-side combined),
+       then interleave probe rows for each distinct event bucket into the
+       per-user bucket timeline and forward-fill, yielding the exact
+       "best order through the END of the previous bucket" — the window
+       runs over user x DISTINCT-BUCKET rows, orders of magnitude smaller
+       than the raw tables.
+
+    union(1, 2) -> groupBy(event_id).max(struct) picks the true as-of row
+    with the same (o_orderdate DESC, o_orderkey DESC) tie-break as the spec
+    query. All shuffles are equi-key; the band width (90 days) trades the
+    in-band join's fan-out against timeline length."""
+    band = 90 * 86400  # seconds per bucket
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        (F.unix_timestamp("ts") / band).cast("long").alias("b"),
+    )
+    od = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.struct("o_orderdate", "o_orderkey", "o_totalprice").alias("ord"),
+        (F.unix_timestamp("o_orderdate") / band).cast("long").alias("b"),
+    )
+
+    # (1) same-bucket candidates, filtered to on-or-before inside the bucket
+    in_band = (
+        ev.join(od, ["user_id", "b"])
+        .filter(F.col("ord.o_orderdate") <= F.col("ts"))
+        .select("event_id", "user_id", "ts", "ord")
+    )
+
+    # (2) best-order-per-bucket timeline + event-bucket probes; probes sort
+    # BEFORE order rows within a bucket so the fill sees only buckets < b
+    best_per_bucket = od.groupBy("user_id", "b").agg(F.max("ord").alias("ord"))
+    probes = ev.select("user_id", "b").distinct()
+    timeline = best_per_bucket.select(
+        "user_id", "b", F.lit(0).alias("is_probe"), "ord"
+    ).unionByName(
+        probes.select(
+            "user_id", "b", F.lit(1).alias("is_probe"),
+            F.lit(None).cast(best_per_bucket.schema["ord"].dataType).alias("ord"),
+        )
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("b", F.desc("is_probe"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_best = (
+        timeline.withColumn("prev_ord", F.last("ord", ignorenulls=True).over(wf))
+        .filter((F.col("is_probe") == 1) & F.col("prev_ord").isNotNull())
+        .select("user_id", "b", F.col("prev_ord").alias("ord"))
+    )
+    pre_band = ev.join(prev_best, ["user_id", "b"]).select("event_id", "user_id", "ts", "ord")
+
+    return (
+        in_band.unionByName(pre_band)
+        .groupBy("event_id", "user_id")
+        .agg(F.max("ord").alias("best"))
+        .select(
+            "event_id", "user_id",
+            F.col("best.o_orderkey").alias("o_orderkey"),
+            F.col("best.o_orderdate").alias("o_orderdate"),
+            F.col("best.o_totalprice").alias("o_totalprice"),
         )
     )
 
@@ -2119,11 +2196,27 @@ def q_approx_distinct(spark, sf_dir):
     exact columns exist to make the row verifiable, and a unit test keeps
     the <5%-relative-error property pinned independently."""
     li = _t(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").cast("long").alias("n_parts"),
-        F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+
+    # Exact distinct counts as two-stage re-aggregations (dedup pairs
+    # map-side, then count) rather than two multi-column countDistincts in
+    # one agg — the latter compiles to an Expand that multiplies every input
+    # row per distinct-aggregate (~5x at this width, measured 8s vs <2s at
+    # sf0.1, and an O(n) row blowup at 100 TB). The three tiny per-flag
+    # aggregates broadcast-join back together.
+    def _exact(col: str, alias: str) -> DataFrame:
+        return (
+            li.select("l_returnflag", col)
+            .distinct()
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).cast("long").alias(alias))
+        )
+
+    sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx_parts"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_approx_orders"),
+    )
+    agg = sketches.join(_exact("l_partkey", "n_parts"), "l_returnflag").join(
+        _exact("l_orderkey", "n_orders"), "l_returnflag"
     )
     return agg.select(
         "l_returnflag",
@@ -3135,6 +3228,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_conditional_agg": q_conditional_agg,
     "q_asof_join": q_asof_join,
     "q_asof_join_merge": q_asof_join_merge,
+    "q_asof_join_banded": q_asof_join_banded,
     "q_unpivot_measures": q_unpivot_measures,
     "q_string_agg": q_string_agg,
     "q7_volume_shipping": q7_volume_shipping,
@@ -3190,6 +3284,7 @@ ORACLES: dict[str, Optional[str]] = {
     "q_conditional_agg": Q_COND_SQL,
     "q_asof_join": Q_ASOF_SQL,
     "q_asof_join_merge": Q_ASOF_SQL,
+    "q_asof_join_banded": Q_ASOF_SQL,
     "q_unpivot_measures": Q_UNPIVOT_SQL,
     "q_string_agg": Q_STRING_AGG_SQL,
     "q7_volume_shipping": Q7_SQL,

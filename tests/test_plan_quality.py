@@ -113,3 +113,28 @@ def test_runtime_bloom_filter_injects_for_selective_join(spark):
                     spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_asof_banded_has_no_inequality_join(spark):
+    """q_asof_join_banded exists to keep the as-of plan free of unbounded
+    inequality joins: every join must be a hash/merge equi-join — no
+    BroadcastNestedLoopJoin or CartesianProduct anywhere. (The spec form
+    q_asof_join deliberately keeps the inequality join as the readable
+    semantics; the merge and banded forms are the scale paths.)"""
+    from execute_sync_spark.plans import workload
+
+    plan = _plan(workload.q_asof_join_banded(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # it IS joining, just on equi-keys
+
+
+def test_top_k_uses_take_ordered(spark):
+    """d_version_churn / text_bigram_top global top-20s must compile to
+    TakeOrderedAndProject (per-partition heap + driver merge of 20xP rows),
+    never a single-partition global-window sort over the full aggregate."""
+    from execute_sync_spark.plans import workload
+
+    for q in (workload.d_version_churn, workload.text_bigram_top):
+        plan = _plan(q(spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, plan[:600]
