@@ -211,8 +211,10 @@ def kmeans_fit(
     iterations. Deterministic init: the k lowest-id vectors.
     """
     c = corpus.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    # the window runs over the k post-limit rows only; partitionBy(lit)
+    # keeps the spec non-global so WindowExec doesn't warn about it
     centroids = c.orderBy(id_col).limit(k).select(
-        F.row_number().over(Window.orderBy(id_col)).alias("cell_id"), "v"
+        F.row_number().over(Window.partitionBy(F.lit(0)).orderBy(id_col)).alias("cell_id"), "v"
     )
 
     spark = corpus.sparkSession

@@ -1945,9 +1945,11 @@ def q15_top_supplier(spark, sf_dir):
         li.groupBy("l_suppkey")
         .agg(F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")).alias("rev_cents"))
     )
-    w = Window.partitionBy()
+    # correlated MAX as a broadcast 1-row cross join instead of an empty-
+    # partition window: same result, no single-partition WindowExec stage
+    max_rev = rev.agg(F.max("rev_cents").alias("max_cents"))
     return (
-        rev.withColumn("max_cents", F.max("rev_cents").over(w))
+        rev.crossJoin(F.broadcast(max_rev))
         .filter(F.col("rev_cents") == F.col("max_cents"))
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .select("s_suppkey", "s_name", (F.col("rev_cents") / 100.0).alias("total_revenue"))
@@ -2726,7 +2728,11 @@ def d_version_churn(spark, sf_dir):
         .orderBy(*order)
         .limit(20)
     )
-    w = Window.partitionBy(F.lit(0)).orderBy(*order)
+    # rank over the 20 surviving rows; the partition key is a NON-FOLDABLE
+    # constant (substring(col,0,0) — Catalyst has no simplification for it)
+    # so the spec survives optimization and WindowExec doesn't emit its
+    # global-window warning for what is a 20-row operation
+    w = Window.partitionBy(F.substring("type", 0, 0)).orderBy(*order)
     return (
         top.withColumn("rank", F.row_number().over(w))
         .select("type", "id", "n_versions", "n_lands", "first_land", "last_land", "rank")
@@ -2792,12 +2798,14 @@ def curate_mixture_weights(spark, sf_dir):
     window — nothing at corpus scale moves except the per-source counts."""
     docs = _docs(spark, sf_dir)
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    w = Window.partitionBy()
-    total = F.sum("n_docs").over(w)
-    n_sources = F.count(F.lit(1)).over(w)
-    actual = F.col("n_docs") / total
-    target = F.lit(1.0) / n_sources
-    return counts.select(
+    # corpus-wide totals as a broadcast 1-row cross join (not an empty-
+    # partition window): nothing but per-source counts ever moves
+    totals = counts.agg(
+        F.sum("n_docs").alias("__total"), F.count(F.lit(1)).alias("__n_sources")
+    )
+    actual = F.col("n_docs") / F.col("__total")
+    target = F.lit(1.0) / F.col("__n_sources")
+    return counts.crossJoin(F.broadcast(totals)).select(
         "source",
         "n_docs",
         F.round(actual, 6).alias("actual_share"),
@@ -2933,7 +2941,10 @@ def text_bigram_top(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
     )
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("n"), F.asc("bigram"))
+    # non-foldable constant partition key: rank runs over the 20 post-limit
+    # rows without tripping WindowExec's global-window warning (see
+    # d_version_churn)
+    w = Window.partitionBy(F.substring("bigram", 0, 0)).orderBy(F.desc("n"), F.asc("bigram"))
     return top.withColumn("rank", F.row_number().over(w)).select("bigram", "n", "rank")
 
 
