@@ -64,8 +64,47 @@ def decode_stub(payload: bytes) -> np.ndarray:
     return np.round(bins / arr.size, 6)
 
 
-def extract_features(binaries: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def pil_decode(payload: bytes) -> np.ndarray:
+    """Real image decode via Pillow (optional dependency): grayscale
+    intensity histogram folded to FEATURE_DIM bins, normalized — the same
+    output contract as ``decode_stub`` so the two backends are swappable
+    per executor. Raises ImportError when Pillow is absent (callers pick
+    the backend via ``get_decoder``)."""
+    import io
+
+    from PIL import Image  # optional; gated by get_decoder("auto")
+
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    hist = np.asarray(img.histogram(), dtype=np.float64)  # 256 bins
+    folded = hist.reshape(FEATURE_DIM, -1).sum(axis=1)
+    total = folded.sum()
+    if total == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float64)
+    return np.round(folded / total, 6)
+
+
+def get_decoder(backend: str = "auto"):
+    """Select the media decode backend: 'stub' (deterministic fake — the
+    oracle-stable default), 'pil' (real Pillow decode; ImportError if
+    missing), or 'auto' (Pillow when importable, else the stub). Resolution
+    happens on the DRIVER so every executor batch uses one backend."""
+    if backend == "stub":
+        return decode_stub
+    if backend == "pil":
+        return pil_decode
+    if backend == "auto":
+        try:
+            import PIL  # noqa: F401
+
+            return pil_decode
+        except ImportError:
+            return decode_stub
+    raise ValueError(f"unknown decode backend {backend!r} (stub|pil|auto)")
+
+
+def extract_features(binaries: DataFrame, id_col: str = "doc_id", backend: str = "stub") -> DataFrame:
     """Arrow-batched feature extraction over the binary column."""
+    decode = get_decoder(backend)
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), False),
@@ -76,7 +115,7 @@ def extract_features(binaries: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_stub(b).tolist() for b in pdf["content"]]
+            feats = [decode(b).tolist() for b in pdf["content"]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,

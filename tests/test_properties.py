@@ -153,3 +153,43 @@ def test_feature_extraction_deterministic(spark):
     # run twice -> identical
     again = {r.doc_id: r for r in multimodal.extract_features(bm).collect()}
     assert feats[1].features == again[1].features
+
+
+def test_decoder_backend_selection(spark):
+    """Backend resolution: stub is the oracle-stable default; 'auto' falls
+    back to the stub when Pillow is absent and picks pil_decode when
+    present; both backends share one output contract (FEATURE_DIM
+    normalized histogram)."""
+    import importlib.util
+
+    import pytest
+
+    from execute_sync_spark.functions import multimodal
+
+    assert multimodal.get_decoder("stub") is multimodal.decode_stub
+    with pytest.raises(ValueError):
+        multimodal.get_decoder("nope")
+
+    has_pil = importlib.util.find_spec("PIL") is not None
+    auto = multimodal.get_decoder("auto")
+    if not has_pil:
+        assert auto is multimodal.decode_stub
+        return
+
+    # feature-parity leg: runs only where Pillow is installed
+    assert auto is multimodal.pil_decode
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (4, 4), color=128).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    bm = multimodal.binary_with_meta(docs).withColumn(
+        "content", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(png)
+    )
+    feats = multimodal.extract_features(bm, backend="pil").collect()[0]
+    assert len(feats.features) == multimodal.FEATURE_DIM
+    assert abs(sum(feats.features) - 1.0) < 1e-6
