@@ -116,15 +116,18 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_buckets(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 8,
     band_size: int = 2,
 ) -> DataFrame:
-    """LSH banding: docs sharing any band of the signature become a candidate
-    pair. Join key is (band_index, band values) — the full cross product is
-    never formed."""
+    """Signature rows -> (id, band, band_key) LSH bucket rows.
+
+    One explode over an inline array of band structs — a single pass over
+    the signatures instead of one scan per band. explode_outer so the
+    signature expressions aren't re-inlined into a pre-Generate filter
+    (see word_shingles); the band array is never empty."""
     band_structs = []
     for b in range(0, num_hashes, band_size):
         band_cols = [F.col(f"mh{i}") for i in range(b, min(b + band_size, num_hashes))]
@@ -134,13 +137,21 @@ def lsh_candidate_pairs(
                 F.concat_ws(":", *[c.cast("string") for c in band_cols]).alias("band_key"),
             )
         )
-    # one explode over an inline array of band structs — a single pass over
-    # the signatures instead of one scan per band. explode_outer so the
-    # signature expressions aren't re-inlined into a pre-Generate filter
-    # (see word_shingles); the band array is never empty.
-    buckets = signatures.select(
+    return signatures.select(
         F.col(id_col), F.explode_outer(F.array(*band_structs)).alias("bk")
     ).select(id_col, "bk.band", "bk.band_key")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become a candidate
+    pair. Join key is (band_index, band values) — the full cross product is
+    never formed."""
+    buckets = band_buckets(signatures, id_col, num_hashes, band_size)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -149,6 +160,39 @@ def lsh_candidate_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+
+
+def incremental_lsh_dedup(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Incremental ingest dedup: flag NEW-batch documents whose MinHash
+    signature collides (any LSH band) with the persisted corpus index —
+    the production shape where the corpus was signed once at ingest time
+    and each arriving batch is checked against it without re-reading
+    corpus text.
+
+    Physical shape at 100 TB: the corpus banded index is the big side and
+    NEVER shuffles — the (typically tiny) new batch broadcasts to it
+    (``broadcast_new``); with a bucketed/partitioned index table the probe
+    is a local hash join per partition. A signature depends only on its own
+    document, so signing the two sides separately is semantics-identical to
+    one global signing pass.
+
+    Returns distinct (new_id, corpus_id) collision pairs."""
+    nb = band_buckets(new_sigs, id_col, num_hashes, band_size).withColumnRenamed(
+        id_col, "new_id"
+    )
+    cb = band_buckets(corpus_sigs, id_col, num_hashes, band_size).withColumnRenamed(
+        id_col, "corpus_id"
+    )
+    if broadcast_new:
+        nb = F.broadcast(nb)
+    return nb.join(cb, ["band", "band_key"]).select("new_id", "corpus_id").distinct()
 
 
 def ngram_jaccard_pairs(

@@ -605,6 +605,34 @@ DEDUP_LSH_SQL = f"""
 """
 
 
+def dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup — the production shape of near-dup control:
+    the corpus (90% hash split here) is MinHash-signed ONCE and persisted
+    as a banded index; each arriving batch (the other 10%) is signed and
+    probed against it via a broadcast LSH band join. The corpus text is
+    never re-read and its index never shuffles; per-batch cost is
+    O(batch) + one broadcast. Signatures are per-document, so signing the
+    sides separately is exactly equivalent to a global signing pass (the
+    oracle splits one signature table with the same portable hash)."""
+    docs = _docs_wide(spark, sf_dir)
+    bucket = curation.hash_bucket("doc_id")
+    sigs_corpus = dedupe.minhash_signatures(docs.filter(bucket < 900))
+    sigs_new = dedupe.minhash_signatures(docs.filter(bucket >= 900))
+    return dedupe.incremental_lsh_dedup(sigs_new, sigs_corpus)
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+    WITH {_SIG_CTE},
+    buckets AS (
+{_LSH_BANDS_SQL}
+    ),
+    nb AS (SELECT * FROM buckets WHERE {curation.hash_bucket_sql('doc_id')} >= 900),
+    cb AS (SELECT * FROM buckets WHERE {curation.hash_bucket_sql('doc_id')} < 900)
+    SELECT DISTINCT nb.doc_id AS new_id, cb.doc_id AS corpus_id
+    FROM nb JOIN cb USING (band, band_key)
+"""
+
+
 def dedup_jaccard_pairs(spark, sf_dir):
     return dedupe.ngram_jaccard_pairs(_docs_wide(spark, sf_dir), threshold=0.05)
 
@@ -3160,6 +3188,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_sig": dedup_minhash_sig,
     "dedup_lsh_pairs": dedup_lsh_pairs,
+    "dedup_incremental": dedup_incremental,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_jaccard_pairs_scaled": dedup_jaccard_pairs_scaled,
     "dedup_simhash": dedup_simhash,
@@ -3328,6 +3357,7 @@ ORACLES: dict[str, Optional[str]] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_sig": DEDUP_MINHASH_SQL,
     "dedup_lsh_pairs": DEDUP_LSH_SQL,
+    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "dedup_jaccard_pairs": DEDUP_JACCARD_SQL,
     "dedup_jaccard_pairs_scaled": DEDUP_JACCARD_SCALED_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
