@@ -137,6 +137,60 @@ def cosine_topk_vectorized(
     )
 
 
+def quantize_embeddings(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: scale = max|v|/127,
+    q_i = round(v_i / scale) in [-127, 127] — the 4x memory cut (float32 ->
+    int8) that makes a 100 TB embedding corpus fit executor memory /
+    off-heap caches. Pure JVM-side expressions; the float column can be
+    dropped after this runs. Zero vectors quantize to zeros with scale 0."""
+    v = _as_double(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    qvec = F.when(scale > 0, F.transform(v, lambda x: F.round(x / scale).cast("int"))).otherwise(
+        F.transform(v, lambda x: F.lit(0))
+    )
+    return corpus.select(
+        F.col(id_col), qvec.alias("qvec"), F.round(scale, 8).alias("scale")
+    )
+
+
+def quantized_topk(
+    quantized: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-over-quantized top-k: float queries scored against the int8
+    corpus. Cosine is scale-invariant in each argument, so the per-vector
+    dequantization multiply cancels and scoring runs directly on the int
+    arrays — no dequantize pass, no float corpus read. Same broadcast-the-
+    queries / corpus-never-shuffles shape as cosine_topk."""
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    c = quantized.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform("qvec", lambda x: x.cast("double")).alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim_q")
+    )
+
+
 def blocked_near_dup_pairs_vectorized(
     corpus: DataFrame,
     block_col: str = "label",

@@ -1033,6 +1033,41 @@ def sim_cosine_topk_vec(spark, sf_dir):
     return similarity.cosine_topk_vectorized(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def sim_quantized_topk(spark, sf_dir):
+    """Similarity search over an int8-quantized corpus — the 4x-memory scale
+    path (float32 embeddings quantized once at ingest; queries stay float).
+    Cosine is scale-invariant per argument, so scoring runs directly on the
+    int arrays with no dequantize pass; ranking deviates from exact float
+    search only by the <=0.8% per-dim rounding error. The oracle reproduces
+    the identical quantization arithmetic, so this row is hash-exact, not
+    approximate-by-oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    quant = similarity.quantize_embeddings(emb)
+    return similarity.quantized_topk(quant, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+SIM_QUANT_SQL = """
+    WITH src AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    quant AS (
+        SELECT vec_id,
+               CASE WHEN list_max(list_transform(v, x -> abs(x))) / 127.0 > 0
+                    THEN list_transform(v, x -> CAST(round(x / (list_max(list_transform(v, y -> abs(y))) / 127.0)) AS DOUBLE))
+                    ELSE list_transform(v, x -> CAST(0 AS DOUBLE)) END AS cv
+        FROM src),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM src WHERE vec_id < 10),
+    scored AS (
+        SELECT query_id, vec_id AS neighbor_id,
+               ROUND(list_dot_product(qv, cv) /
+                     (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cos_sim_q
+        FROM quant, q WHERE vec_id != query_id),
+    ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cos_sim_q DESC, neighbor_id) AS INT) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, rank, cos_sim_q FROM ranked WHERE rank <= 5
+"""
+
+
 def sim_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < 8)
@@ -3216,6 +3251,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_cosine_topk_vec": sim_cosine_topk_vec,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_quantized_topk": sim_quantized_topk,
     "sim_range_search": sim_range_search,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_lsh_multiprobe": sim_lsh_multiprobe,
@@ -3378,6 +3414,7 @@ ORACLES: dict[str, Optional[str]] = {
     "sim_cosine_topk": SIM_COSINE_SQL,
     "sim_cosine_topk_vec": SIM_COSINE_SQL,
     "sim_ivf_topk": SIM_IVF_SQL,
+    "sim_quantized_topk": SIM_QUANT_SQL,
     "mm_binary_meta": MM_META_SQL,
     # mm_features: mapInPandas — rows-only check
     "stream_window_counts": STREAM_SQL,

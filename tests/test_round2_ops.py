@@ -116,3 +116,23 @@ def test_lsh_multiprobe_dominates_single_probe(spark):
              for r in similarity.lsh_topk_vectorized(emb, q, k=5, multiprobe=True).collect()}
     assert len(exact & multi) >= len(exact & single)
     assert len(exact & multi) / len(exact) >= 0.8
+
+
+def test_quantized_topk_tracks_exact_ranking(spark):
+    """int8 quantization must barely perturb the ranking: top-5 sets from
+    the quantized ranker recover >= 80% of the exact float top-5, and each
+    shared pair's quantized cosine is within 0.02 of the float cosine
+    (per-dim rounding error is <= 1/254 of the max-magnitude component)."""
+    from execute_sync_spark.functions import similarity
+
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id): r.cos_sim
+             for r in similarity.cosine_topk(emb, q, k=5).collect()}
+    quant = {(r.query_id, r.neighbor_id): r.cos_sim_q
+             for r in similarity.quantized_topk(
+                 similarity.quantize_embeddings(emb), q, k=5).collect()}
+    hits = set(exact) & set(quant)
+    assert len(hits) / len(exact) >= 0.8, f"recall {len(hits)}/{len(exact)}"
+    for pair in hits:
+        assert abs(exact[pair] - quant[pair]) <= 0.02, (pair, exact[pair], quant[pair])
