@@ -38,6 +38,17 @@ ANNOTATED = {
     "each step a shuffle-free projection + filter (UNION ALL recursion)",
     "d2_change_feed": "two as-of snapshot states diffed by a keyed join; "
     "both sides prune to their batch_date ranges before shuffling",
+    "q_asof_join_banded": "exact as-of with ZERO inequality joins: "
+    "same-bucket equi-join + per-user bucket-timeline forward-fill + "
+    "struct argmax; every exchange is hash-keyed",
+    "dedup_incremental": "new batch's banded signatures BROADCAST to the "
+    "persisted corpus index: the corpus side never shuffles per batch",
+    "sim_quantized_topk": "int8 corpus scored directly (cosine is "
+    "scale-invariant, the dequantize multiply cancels); queries broadcast, "
+    "corpus never moves",
+    "dedup_jaccard_pairs_scaled": "document-frequency valve bounds the "
+    "inverted-index self-join to max_df^2 rows per shingle — join work "
+    "grows with vocabulary, not corpus^2",
 }
 
 
