@@ -108,6 +108,18 @@ def main() -> None:
     # engine + state-store machinery (1-row memory-sink query).
     workload.q6_forecast_revenue(spark, sf_dir).collect()
     spark.createDataFrame([(1,)], "x int").mapInPandas(lambda it: it, "x int").collect()
+    # corpus-path warmup: the extension block (dedup/text) leads the declared
+    # order since round 4, so without this the FIRST documents query absorbs
+    # the one-time costs of the text pipeline (documents scan, explode/md5
+    # codegen, 32-thread shuffle spin-up) — measured 9s-vs-1s attribution
+    # noise on dedup_minhash_sig. The warmup runs the same machinery on a
+    # non-declared expression.
+    from pyspark.sql import functions as F
+
+    from execute_sync_spark.functions import dedupe
+    dedupe.word_shingles(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ).select(F.md5("shingle").alias("h")).groupBy("h").count().count()
     try:
         import tempfile
 

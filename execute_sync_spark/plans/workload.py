@@ -2899,10 +2899,14 @@ def curate_weighted_sample(spark, sf_dir):
     projection + filter, shuffle-free until the final per-source count."""
     docs = _docs(spark, sf_dir)
     stats = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    w = Window.partitionBy()
-    weight = F.sum("n_docs").over(w).cast("double") / (F.count(F.lit(1)).over(w) * F.col("n_docs"))
+    # corpus totals via broadcast 1-row cross join (not an empty-partition
+    # window — see curate_mixture_weights)
+    totals = stats.agg(
+        F.sum("n_docs").alias("__total"), F.count(F.lit(1)).alias("__n_sources")
+    )
+    weight = F.col("__total").cast("double") / (F.col("__n_sources") * F.col("n_docs"))
     p = F.least(F.lit(1.0), weight) * F.lit(0.5)
-    keep = stats.select(
+    keep = stats.crossJoin(F.broadcast(totals)).select(
         "source", "n_docs", F.round(p * 1000).cast("long").alias("thresh")
     )
     bucket = curation.hash_bucket("doc_id", salt=7)
@@ -2976,6 +2980,116 @@ Q_FUNNEL_SQL = """
     UNION ALL SELECT '2_view', CAST(COUNT(*) AS BIGINT) FROM v
     UNION ALL SELECT '3_click', CAST(COUNT(*) AS BIGINT) FROM c
     UNION ALL SELECT '4_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+"""
+
+
+def text_repetition(spark, sf_dir):
+    """Within-document repetition signals (the Gopher repetition filters):
+    per doc, the fraction of bigram occurrences that are duplicates
+    (1 - distinct/total) and the coverage of the single most frequent
+    bigram — the two strongest low-quality/generated-text tells. Counting
+    runs as explode -> (doc, bigram) map-side-combined counts -> per-doc
+    aggregate: one shuffle keyed by (doc_id, bigram), never a per-row
+    quadratic fold. Short docs (<2 tokens, no bigrams) report zero fractions
+    via the left join."""
+    docs = _docs_wide(spark, sf_dir)
+    t = text.tokens("text")
+    n = F.size(t)
+    bigrams = F.zip_with(
+        F.slice(t, 1, n - 1), F.slice(t, 2, n - 1), lambda a, b: F.concat_ws(" ", a, b)
+    )
+    per_bg = (
+        docs.select("doc_id", F.explode_outer(bigrams).alias("bg"))
+        .filter(F.col("bg").isNotNull())
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = per_bg.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("total_bg"),
+        F.count(F.lit(1)).cast("long").alias("distinct_bg"),
+        F.max("c").cast("long").alias("top_bg"),
+    )
+    base = docs.select("doc_id", F.size(text.tokens("text")).alias("n_tokens"))
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("total_bg", F.lit(0)).alias("total_bg"),
+            F.round(
+                F.when(F.col("total_bg") > 0, 1 - F.col("distinct_bg") / F.col("total_bg")).otherwise(0.0), 4
+            ).alias("dup_bigram_frac"),
+            F.round(
+                F.when(F.col("total_bg") > 0, F.col("top_bg") / F.col("total_bg")).otherwise(0.0), 4
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+TEXT_REPETITION_SQL = f"""
+    WITH {_TOK_CTE},
+    led AS (
+        SELECT doc_id, w || ' ' || lead(w, 1) OVER win AS bg,
+               lead(w, 1) OVER win AS w1
+        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    bg AS (SELECT doc_id, bg FROM led WHERE w1 IS NOT NULL),
+    per_bg AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+    per_doc AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total_bg,
+               CAST(COUNT(*) AS BIGINT) AS distinct_bg, CAST(MAX(c) AS BIGINT) AS top_bg
+        FROM per_bg GROUP BY doc_id),
+    base AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS INT) AS n_tokens
+             FROM documents)
+    SELECT base.doc_id, n_tokens,
+           COALESCE(total_bg, 0) AS total_bg,
+           ROUND(CASE WHEN total_bg > 0 THEN 1 - distinct_bg / CAST(total_bg AS DOUBLE) ELSE 0.0 END, 4) AS dup_bigram_frac,
+           ROUND(CASE WHEN total_bg > 0 THEN top_bg / CAST(total_bg AS DOUBLE) ELSE 0.0 END, 4) AS top_bigram_frac
+    FROM base LEFT JOIN per_doc ON per_doc.doc_id = base.doc_id
+"""
+
+
+_CHUNK_W = 64   # tokens per window
+_CHUNK_S = 48   # stride (16-token overlap)
+
+
+def curate_chunk_windows(spark, sf_dir):
+    """Context-window chunking: slice every document's token stream into
+    overlapping windows of {W} tokens at stride {S} — the chunk-for-
+    training / chunk-for-retrieval preparation step. Pure JVM expressions:
+    sequence -> explode -> slice; per-row fan-out is ceil(n/S), so output
+    scales linearly with corpus token count and nothing shuffles (the
+    explode happens where the doc row lives)."""
+    docs = _docs_wide(spark, sf_dir)
+    t = text.tokens("text")
+    n = F.size(t)
+    last_win = F.greatest(F.ceil((n - F.lit(_CHUNK_W)) / F.lit(_CHUNK_S)), F.lit(0)).cast("int")
+    win = docs.select(
+        "doc_id",
+        t.alias("t"),
+        F.explode(F.sequence(F.lit(0), last_win)).alias("win_id"),
+    ).filter(F.size("t") > 0)
+    chunk = F.slice(F.col("t"), F.col("win_id") * _CHUNK_S + 1, _CHUNK_W)
+    return win.select(
+        "doc_id",
+        "win_id",
+        F.size(chunk).alias("n_win_tokens"),
+        F.concat_ws(" ", chunk).alias("window_text"),
+    )
+
+
+CURATE_CHUNK_SQL = f"""
+    WITH arrs AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
+        FROM documents),
+    wins AS (
+        SELECT doc_id, arr,
+               unnest(range(0, GREATEST(CAST(CEIL((len(arr) - {_CHUNK_W}) / CAST({_CHUNK_S} AS DOUBLE)) AS BIGINT), 0) + 1)) AS win_id
+        FROM arrs WHERE len(arr) > 0)
+    SELECT doc_id, CAST(win_id AS INT) AS win_id,
+           CAST(len(list_slice(arr, win_id * {_CHUNK_S} + 1, win_id * {_CHUNK_S} + {_CHUNK_W})) AS INT) AS n_win_tokens,
+           array_to_string(list_slice(arr, win_id * {_CHUNK_S} + 1, win_id * {_CHUNK_S} + {_CHUNK_W}), ' ') AS window_text
+    FROM wins
 """
 
 
@@ -3237,6 +3351,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tfidf_top_term": text_tfidf_top_term,
     "text_redact_pii": text_redact_pii,
     "text_bigram_top": text_bigram_top,
+    "text_repetition": text_repetition,
     # curation
     "curate_hash_split": curate_hash_split,
     "curate_balanced_sample": curate_balanced_sample,
@@ -3245,6 +3360,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_contamination": curate_contamination,
     "curate_quality_rules": curate_quality_rules,
     "curate_pack_sequences": curate_pack_sequences,
+    "curate_chunk_windows": curate_chunk_windows,
     "curate_mixture_weights": curate_mixture_weights,
     "curate_pipeline": curate_pipeline,
     # similarity search
@@ -3427,6 +3543,8 @@ ORACLES: dict[str, Optional[str]] = {
     "curate_pack_sequences": CURATE_PACK_SQL,
     "curate_mixture_weights": CURATE_MIX_SQL,
     "text_bigram_top": TEXT_BIGRAM_SQL,
+    "text_repetition": TEXT_REPETITION_SQL,
+    "curate_chunk_windows": CURATE_CHUNK_SQL,
     "sim_range_search": SIM_RANGE_SQL,
     "curate_weighted_sample": CURATE_WEIGHTED_SQL,
     "q_event_funnel": Q_FUNNEL_SQL,
