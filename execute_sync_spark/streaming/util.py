@@ -20,6 +20,10 @@ def stream_input_schema(spark: SparkSession, path: str) -> T.StructType:
     callers) and plain micros with isAdjustedToUTC=false (inferred NTZ).
     With the session timezone pinned UTC the promotion preserves wall-clock
     values exactly, so batch oracles are unaffected."""
+    # pin UTC for foreign (driver-owned) sessions — same rationale and
+    # deliberate non-restore as plans.workload._t: the conf is read at
+    # execution time, after this lazily-used schema is returned
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(path).schema
     return T.StructType(
         [
