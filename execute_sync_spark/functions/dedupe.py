@@ -270,6 +270,87 @@ def simhash(
     return row.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
+BLOOM_BITS = 1 << 17          # 131072 bits = 4096 32-bit words
+BLOOM_SEEDS = (11, 23)        # k = 2 independent md5-prefix hash functions
+
+
+def _bloom_positions(shingle_col, seed: int):
+    from execute_sync_spark.functions.hashing import h32_salted
+
+    return h32_salted(shingle_col, seed) % F.lit(BLOOM_BITS)
+
+
+def bloom_build(eval_docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Build a bloom filter over the eval corpus's word k-grams as a TABLE
+    of (word_idx, bits) 32-bit words — pure relational ops (explode bit
+    positions, bit_or aggregate), no engine-internal sketch type, so the
+    identical filter is constructible in any SQL warehouse for the oracle.
+
+    This is the 100 TB decontamination shape when the eval set is too big
+    to broadcast as an inverted index: the filter is FIXED-SIZE
+    (BLOOM_BITS/32 rows ~ KBs) regardless of eval corpus size, with the
+    usual guarantee — no false negatives, tunable false-positive rate."""
+    sh = word_shingles(eval_docs, text_col, id_col, k).select("shingle").distinct()
+    pos = sh.select(
+        F.explode(F.array(*[_bloom_positions(F.col("shingle"), s) for s in BLOOM_SEEDS])).alias("pos")
+    )
+    return (
+        pos.select(
+            (F.col("pos") / 32).cast("int").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe_contamination(
+    train: DataFrame,
+    bloom_words: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Flag training docs with >= ``min_shared`` distinct k-grams that the
+    bloom filter says may occur in the eval corpus. A SUPERSET of the exact
+    cross_contamination doc set (bloom filters have no false negatives);
+    the survivors go through the exact join — which then runs on a tiny
+    fraction of the corpus. The filter table broadcasts; the train shingle
+    stream never shuffles before the final per-doc count."""
+    t = (
+        word_shingles(train, text_col, id_col, k)
+        .select(F.col(id_col).alias("train_id"), "shingle")
+        .distinct()
+    )
+    probes = t.select(
+        "train_id",
+        "shingle",
+        F.explode(F.array(*[_bloom_positions(F.col("shingle"), s) for s in BLOOM_SEEDS])).alias("pos"),
+    ).select(
+        "train_id",
+        "shingle",
+        (F.col("pos") / 32).cast("int").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("mask"),
+    )
+    hits = (
+        probes.join(F.broadcast(bloom_words), "word_idx", "left")
+        .select(
+            "train_id",
+            "shingle",
+            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) != 0).cast("int").alias("hit"),
+        )
+        .groupBy("train_id", "shingle")
+        .agg(F.sum("hit").alias("n_hits"))
+        .filter(F.col("n_hits") == len(BLOOM_SEEDS))
+    )
+    return (
+        hits.groupBy("train_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_maybe_shared"))
+        .filter(F.col("n_maybe_shared") >= min_shared)
+    )
+
+
 def cross_contamination(
     train: DataFrame,
     eval_docs: DataFrame,

@@ -932,6 +932,57 @@ CURATE_CONTAM_SQL = f"""
 """
 
 
+def curate_bloom_contamination(spark, sf_dir):
+    """Decontamination via a relational bloom filter — the shape for when
+    the eval corpus is itself too large to broadcast as an inverted index:
+    eval k-grams fold into a FIXED-SIZE (word_idx, bits) table via bit_or
+    (KBs regardless of eval size), the train shingle stream probes it with
+    two md5-prefix hash positions per shingle, and docs with >= 2 maybe-
+    shared shingles are flagged. Guaranteed superset of the exact
+    contamination doc set (no false negatives — pinned by a unit test);
+    survivors then go through the exact join at a fraction of corpus cost.
+    Every bit of the filter is plain integer arithmetic, so the oracle
+    constructs the IDENTICAL filter and the row set is hash-exact."""
+    docs = _docs_wide(spark, sf_dir)
+    bloom = dedupe.bloom_build(docs.filter(F.col("source") == "src0"))
+    return dedupe.bloom_probe_contamination(
+        docs.filter(F.col("source") != "src0"), bloom, min_shared=2
+    )
+
+
+def _bloom_pos_sql(seed: int) -> str:
+    from execute_sync_spark.functions.hashing import h32_salted_sql
+
+    return f"{h32_salted_sql('shingle', seed)} % {dedupe.BLOOM_BITS}"
+
+
+CURATE_BLOOM_SQL = f"""
+    WITH {_SHINGLE_CTE},
+    src AS (SELECT doc_id, source FROM documents),
+    esh AS (SELECT DISTINCT shingle FROM sh JOIN src USING (doc_id) WHERE source = 'src0'),
+    epos AS (SELECT unnest([{_bloom_pos_sql(11)}, {_bloom_pos_sql(23)}]) AS pos FROM esh),
+    bloom AS (
+        SELECT CAST(FLOOR(pos / 32) AS INT) AS word_idx,
+               bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+        FROM epos GROUP BY 1),
+    tsh AS (SELECT DISTINCT sh.doc_id AS train_id, shingle
+            FROM sh JOIN src USING (doc_id) WHERE source <> 'src0'),
+    tpos AS (SELECT train_id, shingle,
+                    unnest([{_bloom_pos_sql(11)}, {_bloom_pos_sql(23)}]) AS pos
+             FROM tsh),
+    probes AS (SELECT train_id, shingle, CAST(FLOOR(pos / 32) AS INT) AS word_idx,
+                      CAST(1 AS BIGINT) << CAST(pos % 32 AS INT) AS mask
+               FROM tpos),
+    hits AS (SELECT train_id, shingle,
+                    SUM(CASE WHEN (COALESCE(bits, 0) & mask) <> 0 THEN 1 ELSE 0 END) AS n_hits
+             FROM probes LEFT JOIN bloom USING (word_idx)
+             GROUP BY 1, 2)
+    SELECT train_id, CAST(COUNT(*) AS BIGINT) AS n_maybe_shared
+    FROM hits WHERE n_hits = 2
+    GROUP BY train_id HAVING COUNT(*) >= 2
+"""
+
+
 def curate_pipeline(spark, sf_dir):
     """End-to-end corpus curation, the composite every stage feeds:
     quality gate (token count + alpha ratio) -> exact dedup keeping the
@@ -3358,6 +3409,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_stratified_sample": curate_stratified_sample,
     "curate_weighted_sample": curate_weighted_sample,
     "curate_contamination": curate_contamination,
+    "curate_bloom_contamination": curate_bloom_contamination,
     "curate_quality_rules": curate_quality_rules,
     "curate_pack_sequences": curate_pack_sequences,
     "curate_chunk_windows": curate_chunk_windows,
@@ -3526,6 +3578,7 @@ ORACLES: dict[str, Optional[str]] = {
     "curate_balanced_sample": CURATE_BALANCED_SQL,
     "curate_stratified_sample": CURATE_STRATIFIED_SQL,
     "curate_contamination": CURATE_CONTAM_SQL,
+    "curate_bloom_contamination": CURATE_BLOOM_SQL,
     "curate_pipeline": CURATE_PIPELINE_SQL,
     "sim_cosine_topk": SIM_COSINE_SQL,
     "sim_cosine_topk_vec": SIM_COSINE_SQL,

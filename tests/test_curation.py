@@ -45,3 +45,15 @@ def test_stratified_sample_is_subset_and_scale_free(spark):
     # nested property: raising the rate only ADDS rows (bucket < pct*10)
     assert s10.exceptAll(s20).count() == 0
     assert n10 < n20 < n
+
+
+def test_bloom_contamination_is_superset_of_exact(spark):
+    """Bloom filters have no false negatives: every train doc the exact
+    cross-contamination join flags must also be flagged by the bloom probe
+    (the reverse — false positives — is allowed and expected)."""
+    from tests.conftest import SF_DIR
+    from execute_sync_spark.plans import workload
+
+    exact_ids = {r.train_id for r in workload.curate_contamination(spark, SF_DIR).collect()}
+    bloom_ids = {r.train_id for r in workload.curate_bloom_contamination(spark, SF_DIR).collect()}
+    assert exact_ids <= bloom_ids, exact_ids - bloom_ids
