@@ -50,6 +50,36 @@ FACT_SHIFT_KEYS = {
 # the shifted key remain consistent between replicas
 SHARED_STRIDES = {"o_orderkey": "orderkey", "l_orderkey": "orderkey"}
 
+# Build-complete marker: written LAST by build(), so a partially-built or
+# stale synthesis (testdata regenerates between harness rounds) is detected
+# and rebuilt instead of silently producing meaningless ratio numbers.
+MARKER = "_FINGERPRINT.json"
+
+
+def fingerprint(spark: SparkSession, src_dir: str, factor: int) -> dict:
+    """Identity of a synthesis: source dir + factor + per-source-table row
+    counts (parquet-footer counts — no data scan)."""
+    counts = {
+        t: spark.read.parquet(os.path.join(src_dir, f"{t}.parquet")).count()
+        for t in DIM_TABLES + list(FACT_SHIFT_KEYS)
+    }
+    return {"src_dir": os.path.abspath(src_dir), "factor": factor, "src_rows": counts}
+
+
+def is_current(spark: SparkSession, src_dir: str, dst_dir: str, factor: int) -> bool:
+    """True iff dst holds a COMPLETED synthesis of exactly this source."""
+    import json
+
+    path = os.path.join(dst_dir, MARKER)
+    if not os.path.isfile(path):
+        return False
+    try:
+        with open(path) as f:
+            saved = json.load(f)
+    except (OSError, ValueError):
+        return False
+    return saved == fingerprint(spark, src_dir, factor)
+
 
 def _replicate(df: DataFrame, shift_cols: list[str], strides: dict[str, int], factor: int) -> DataFrame:
     replicas = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__r")
@@ -86,6 +116,12 @@ def build(spark: SparkSession, src_dir: str, dst_dir: str, factor: int = 10) -> 
         _replicate(df, cols, strides, factor).write.mode("overwrite").parquet(
             os.path.join(dst_dir, f"{table}.parquet")
         )
+
+    # marker written last: its presence certifies every table above landed
+    import json
+
+    with open(os.path.join(dst_dir, MARKER), "w") as f:
+        json.dump(fingerprint(spark, src_dir, factor), f, indent=1)
 
 
 def main() -> None:
