@@ -116,7 +116,14 @@ def prune_parquet(spark, path: str, mode: str = "join", partition_by: list[str] 
 
     df = spark.read.format(file_format).load(path)
 
-    if partition_by == ["type"]:
+    if partition_by == ["type"] and mode == "join":
+        # Scoped fast path for JOIN semantics only: the dirty-partition test
+        # below is superseded_rows (an anti-join — join-mode semantics), so
+        # under mode="window" a partition with same-batch tie duplicates but
+        # no superseded rows would wrongly be skipped even though the window
+        # mode exists precisely to collapse those ties; window mode therefore
+        # always takes the full rewrite.
+        #
         # Which partitions hold superseded rows? The distinct-type list is
         # tiny (doc-type cardinality); the scan underneath is the same
         # anti-join D3 preview uses, aggregated map-side to the type key.
@@ -129,13 +136,19 @@ def prune_parquet(spark, path: str, mode: str = "join", partition_by: list[str] 
         tmp = f"{path.rstrip('/')}_pruned_{uuid.uuid4().hex[:8]}"
         kept.write.mode("overwrite").format(file_format).partitionBy("type").save(tmp)
         after = spark.read.format(file_format).load(tmp).count()
-        for t in dirty:
-            src = os.path.join(tmp, f"type={t}")
-            dst = os.path.join(path, f"type={t}")
+        # Swap in every partition dir the rewrite PRODUCED, taking the dir
+        # names from the tmp listing rather than formatting f"type={t}" from
+        # raw values — Spark escapes special characters in partition values,
+        # and a hand-formatted name would silently strand the rewritten
+        # partition while still reporting rows removed.
+        for entry in os.listdir(tmp):
+            src = os.path.join(tmp, entry)
+            if not entry.startswith("type=") or not os.path.isdir(src):
+                continue  # _SUCCESS and friends
+            dst = os.path.join(path, entry)
             if os.path.isdir(dst):
                 shutil.rmtree(dst)
-            if os.path.isdir(src):
-                os.rename(src, dst)
+            os.rename(src, dst)
         shutil.rmtree(tmp, ignore_errors=True)
         return before - after
 

@@ -152,3 +152,64 @@ def test_compact_files_binpacks_partitions(spark, tmp_path):
     assert sorted(map(tuple, sink.read().collect())) == before_rows
     # idempotent: nothing left to compact
     assert sink.compact_files(target_mb=128) == {}
+
+
+def test_window_prune_collapses_ties_in_clean_partitions(spark, tmp_path):
+    """mode="window" must take the FULL rewrite: the dirty-partition test is
+    join-semantics (superseded_rows), so a partition holding same-batch tie
+    duplicates but no superseded rows would be skipped by the scoped path —
+    exactly the rows window mode exists to collapse."""
+    from datetime import datetime
+
+    from execute_sync_spark.operators.dedup import prune_parquet
+
+    d0, d1 = datetime(2026, 3, 1), datetime(2026, 3, 2)
+    rows = [
+        # type=AFE: exact same-batch tie duplicate, NO superseded rows
+        ("AFE", "a", 1, 0, d1, "p1"),
+        ("AFE", "a", 1, 0, d1, "p1-dup"),
+        # type=VENDOR: genuinely superseded older batch copy
+        ("VENDOR", "v", 1, 0, d0, "old"),
+        ("VENDOR", "v", 1, 0, d1, "new"),
+    ]
+    df = spark.createDataFrame(
+        rows, "type string, id string, version int, chunk int, batch_date timestamp, payload string"
+    )
+    path = str(tmp_path / "wh")
+    df.write.partitionBy("type").parquet(path)
+
+    removed = prune_parquet(spark, path, mode="window", partition_by=["type"])
+    assert removed == 2
+    out = spark.read.parquet(path)
+    assert out.count() == 2
+    afe = out.filter("type = 'AFE'").collect()
+    assert len(afe) == 1  # the tie collapsed even though AFE had no superseded row
+
+
+def test_scoped_prune_survives_escaped_partition_values(spark, tmp_path):
+    """A type value Spark must escape in the partition dir name (':' ->
+    %3A) goes through the scoped rewrite without stranding the partition:
+    the swap walks the tmp directory's ACTUAL listing instead of
+    hand-formatting f"type={t}" from the raw value."""
+    from datetime import datetime
+
+    from execute_sync_spark.operators.dedup import prune_parquet
+
+    d0, d1 = datetime(2026, 3, 1), datetime(2026, 3, 2)
+    rows = [
+        ("A:B", "x", 1, 0, d0, "old"),
+        ("A:B", "x", 1, 0, d1, "new"),
+        ("PLAIN", "y", 1, 0, d1, "keep"),
+    ]
+    df = spark.createDataFrame(
+        rows, "type string, id string, version int, chunk int, batch_date timestamp, payload string"
+    )
+    path = str(tmp_path / "wh")
+    df.write.partitionBy("type").parquet(path)
+
+    removed = prune_parquet(spark, path, mode="join", partition_by=["type"])
+    assert removed == 1
+    out = spark.read.parquet(path)
+    assert out.count() == 2
+    kept = {(r.type, r.payload) for r in out.collect()}
+    assert kept == {("A:B", "new"), ("PLAIN", "keep")}
