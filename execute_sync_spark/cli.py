@@ -82,9 +82,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--force", dest="force", action="store_const", const=True)
     p.add_argument("--compat-chunking", dest="compat_chunking", action="store_const", const=True)
     p.add_argument("--max-iterations", type=int, default=None, help="bound the sync loop (tests)")
+    p.add_argument("--dialect", choices=["snowflake", "databricks", "sqlserver"], default=None,
+                   help="create_views: emit this warehouse dialect's DDL instead of the Spark views")
+    p.add_argument("--dry-run", action="store_true",
+                   help="create_views --dialect: print the DDL without executing anything")
     args = p.parse_args(argv)
 
-    cfg = resolve_config({k: v for k, v in vars(args).items() if k not in ("command", "max_iterations")})
+    cfg = resolve_config({k: v for k, v in vars(args).items()
+                          if k not in ("command", "max_iterations", "dialect", "dry_run")})
 
     if args.command == "version":
         print(__version__)
@@ -99,6 +104,20 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.command == "config":
         print(json.dumps(cfg.redacted(), indent=2))
+        return 0
+    if args.command == "create_views" and args.dialect:
+        # Generated-DDL parity mode: emit the reference warehouse's bootstrap
+        # + view-forest SQL as text (sinks/ddl.py) — no warehouse connection,
+        # no Spark session. Currently always a dry run (no live warehouse
+        # driver in this environment); --dry-run is accepted for
+        # forward-compatibility and clarity.
+        from execute_sync_spark.sinks import ddl
+
+        stmts = ddl.generate(args.dialect, _load_schema(cfg, _build_source(cfg)))
+        print(";\n\n".join(stmts) + ";")
+        if not args.dry_run:
+            print(f"-- NOTE: no live {args.dialect} connection in this build; "
+                  "DDL emitted as dry run", file=sys.stderr)
         return 0
 
     from execute_sync_spark.session import get_spark

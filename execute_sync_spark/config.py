@@ -1,7 +1,12 @@
 """Config resolution with reference parity (config.go:14-29, 92-166):
-defaults < EXECUTESYNC_* env < CLI flags. Field set mirrors the reference;
-DATABASE_TYPE gains spark-native values (parquet, jdbc) and EXECUTE_URL may
-be a ``file://`` feed directory (the file-based source)."""
+defaults < ``.env`` file < EXECUTESYNC_* env < CLI flags. Field set mirrors
+the reference; DATABASE_TYPE gains spark-native values (parquet, jdbc) and
+EXECUTE_URL may be a ``file://`` feed directory (the file-based source).
+
+The ``.env`` file (or fallback ``config.env``) is read from the working
+directory like the reference (config.go:99-108, godotenv). godotenv.Load
+never overrides variables already present in the process environment, so the
+file sits BELOW process env in precedence — mirrored here."""
 
 from __future__ import annotations
 
@@ -64,13 +69,44 @@ def _coerce(value: str, target_type: type):
     return value
 
 
-def resolve_config(cli_overrides: Optional[dict] = None) -> Config:
-    """defaults < env < CLI flags (None CLI values are ignored)."""
+def _load_env_file(path: str) -> dict[str, str]:
+    """Minimal dotenv parser: KEY=VALUE lines, ``#`` comments, optional
+    ``export `` prefix, optional single/double quotes around the value."""
+    out: dict[str, str] = {}
+    try:
+        with open(path) as f:
+            lines = f.readlines()
+    except OSError:
+        return out
+    for line in lines:
+        line = line.strip()
+        if not line or line.startswith("#") or "=" not in line:
+            continue
+        if line.startswith("export "):
+            line = line[len("export "):]
+        key, _, value = line.partition("=")
+        key, value = key.strip(), value.strip()
+        if len(value) >= 2 and value[0] == value[-1] and value[0] in "'\"":
+            value = value[1:-1]
+        if key:
+            out[key] = value
+    return out
+
+
+def resolve_config(cli_overrides: Optional[dict] = None,
+                   env_file: Optional[str] = None) -> Config:
+    """defaults < .env file < env < CLI flags (None CLI values ignored)."""
+    if env_file is None:
+        # reference order: .env, else config.env, from CWD (config.go:99-108)
+        env_file = ".env" if os.path.isfile(".env") else "config.env"
+    file_env = _load_env_file(env_file)
     cfg = Config()
     for f in fields(Config):
         env_name = _FIELD_ENV.get(f.name)
         if env_name:
             raw = os.environ.get(_ENV_PREFIX + env_name)
+            if raw is None:
+                raw = file_env.get(_ENV_PREFIX + env_name)
             if raw is not None:
                 setattr(cfg, f.name, _coerce(raw, f.type if isinstance(f.type, type) else type(getattr(cfg, f.name))))
     for key, value in (cli_overrides or {}).items():

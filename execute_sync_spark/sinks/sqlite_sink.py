@@ -37,6 +37,7 @@ from datetime import datetime
 from pyspark.sql import DataFrame, SparkSession
 
 from execute_sync_spark.landing.schema import LANDING_COLUMNS, LANDING_SCHEMA
+from execute_sync_spark.sinks.ddl import _check_ident
 from execute_sync_spark.schema.model import (
     SCALAR_TYPES,
     T_DOCUMENT,
@@ -89,32 +90,35 @@ class SqliteSink:
 
     # -- Database interface (warehouse.go:29-33) ---------------------------
 
-    def append(self, landed: DataFrame, txn_id: str | None = None) -> int:
-        """One transaction of INSERT OR REPLACE on the composite PK."""
-        rows = [
-            (
-                _iso(r.batch_date),
-                r.type,
-                r.id,
-                r.version,
-                r.chunk,
-                r.author,
-                _iso(r.date),
-                bool(r.deleted),
-                r.data,
-            )
-            for r in landed.select(*LANDING_COLUMNS).collect()
-        ]
-        if not rows:
-            return 0
+    def append(self, landed: DataFrame, txn_id: str | None = None,
+               batch_rows: int = 10_000) -> int:
+        """One transaction of INSERT OR REPLACE on the composite PK.
+
+        The embedded single-file DB forces rows through the driver, but via
+        ``toLocalIterator`` + chunked ``executemany`` so driver memory is
+        bounded by ``batch_rows``, not the sync size — one Spark partition at
+        a time is materialized, never the whole batch."""
+        sql = (
+            f"INSERT OR REPLACE INTO {TABLE}"
+            " (BATCH_DATE, TYPE, ID, VERSION, CHUNK, AUTHOR, DATE, DELETED, DATA)"
+            " VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)"
+        )
+        n = 0
         with self._connect() as con:
-            con.executemany(
-                f"INSERT OR REPLACE INTO {TABLE}"
-                " (BATCH_DATE, TYPE, ID, VERSION, CHUNK, AUTHOR, DATE, DELETED, DATA)"
-                " VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)",
-                rows,
-            )
-        return len(rows)
+            buf: list[tuple] = []
+            for r in landed.select(*LANDING_COLUMNS).toLocalIterator():
+                buf.append((
+                    _iso(r.batch_date), r.type, r.id, r.version, r.chunk,
+                    r.author, _iso(r.date), bool(r.deleted), r.data,
+                ))
+                if len(buf) >= batch_rows:
+                    con.executemany(sql, buf)
+                    n += len(buf)
+                    buf.clear()
+            if buf:
+                con.executemany(sql, buf)
+                n += len(buf)
+        return n
 
     def prune(self) -> int:
         """D3 as in-warehouse DML — the reference's targeted anti-join DELETE
@@ -163,9 +167,13 @@ class SqliteSink:
                         FROM {TABLE} GROUP BY TYPE, ID)"""
             )
             for doc_type, doc_schema in root.items():
-                self._create_view(con, created, doc_type, doc_type, doc_schema,
-                                  parent=None, json_field="DATA", json_root="$",
-                                  flatten="")
+                # doc types / field names come from the externally-fetched
+                # schema and are interpolated into DDL — validate them first
+                # (the reference interpolates raw; a quoted or spaced name
+                # would break or inject SQL in the warehouse)
+                self._create_view(con, created, _check_ident(doc_type), doc_type,
+                                  doc_schema, parent=None, json_field="DATA",
+                                  json_root="$", flatten="")
         return created
 
     # -- recursive per-type view generator (sqlite.go:200-270) -------------
@@ -196,6 +204,7 @@ class SqliteSink:
         for fname, fmeta in schema.items():
             if fname == "DOCUMENT_ID":
                 continue
+            _check_ident(fname)
             if fmeta.type in SCALAR_TYPES:
                 cols.append(f"json_extract({json_field}, '{json_root}.{fname}') AS {fname}")
             elif fmeta.type == T_DOCUMENT:

@@ -135,3 +135,36 @@ def test_orc_sink_roundtrip(spark, tmp_path):
     # partitioned layout preserved, typed reads work
     afe = sink.read().filter(F.col("type") == "AFE")
     assert afe.count() == 6
+
+
+def test_sqlite_append_bounded_batches(spark, tmp_path):
+    """Driver memory for the embedded sink is bounded by batch_rows:
+    toLocalIterator + chunked executemany must land every row (and stay
+    idempotent on the PK) even when the chunk is far smaller than the
+    batch."""
+    from execute_sync_spark.sinks import SqliteSink
+
+    sink = SqliteSink(spark, str(tmp_path / "wh.sqlite"))
+    landed = land_ndjson_lines(spark, feed.batch_lines()[0], feed.BATCH_DATES[0],
+                               chunk_size=feed.CHUNK_SIZE)
+    total = landed.count()
+    assert total > 3
+    assert sink.append(landed, batch_rows=3) == total
+    (n,) = sink.query("SELECT COUNT(*) FROM EXECUTE_DOCUMENTS")[0]
+    assert n == total
+    # replay: INSERT OR REPLACE on the PK keeps the count stable
+    assert sink.append(landed, batch_rows=3) == total
+    (n,) = sink.query("SELECT COUNT(*) FROM EXECUTE_DOCUMENTS")[0]
+    assert n == total
+
+
+def test_sqlite_views_reject_unsafe_schema_identifiers(spark, tmp_path):
+    from execute_sync_spark.schema.model import parse_root_schema
+    from execute_sync_spark.sinks import SqliteSink
+
+    import pytest
+
+    sink = SqliteSink(spark, str(tmp_path / "wh.sqlite"))
+    bad = parse_root_schema({"AFE": {"BAD FIELD": {"TYPE": "TEXT"}}})
+    with pytest.raises(ValueError, match="unsafe identifier"):
+        sink.create_views(bad)

@@ -154,6 +154,39 @@ def test_config_precedence(monkeypatch):
     assert cfg.include_calcs is True  # env still applies where no flag
 
 
+def test_config_env_file(monkeypatch, tmp_path):
+    """.env loading (config.go:99-108): defaults < file < env < flags."""
+    env_file = tmp_path / ".env"
+    env_file.write_text(
+        "# comment\n"
+        "EXECUTESYNC_MAX_DOCUMENTS=123\n"
+        "export EXECUTESYNC_WAIT=42\n"
+        'EXECUTESYNC_EXECUTE_URL="https://example.test/api"\n'
+        "malformed line without equals ignored? no - has no =\n"
+    )
+    cfg = resolve_config(env_file=str(env_file))
+    assert cfg.max_documents == 123          # file beats default
+    assert cfg.wait == 42                    # export prefix stripped
+    assert cfg.execute_url == "https://example.test/api"  # quotes stripped
+
+    monkeypatch.setenv("EXECUTESYNC_MAX_DOCUMENTS", "55")
+    cfg = resolve_config(env_file=str(env_file))
+    assert cfg.max_documents == 55           # process env beats file (godotenv)
+    assert cfg.wait == 42
+
+    cfg = resolve_config({"max_documents": 77}, env_file=str(env_file))
+    assert cfg.max_documents == 77           # flags beat both
+
+    # CWD discovery: .env preferred over config.env
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "config.env").write_text("EXECUTESYNC_WAIT=7\n")
+    cfg = resolve_config()
+    assert cfg.wait == 42                    # .env wins
+    env_file.unlink()
+    cfg = resolve_config()
+    assert cfg.wait == 7                     # falls back to config.env
+
+
 def test_cli_push_and_views(spark, feed_dir, tmp_path, capsys):
     from execute_sync_spark.cli import main
 
