@@ -104,7 +104,10 @@ def minhash_signatures(
     array_min over per-row transform() — is ~5x slower in practice: Spark
     evaluates higher-order-function lambdas interpreted, and CollapseProject
     inlines the shared shingle/hash arrays into every one of the k min
-    columns, recomputing them k times.)"""
+    columns, recomputing them k times.)
+
+    Sizing num_hashes/shingle_k at corpus scale: COVERAGE.md "Scale tuning
+    knobs"."""
     assert num_hashes <= len(MINHASH_A)
     hashed = word_shingles(docs, text_col, id_col, k=shingle_k).select(
         F.col(id_col), h32("shingle").alias("h")
@@ -150,7 +153,8 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become a candidate
     pair. Join key is (band_index, band values) — the full cross product is
-    never formed."""
+    never formed. Sizing band_size/bands vs similarity threshold:
+    COVERAGE.md "Scale tuning knobs"."""
     buckets = band_buckets(signatures, id_col, num_hashes, band_size)
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -212,16 +216,22 @@ def ngram_jaccard_pairs(
     before the join bounds the blowup (standard near-dup practice). Note the
     similarity is then measured over the RARE-shingle space: intersection
     counts only shrink, but ratios can rise because document sizes shrink
-    too. Default off for exact semantics (and the oracle)."""
+    too. Default off for exact semantics (and the oracle). Sizing max_df:
+    COVERAGE.md "Scale tuning knobs"."""
     sh = word_shingles(docs, text_col, id_col, k=shingle_k)
     if max_df is not None:
+        # NOTE: no broadcast hint — the kept (df<=max_df) shingle set IS most
+        # of the vocabulary at corpus scale (rare shingles dominate any
+        # Zipf-ish corpus), so an unconditional broadcast would OOM the
+        # driver at 100 TB. Both sides are shingle-keyed; the semi-join
+        # shuffles once, and AQE still picks broadcast when genuinely small.
         rare = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") <= max_df)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(rare), "shingle", "left_semi")
+        sh = sh.join(rare, "shingle", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

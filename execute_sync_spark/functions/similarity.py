@@ -202,7 +202,8 @@ def blocked_near_dup_pairs_vectorized(
     block computes the block's full cosine matrix in BLAS and emits only
     pairs >= threshold. The shuffle is one partition per block key; work is
     quadratic only within blocks (at scale the block key is an LSH bucket /
-    IVF cell, keeping blocks bounded)."""
+    IVF cell, keeping blocks bounded). Sizing blocks: COVERAGE.md "Scale
+    tuning knobs"."""
     import numpy as np
     import pandas as pd
 
@@ -305,7 +306,8 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate top-k: search only the query's own centroid cell (IVF).
 
-    See also lsh_topk below — the training-free blocking alternative."""
+    See also lsh_topk below — the training-free blocking alternative.
+    Sizing n_cells: COVERAGE.md "Scale tuning knobs"."""
     cells = assign_cells(corpus, centroids, id_col, vec_col)
     q = assign_cells(queries, centroids, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cell_id"
@@ -393,7 +395,8 @@ def lsh_topk(
     buckets, not the whole corpus. The (small) query side is broadcast —
     the corpus never shuffles; on a corpus table clustered by (table,
     bucket) the probe becomes a pruned scan. Tune b (bits/table) to corpus
-    size and L (tables) to the recall target."""
+    size and L (tables) to the recall target (COVERAGE.md "Scale tuning
+    knobs")."""
     tables = tables or LSH_TABLES
     c = _with_table_buckets(
         corpus.select(F.col(id_col), _as_double(vec_col).alias("cv")), "cv", tables
