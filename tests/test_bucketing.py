@@ -56,9 +56,10 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
 
 def test_approx_distinct_error_bound(spark):
     """HLL++ rsd=0.02 stays within 5% of exact on this data. The declared
-    query now emits exact counts plus in-query range-check booleans (so the
-    driver can hash-compare it); this test independently pins the raw-sketch
-    error bound and that the query's checks agree."""
+    query emits exact counts plus in-query range-check booleans at a
+    deliberately loose ±20% (~10x rsd — so a regenerated-testdata draw can't
+    spuriously fail the driver gate); this test pins the TIGHT 5% raw-sketch
+    error bound independently, and that the query's checks agree."""
     from execute_sync_spark.plans import workload
 
     rows = workload.q_approx_distinct(spark, "/root/testdata/sf0.001").collect()
