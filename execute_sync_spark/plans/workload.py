@@ -2417,14 +2417,14 @@ def stream_enrich_join(spark, sf_dir):
     """Stream-static join: the events stream enriched against the static
     customer dimension (broadcast per micro-batch), then aggregated per
     market segment — the streaming form of dimension enrichment."""
-    import tempfile
     import uuid
+
+    from execute_sync_spark.streaming.util import stage_stream_dir
 
     path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
-    stream_dir = tempfile.mkdtemp(prefix="stream_enrich_")
-    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    stream_dir = stage_stream_dir(path, prefix="stream_enrich_")
     stream = spark.readStream.schema(schema).parquet(stream_dir)
 
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")

@@ -16,7 +16,6 @@ stream."""
 from __future__ import annotations
 
 import os
-import tempfile
 from typing import Iterator, Tuple
 
 import pandas as pd
@@ -156,11 +155,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin for foreign sessions; read at execution time so not restorable
     # here — session.get_spark sets it at construction (no-op there)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    from execute_sync_spark.streaming.util import stream_input_schema
+    from execute_sync_spark.streaming.util import stage_stream_dir, stream_input_schema
 
     schema = stream_input_schema(spark, path)
-    stream_dir = tempfile.mkdtemp(prefix="stream_sess_")
-    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    stream_dir = stage_stream_dir(path, prefix="stream_sess_")
     stream = spark.readStream.schema(schema).parquet(stream_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

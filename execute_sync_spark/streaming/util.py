@@ -4,11 +4,43 @@ submission on a shared SparkSession."""
 
 from __future__ import annotations
 
+import os
+import tempfile
 import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+
+def stage_stream_dir(path: str, prefix: str = "stream_", replicas: int = 1) -> str:
+    """Expose a parquet source to the FILE-stream reader via a temp dir of
+    symlinks (testdata is read-only; the file-stream source needs a
+    directory of data files).
+
+    ``path`` may be a single parquet FILE (testdata ships those) or a
+    Spark-WRITTEN DIRECTORY of part-files (e.g. the 10x scale synthesis).
+    The directory case must link the individual part-files: symlinking the
+    directory itself makes the non-recursive file-stream listing silently
+    see ZERO files — every streaming query "succeeds" on an empty stream
+    (caught in round 5 when all stream_* 10x timings collapsed to ~0.2 s).
+
+    ``replicas`` links the same source N times under distinct names — the
+    at-least-once replay shape the streaming-dedup query exercises."""
+    stream_dir = tempfile.mkdtemp(prefix=prefix)
+    if os.path.isdir(path):
+        parts = [f for f in sorted(os.listdir(path))
+                 if not f.startswith(("_", "."))]
+        if not parts:
+            raise ValueError(f"no data files under parquet dir {path!r}")
+        for r in range(replicas):
+            for f in parts:
+                os.symlink(os.path.join(path, f),
+                           os.path.join(stream_dir, f"r{r}_{f}"))
+    else:
+        for r in range(replicas):
+            os.symlink(path, os.path.join(stream_dir, f"events_r{r}.parquet"))
+    return stream_dir
 
 
 def stream_input_schema(spark: SparkSession, path: str) -> T.StructType:

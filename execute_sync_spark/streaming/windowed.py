@@ -34,15 +34,10 @@ def stream_window_counts(
     # pin for foreign sessions; read at execution time so not restorable
     # here — session.get_spark sets it at construction (no-op there)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    from execute_sync_spark.streaming.util import stream_input_schema
+    from execute_sync_spark.streaming.util import stage_stream_dir, stream_input_schema
 
     schema = stream_input_schema(spark, path)
-    # the file-stream source requires a *directory*; expose the single file
-    # through a temp dir of symlinks (testdata is read-only)
-    import tempfile
-
-    stream_dir = tempfile.mkdtemp(prefix="stream_events_")
-    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    stream_dir = stage_stream_dir(path, prefix="stream_events_")
     stream = spark.readStream.schema(schema).parquet(stream_dir)
     if "ts" in stream.columns and dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
@@ -87,13 +82,10 @@ def stream_sliding_counts(
     # pin for foreign sessions; read at execution time so not restorable
     # here — session.get_spark sets it at construction (no-op there)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    from execute_sync_spark.streaming.util import stream_input_schema
+    from execute_sync_spark.streaming.util import stage_stream_dir, stream_input_schema
 
     schema = stream_input_schema(spark, path)
-    import tempfile
-
-    stream_dir = tempfile.mkdtemp(prefix="stream_slide_")
-    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    stream_dir = stage_stream_dir(path, prefix="stream_slide_")
     stream = spark.readStream.schema(schema).parquet(stream_dir)
     if "ts" in stream.columns and dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
@@ -128,18 +120,14 @@ def stream_dedup_events(
 
     Batch-parity: duplicates carry identical payloads, so the kept-first
     result equals SELECT DISTINCT over the backlog."""
-    import tempfile
-
     path = os.path.join(sf_dir, "events.parquet")
     # pin for foreign sessions; read at execution time so not restorable
     # here — session.get_spark sets it at construction (no-op there)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    from execute_sync_spark.streaming.util import stream_input_schema
+    from execute_sync_spark.streaming.util import stage_stream_dir, stream_input_schema
 
     schema = stream_input_schema(spark, path)
-    stream_dir = tempfile.mkdtemp(prefix="stream_dedup_")
-    os.symlink(path, os.path.join(stream_dir, "events_a.parquet"))
-    os.symlink(path, os.path.join(stream_dir, "events_b.parquet"))
+    stream_dir = stage_stream_dir(path, prefix="stream_dedup_", replicas=2)
     stream = spark.readStream.schema(schema).parquet(stream_dir)
     if "ts" in stream.columns and dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

@@ -67,3 +67,40 @@ def test_sync_once_crash_replay_exactly_once(spark, tmp_path):
     # absorb all three pages
     assert sync_once(spark, FileFeedSource(str(feed_dir)), sink, state) == 0
     assert sink.read().count() == n1
+
+
+def test_stage_stream_dir_handles_directory_sources(spark, tmp_path):
+    """Streaming queries must see the SAME rows whether the source is a
+    single parquet file (testdata) or a Spark-written directory of
+    part-files (the 10x synthesis). Symlinking a directory into the stream
+    dir makes the non-recursive file-stream listing silently process an
+    EMPTY stream — caught in round 5 when every stream_* 10x timing
+    collapsed to ~0.2 s."""
+    import os
+
+    from execute_sync_spark.streaming.util import stage_stream_dir
+
+    src_file = "/root/testdata/sf0.001/events.parquet"
+    n_expected = spark.read.parquet(src_file).count()
+
+    # Spark-written directory form of the same data, multiple part-files
+    src_dir = str(tmp_path / "events.parquet")
+    spark.read.parquet(src_file).repartition(3).write.parquet(src_dir)
+
+    for src in (src_file, src_dir):
+        staged = stage_stream_dir(src, prefix="t_stage_")
+        got = spark.read.parquet(staged).count()
+        assert got == n_expected, (src, got, n_expected)
+
+    # replicas: the dedup double-replay shape
+    staged2 = stage_stream_dir(src_dir, prefix="t_stage2_", replicas=2)
+    assert spark.read.parquet(staged2).count() == 2 * n_expected
+
+    # directory with no data files is an explicit error, not an empty stream
+    empty = tmp_path / "empty.parquet"
+    empty.mkdir()
+    (empty / "_SUCCESS").touch()
+    import pytest
+
+    with pytest.raises(ValueError, match="no data files"):
+        stage_stream_dir(str(empty))
