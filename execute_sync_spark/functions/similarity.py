@@ -191,6 +191,70 @@ def quantized_topk(
     )
 
 
+def quantized_topk_vectorized(
+    quantized: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """BLAS path for exact-over-quantized top-k — same semantics as
+    ``quantized_topk`` (int8 corpus, float queries, scale cancels in
+    cosine), same local-top-k prune + global merge as
+    ``cosine_topk_vectorized``: one matrix product per Arrow batch instead
+    of per-element HOF lambdas (interpreted; measured 24.9x wall at 10x
+    data vs ~2x for this path). Queries broadcast; the corpus never
+    shuffles beyond the final per-query k-row merge."""
+    import numpy as np
+    import pandas as pd
+
+    spark = quantized.sparkSession
+    qpdf = queries.select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv")).toPandas()
+    qids = qpdf["qid"].to_numpy()
+    Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, Qn))
+
+    out_schema = "query_id long, neighbor_id long, cos_sim_q double"
+
+    def topk_per_batch(batches):
+        bqids, bQn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            C = np.stack(pdf["qvec"].to_numpy()).astype(np.float64)
+            # int-valued doubles; norms exact, IEEE division like the
+            # expression path (zero vectors yield NaN either way)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+                S = Cn @ bQn.T
+            for j, qid in enumerate(bqids):
+                col = _np_round_half_up(S[:, j], 4)
+                cand_idx = np.nonzero(ids != qid)[0]
+                if len(cand_idx) == 0:
+                    continue
+                # local selection key == global merge key ((sim desc, id
+                # asc) on the ROUNDED score) so pruning can't change ranks
+                order = np.lexsort((ids[cand_idx], -col[cand_idx]))
+                top = cand_idx[order[:k]]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": ids[top],
+                        "cos_sim_q": col[top],
+                    }
+                )
+
+    local = quantized.select(id_col, "qvec").mapInPandas(topk_per_batch, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim_q"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim_q")
+    )
+
+
 def blocked_near_dup_pairs_vectorized(
     corpus: DataFrame,
     block_col: str = "label",
@@ -324,6 +388,92 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def ivf_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """BLAS path for IVF top-k — same semantics as ``ivf_topk`` (search only
+    the query's own centroid cell; argmax assignment tie-breaks to the
+    lowest cell_id) but both the cell assignment and the in-cell scoring run
+    as one matrix product per Arrow batch instead of per-element HOF
+    lambdas (interpreted; 18.5x wall at 10x data for the expression form).
+
+    Centroids (cells x dims) and the per-cell query groups are broadcast;
+    the corpus never shuffles — assignment happens inline in the same pass
+    as scoring, and only per-query local top-k rows reach the final k-row
+    merge. At real scale, persist ``assign_cells`` output partitioned by
+    cell instead, and this probe becomes a partition-pruned scan."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    cent_pdf = (
+        centroids.select(F.col(id_col).alias("cell_id"), _as_double(vec_col).alias("cv"))
+        .toPandas()
+        .sort_values("cell_id")  # argmax first-max => lowest cell_id on ties
+    )
+    cell_ids = cent_pdf["cell_id"].to_numpy()
+    Cent = np.stack(cent_pdf["cv"].to_numpy()).astype(np.float64)
+    CentN = Cent / np.linalg.norm(Cent, axis=1, keepdims=True)
+
+    qpdf = queries.select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv")).toPandas()
+    qids = qpdf["qid"].to_numpy()
+    Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_cells = cell_ids[np.argmax(Qn @ CentN.T, axis=1)]
+    by_cell = {int(c): (qids[q_cells == c], Qn[q_cells == c]) for c in np.unique(q_cells)}
+    bc = spark.sparkContext.broadcast((cell_ids, CentN, by_cell))
+
+    out_schema = "query_id long, neighbor_id long, cos_sim double"
+
+    def topk_per_batch(batches):
+        b_cell_ids, b_CentN, b_by_cell = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            C = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+                cells = b_cell_ids[np.argmax(Cn @ b_CentN.T, axis=1)]
+            for c, (cq_ids, cQn) in b_by_cell.items():
+                mask = cells == c
+                if not mask.any() or len(cq_ids) == 0:
+                    continue
+                sub_ids = ids[mask]
+                S = Cn[mask] @ cQn.T
+                for j, qid in enumerate(cq_ids):
+                    col = _np_round_half_up(S[:, j], 4)
+                    cand = np.nonzero(sub_ids != qid)[0]
+                    if len(cand) == 0:
+                        continue
+                    # local selection key == global merge key ((rounded sim
+                    # desc, id asc)) so pruning can't change ranks
+                    order = np.lexsort((sub_ids[cand], -col[cand]))
+                    top = cand[order[:k]]
+                    yield pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": sub_ids[top],
+                            "cos_sim": col[top],
+                        }
+                    )
+
+    local = corpus.select(id_col, _as_double(vec_col).alias("v")).mapInPandas(
+        topk_per_batch, schema=out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )

@@ -1101,10 +1101,13 @@ def sim_quantized_topk(spark, sf_dir):
     int arrays with no dequantize pass; ranking deviates from exact float
     search only by the <=0.8% per-dim rounding error. The oracle reproduces
     the identical quantization arithmetic, so this row is hash-exact, not
-    approximate-by-oracle."""
+    approximate-by-oracle. Declared path is the BLAS batch-matrix form
+    (round-5 promotion: the per-element HOF form measured 24.9x wall at 10x
+    data); ``similarity.quantized_topk`` stays as the expression twin with
+    a pytest agreement test (test_round2_ops.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     quant = similarity.quantize_embeddings(emb)
-    return similarity.quantized_topk(quant, emb.filter(F.col("vec_id") < 10), k=5)
+    return similarity.quantized_topk_vectorized(quant, emb.filter(F.col("vec_id") < 10), k=5)
 
 
 SIM_QUANT_SQL = """
@@ -1130,10 +1133,15 @@ SIM_QUANT_SQL = """
 
 
 def sim_ivf_topk(spark, sf_dir):
+    """IVF ANN probe. Declared path is the BLAS batch form (round-5
+    promotion: inline assignment + in-cell scoring, zero corpus shuffle;
+    the HOF-expression form measured 18.5x wall at 10x data);
+    ``similarity.ivf_topk`` stays as the expression twin with a pytest
+    agreement test (test_round2_ops.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < 8)
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.ivf_topk(emb, queries, centroids, k=3)
+    return similarity.ivf_topk_vectorized(emb, queries, centroids, k=3)
 
 
 _COS_RAW = "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"

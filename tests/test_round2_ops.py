@@ -101,6 +101,34 @@ def test_lsh_topk_vectorized_matches_expression_twin(spark):
     assert a == b
 
 
+def test_quantized_topk_vectorized_matches_expression_twin(spark):
+    """Round-5 BLAS promotion of the declared sim_quantized_topk path: the
+    batch-matrix form and the HOF-expression form must emit identical rows
+    (same neighbors, same HALF_UP-rounded scores, same ranks)."""
+    from execute_sync_spark.functions import similarity
+
+    emb = _emb(spark)
+    quant = similarity.quantize_embeddings(emb)
+    q = emb.filter(F.col("vec_id") < 10)
+    a = sorted(map(tuple, similarity.quantized_topk(quant, q, k=5).collect()))
+    b = sorted(map(tuple, similarity.quantized_topk_vectorized(quant, q, k=5).collect()))
+    assert a == b
+
+
+def test_ivf_topk_vectorized_matches_expression_twin(spark):
+    """Round-5 BLAS promotion of the declared sim_ivf_topk path: inline
+    assignment + in-cell scoring must reproduce the expression form exactly
+    (same cells, same neighbors, same rounded scores, same ranks)."""
+    from execute_sync_spark.functions import similarity
+
+    emb = _emb(spark)
+    centroids = emb.filter(F.col("vec_id") < 8)
+    q = emb.filter(F.col("vec_id") < 10)
+    a = sorted(map(tuple, similarity.ivf_topk(emb, q, centroids, k=3).collect()))
+    b = sorted(map(tuple, similarity.ivf_topk_vectorized(emb, q, centroids, k=3).collect()))
+    assert a == b
+
+
 def test_lsh_multiprobe_dominates_single_probe(spark):
     """Hamming-1 probing must be a candidate-superset of single-probe: equal
     or better recall against the exact ranker (measured 98% vs 66%)."""
