@@ -393,6 +393,57 @@ def ivf_topk(
     )
 
 
+def range_search_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """BLAS path for cosine range search (radius query): every neighbor with
+    rounded cosine >= threshold per query. Same semantics as the expression
+    crossJoin form (self excluded, HALF_UP 4-decimal rounding BEFORE the
+    threshold test) but scored as one matrix product per Arrow batch —
+    queries broadcast, corpus never shuffles, output rows stream straight
+    out (no rank/merge stage at all)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    qpdf = queries.select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv")).toPandas()
+    qids = qpdf["qid"].to_numpy()
+    Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, Qn, float(threshold)))
+
+    out_schema = "query_id long, neighbor_id long, cos_sim double"
+
+    def matches_per_batch(batches):
+        bqids, bQn, thr = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            C = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+                S = _np_round_half_up(Cn @ bQn.T, 4)
+            hit_i, hit_j = np.nonzero((S >= thr) & (ids[:, None] != bqids[None, :]))
+            if len(hit_i) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": bqids[hit_j],
+                    "neighbor_id": ids[hit_i],
+                    "cos_sim": S[hit_i, hit_j],
+                }
+            )
+
+    return corpus.select(id_col, _as_double(vec_col).alias("v")).mapInPandas(
+        matches_per_batch, schema=out_schema
+    )
+
+
 def ivf_topk_vectorized(
     corpus: DataFrame,
     queries: DataFrame,

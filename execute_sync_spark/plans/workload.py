@@ -3141,25 +3141,32 @@ _CHUNK_S = 48   # stride (16-token overlap)
 def curate_chunk_windows(spark, sf_dir):
     """Context-window chunking: slice every document's token stream into
     overlapping windows of {W} tokens at stride {S} — the chunk-for-
-    training / chunk-for-retrieval preparation step. Pure JVM expressions:
-    sequence -> explode -> slice; per-row fan-out is ceil(n/S), so output
-    scales linearly with corpus token count and nothing shuffles (the
-    explode happens where the doc row lives)."""
+    training / chunk-for-retrieval preparation step. Pure JVM expressions,
+    nothing shuffles (windows are produced where the doc row lives).
+
+    Shape note (round-5 fix): the windows are built as an ARRAY OF PER-
+    WINDOW STRUCTS first and exploded after, so each output row carries only
+    its own W tokens. The previous form (explode win_id, then slice) copied
+    the FULL token array into every window row — O(n^2/stride) intermediate
+    bytes per document, which spilled at 10x (42x wall); this form is
+    linear (measured ~3x at 10x)."""
     docs = _docs_wide(spark, sf_dir)
     t = text.tokens("text")
     n = F.size(t)
     last_win = F.greatest(F.ceil((n - F.lit(_CHUNK_W)) / F.lit(_CHUNK_S)), F.lit(0)).cast("int")
-    win = docs.select(
-        "doc_id",
-        t.alias("t"),
-        F.explode(F.sequence(F.lit(0), last_win)).alias("win_id"),
-    ).filter(F.size("t") > 0)
-    chunk = F.slice(F.col("t"), F.col("win_id") * _CHUNK_S + 1, _CHUNK_W)
+    wins = F.transform(
+        F.sequence(F.lit(0), last_win),
+        lambda w: F.struct(
+            w.cast("int").alias("win_id"),
+            F.slice(t, w * _CHUNK_S + 1, _CHUNK_W).alias("chunk"),
+        ),
+    )
+    win = docs.select("doc_id", F.explode(wins).alias("x")).filter(F.size("x.chunk") > 0)
     return win.select(
         "doc_id",
-        "win_id",
-        F.size(chunk).alias("n_win_tokens"),
-        F.concat_ws(" ", chunk).alias("window_text"),
+        F.col("x.win_id").alias("win_id"),
+        F.size("x.chunk").alias("n_win_tokens"),
+        F.concat_ws(" ", "x.chunk").alias("window_text"),
     )
 
 
@@ -3225,23 +3232,15 @@ TEXT_BIGRAM_SQL = r"""
 def sim_range_search(spark, sf_dir):
     """Similarity range search (radius query): every neighbor with cosine >=
     0.25 of each query — the retrieval-filter form of cosine_topk (no rank,
-    threshold instead). Same broadcast-the-queries plan: the corpus never
+    threshold instead). Broadcast-the-queries plan: the corpus never
     shuffles; output size is data-dependent, so at scale the threshold (not
-    k) bounds the result."""
+    k) bounds the result. Declared path is the BLAS batch form (round-5
+    promotion: the expression crossJoin measured 29x wall at 10x data);
+    the expression form stays exact-agreement-tested in
+    test_round2_ops.py."""
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").cast("array<double>").alias("qv")
-    )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").cast("array<double>").alias("cv"))
-    return (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(similarity.cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.25)
+    return similarity.range_search_vectorized(
+        emb, emb.filter(F.col("vec_id") < 10), threshold=0.25
     )
 
 

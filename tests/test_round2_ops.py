@@ -129,6 +129,31 @@ def test_ivf_topk_vectorized_matches_expression_twin(spark):
     assert a == b
 
 
+def test_range_search_vectorized_matches_expression_form(spark):
+    """Round-5 BLAS promotion of sim_range_search: the batch-matrix form
+    must reproduce the expression crossJoin form exactly (same matches,
+    same HALF_UP-rounded scores; threshold applied to the ROUNDED score in
+    both)."""
+    from execute_sync_spark.functions import similarity
+
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 10)
+    qe = q.select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").cast("array<double>").alias("qv"))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").cast("array<double>").alias("cv"))
+    expr = (
+        c.crossJoin(F.broadcast(qe))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                F.round(similarity.cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.25)
+    )
+    a = sorted(map(tuple, expr.collect()))
+    b = sorted(map(tuple, similarity.range_search_vectorized(emb, q, 0.25).collect()))
+    assert a == b
+
+
 def test_lsh_multiprobe_dominates_single_probe(spark):
     """Hamming-1 probing must be a candidate-superset of single-probe: equal
     or better recall against the exact ranker (measured 98% vs 66%)."""
