@@ -451,12 +451,19 @@ def ivf_topk_vectorized(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
     """BLAS path for IVF top-k — same semantics as ``ivf_topk`` (search only
     the query's own centroid cell; argmax assignment tie-breaks to the
     lowest cell_id) but both the cell assignment and the in-cell scoring run
     as one matrix product per Arrow batch instead of per-element HOF
     lambdas (interpreted; 18.5x wall at 10x data for the expression form).
+
+    ``nprobe > 1`` probes the query's nearest ``nprobe`` cells — the
+    standard IVF recall knob (a true neighbor just across a cell boundary
+    is found at the cost of scanning nprobe/cells of the corpus per query).
+    Corpus vectors still live in exactly one cell, so the candidate union
+    is duplicate-free by construction.
 
     Centroids (cells x dims) and the per-cell query groups are broadcast;
     the corpus never shuffles — assignment happens inline in the same pass
@@ -480,8 +487,16 @@ def ivf_topk_vectorized(
     qids = qpdf["qid"].to_numpy()
     Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    q_cells = cell_ids[np.argmax(Qn @ CentN.T, axis=1)]
-    by_cell = {int(c): (qids[q_cells == c], Qn[q_cells == c]) for c in np.unique(q_cells)}
+    sims = Qn @ CentN.T
+    nprobe = min(nprobe, len(cell_ids))
+    # rank cells per query by (sim desc, cell_id asc) — same key as the
+    # expression path's argmax tie-break, extended to the top nprobe
+    order = np.lexsort((np.broadcast_to(cell_ids, sims.shape), -sims), axis=1)
+    probe_cells = cell_ids[order[:, :nprobe]]  # |queries| x nprobe
+    by_cell: dict[int, tuple] = {}
+    for c in np.unique(probe_cells):
+        mask = (probe_cells == c).any(axis=1)
+        by_cell[int(c)] = (qids[mask], Qn[mask])
     bc = spark.sparkContext.broadcast((cell_ids, CentN, by_cell))
 
     out_schema = "query_id long, neighbor_id long, cos_sim double"

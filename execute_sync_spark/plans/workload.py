@@ -1169,6 +1169,44 @@ SIM_IVF_SQL = f"""
 """
 
 
+def sim_ivf_multiprobe(spark, sf_dir):
+    """IVF with nprobe=2 — the standard IVF recall knob (COVERAGE.md "Scale
+    tuning knobs"): each query scans its TWO nearest cells, recovering true
+    neighbors that sit just across a cell boundary at the cost of
+    nprobe/cells of the corpus per query. Same BLAS batch form as
+    sim_ivf_topk; corpus vectors live in exactly one cell so the candidate
+    union is duplicate-free by construction."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk_vectorized(emb, queries, centroids, k=3, nprobe=2)
+
+
+SIM_IVF_MP_SQL = f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+    assign AS (
+        SELECT vec_id, v, cell_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY {_COS_RAW.format(a='v', b='cv')} DESC, cell_id) AS rn
+        FROM c, cent),
+    cells AS (SELECT vec_id, v, cell_id FROM assign WHERE rn = 1),
+    qprobe AS (
+        SELECT vec_id AS query_id, v AS qv, cell_id
+        FROM assign WHERE vec_id < 10 AND rn <= 2),
+    scored AS (
+        SELECT qp.query_id, c2.vec_id AS neighbor_id,
+               ROUND({_COS_RAW.format(a='qp.qv', b='c2.v')}, 4) AS cos_sim
+        FROM qprobe qp JOIN cells c2 USING (cell_id)
+        WHERE c2.vec_id != qp.query_id),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 3
+"""
+
+
 def dedup_embedding_pairs(spark, sf_dir):
     """Embedding-cosine near-dup candidates, blocked by label (at scale the
     block key is an LSH bucket / IVF cell — same plan shape: one shuffle on
@@ -3494,6 +3532,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_chunk_windows": curate_chunk_windows,
     "sim_cosine_topk_vec": sim_cosine_topk_vec,
     "sim_range_search": sim_range_search,
+    "sim_ivf_multiprobe": sim_ivf_multiprobe,
     "mm_frame_sample": mm_frame_sample,
     "stream_dedup": stream_dedup,
     "stream_sliding_counts": stream_sliding_counts_q,
@@ -3623,6 +3662,7 @@ ORACLES: dict[str, Optional[str]] = {
     "sim_cosine_topk": SIM_COSINE_SQL,
     "sim_cosine_topk_vec": SIM_COSINE_SQL,
     "sim_ivf_topk": SIM_IVF_SQL,
+    "sim_ivf_multiprobe": SIM_IVF_MP_SQL,
     "sim_quantized_topk": SIM_QUANT_SQL,
     "mm_binary_meta": MM_META_SQL,
     # mm_features: mapInPandas — rows-only check

@@ -154,6 +154,22 @@ def test_range_search_vectorized_matches_expression_form(spark):
     assert a == b
 
 
+def test_ivf_multiprobe_dominates_single_probe(spark):
+    """nprobe=2 searches a superset of nprobe=1's candidates, so each
+    query's rank-i score must be >= the single-probe rank-i score."""
+    from execute_sync_spark.functions import similarity
+
+    emb = _emb(spark)
+    centroids = emb.filter(F.col("vec_id") < 8)
+    q = emb.filter(F.col("vec_id") < 10)
+    single = similarity.ivf_topk_vectorized(emb, q, centroids, k=3, nprobe=1).collect()
+    multi = similarity.ivf_topk_vectorized(emb, q, centroids, k=3, nprobe=2).collect()
+    s1 = {(r.query_id, r.rank): r.cos_sim for r in single}
+    s2 = {(r.query_id, r.rank): r.cos_sim for r in multi}
+    assert s1 and set(s1) <= set(s2)
+    assert all(s2[key] >= s1[key] for key in s1)
+
+
 def test_lsh_multiprobe_dominates_single_probe(spark):
     """Hamming-1 probing must be a candidate-superset of single-probe: equal
     or better recall against the exact ranker (measured 98% vs 66%)."""
