@@ -786,7 +786,10 @@ def text_tfidf_top_term(spark, sf_dir):
         F.col("token").isNotNull()
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # df derives FROM tf (tf has exactly one row per (doc, token), so a
+    # plain count per token IS the distinct-doc count) — one explode+agg
+    # over the corpus instead of two full scans of the token stream
+    df_ = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
     scored = (
         tf.join(df_, "token")
         .crossJoin(F.broadcast(n))
