@@ -545,6 +545,108 @@ def ivf_topk_vectorized(
     )
 
 
+def build_cell_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Materialize the IVF index: ``assign_cells`` output written as parquet
+    PARTITIONED BY cell_id — the persisted form of the coarse quantizer that
+    turns every probe into a partition-pruned scan. At 100 TB this is the
+    deployment shape: assignment cost is paid once at ingest (or on
+    centroid refresh), and a query touching nprobe cells reads exactly
+    nprobe/cells of the corpus from disk, no shuffle, no full scan."""
+    cells = assign_cells(corpus, centroids, id_col, vec_col)
+    cells.write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    return path
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF probe against a persisted cell-partitioned index
+    (``build_cell_index``): the query's probe cells become a
+    ``cell_id IN (...)`` filter that Spark resolves via PARTITION PRUNING —
+    only the probed cells' files are listed and read
+    (tests/test_plan_quality.py asserts the pruned scan). Scoring is the
+    same BLAS batch form as ``ivf_topk_vectorized``."""
+    import numpy as np
+    import pandas as pd
+
+    cent_pdf = (
+        centroids.select(F.col(id_col).alias("cell_id"), _as_double(vec_col).alias("cv"))
+        .toPandas()
+        .sort_values("cell_id")
+    )
+    cell_ids = cent_pdf["cell_id"].to_numpy()
+    CentN = np.stack(cent_pdf["cv"].to_numpy()).astype(np.float64)
+    CentN = CentN / np.linalg.norm(CentN, axis=1, keepdims=True)
+
+    qpdf = queries.select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv")).toPandas()
+    qids = qpdf["qid"].to_numpy()
+    Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sims = Qn @ CentN.T
+    nprobe = min(nprobe, len(cell_ids))
+    order = np.lexsort((np.broadcast_to(cell_ids, sims.shape), -sims), axis=1)
+    probe_cells = cell_ids[order[:, :nprobe]]
+    by_cell: dict[int, tuple] = {}
+    for c in np.unique(probe_cells):
+        mask = (probe_cells == c).any(axis=1)
+        by_cell[int(c)] = (qids[mask], Qn[mask])
+    bc = spark.sparkContext.broadcast(by_cell)
+
+    out_schema = "query_id long, neighbor_id long, cos_sim double"
+
+    def topk_per_batch(batches):
+        b_by_cell = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell_id"].to_numpy()
+            C = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            for c, (cq_ids, cQn) in b_by_cell.items():
+                mask = cells == c
+                if not mask.any():
+                    continue
+                sub_ids = ids[mask]
+                S = Cn[mask] @ cQn.T
+                for j, qid in enumerate(cq_ids):
+                    col = _np_round_half_up(S[:, j], 4)
+                    cand = np.nonzero(sub_ids != qid)[0]
+                    if len(cand) == 0:
+                        continue
+                    order_j = np.lexsort((sub_ids[cand], -col[cand]))
+                    top = cand[order_j[:k]]
+                    yield pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": sub_ids[top], "cos_sim": col[top]}
+                    )
+
+    probed = sorted({int(c) for c in probe_cells.ravel()})
+    scan = spark.read.parquet(index_path).filter(F.col("cell_id").isin(probed))
+    local = scan.select(id_col, F.col("cell_id").cast("long").alias("cell_id"), "v").mapInPandas(
+        topk_per_batch, schema=out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def _lsh_planes(n_planes: int = 4, dim: int = 64, seed: int = 7) -> list[list[float]]:
     """Deterministic random-hyperplane family for sign-LSH, rounded to 6
     decimals so the same constants embed exactly in Spark literals and in the

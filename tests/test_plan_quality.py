@@ -138,3 +138,33 @@ def test_top_k_uses_take_ordered(spark):
     for q in (workload.d_version_churn, workload.text_bigram_top):
         plan = _plan(q(spark, SF_DIR))
         assert "TakeOrderedAndProject" in plan, plan[:600]
+
+
+def test_ivf_indexed_probe_prunes_partitions(spark, tmp_path):
+    """The persisted IVF index (build_cell_index: parquet partitioned by
+    cell_id) must turn a probe into a PARTITION-PRUNED scan — the
+    cell_id IN (...) filter resolves at the file listing, so a query reads
+    nprobe/cells of the corpus, never a full scan. Also: the indexed probe
+    must agree exactly with the in-flight vectorized form."""
+    from execute_sync_spark.functions import similarity
+
+    import re
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    # 2 queries x nprobe=2 -> at most 4 of the 8 cells probed: the scan must
+    # visibly NOT read the rest
+    q = emb.filter(F.col("vec_id") < 2)
+
+    idx = similarity.build_cell_index(emb, centroids, str(tmp_path / "ivf_idx"))
+    probe = similarity.ivf_topk_indexed(spark, idx, q, centroids, k=3, nprobe=2)
+
+    plan = _formatted(probe)
+    m = re.search(r"PartitionFilters: \[cell_id#\d+ IN \(([\d,]+)\)\]", plan)
+    assert m, plan[:800]
+    assert len(m.group(1).split(",")) <= 4  # pruned to the probed cells only
+
+    a = sorted(map(tuple, similarity.ivf_topk_vectorized(
+        emb, q, centroids, k=3, nprobe=2).collect()))
+    b = sorted(map(tuple, probe.collect()))
+    assert a == b
