@@ -247,3 +247,13 @@ def test_cli_create_views_dialect_dry_run(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "CREATE TABLE [EXECUTE_DOCUMENTS]" in out
     assert "OUTER APPLY OPENJSON" in out
+
+    rc = main(["create_views", "--dialect", "databricks", "--dry-run",
+               "-u", f"file://{d}", "--database-type", "parquet",
+               "--database-dsn", str(tmp_path / "wh"),
+               "-d", str(tmp_path / "state")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "USING DELTA" in out
+    assert "from_json(ed.data, 'map<string, string>')" in out
+    assert "lateral view explode" in out
