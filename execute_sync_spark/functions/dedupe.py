@@ -150,12 +150,32 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     band_size: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become a candidate
     pair. Join key is (band_index, band values) — the full cross product is
     never formed. Sizing band_size/bands vs similarity threshold:
-    COVERAGE.md "Scale tuning knobs"."""
+    COVERAGE.md "Scale tuning knobs".
+
+    ``max_bucket`` is the bucket-size valve (the LSH analog of Jaccard's
+    ``max_df``): a bucket holding m docs emits m^2/2 pairs, so one
+    mega-bucket of boilerplate-identical documents dominates the join at
+    corpus scale. Buckets larger than max_bucket are dropped BEFORE the
+    self-join (those docs still pair through their other, more selective
+    bands — standard practice in production near-dup pipelines). Default
+    off for exact spec semantics (and the oracle)."""
     buckets = band_buckets(signatures, id_col, num_hashes, band_size)
+    if max_bucket is not None:
+        # same no-broadcast-hint rationale as the max_df valve: the kept
+        # bucket-key set grows with the corpus; both sides are already
+        # keyed by (band, band_key), AQE broadcasts when genuinely small
+        small = (
+            buckets.groupBy("band", "band_key")
+            .agg(F.count("*").alias("m"))
+            .filter(F.col("m") <= max_bucket)
+            .select("band", "band_key")
+        )
+        buckets = buckets.join(small, ["band", "band_key"], "left_semi")
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

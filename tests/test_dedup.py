@@ -134,3 +134,22 @@ def test_replay_idempotency(spark, landed):
     before = {tuple(r) for r in latest(df).drop("batch_date").collect()}
     after = {tuple(r) for r in latest(doubled).drop("batch_date").collect()}
     assert before == after
+
+
+def test_lsh_max_bucket_valve(spark):
+    """The bucket-size valve drops only oversized buckets: with a cap larger
+    than every bucket the result is identical to the unvalved form; with a
+    tiny cap the candidate set shrinks (mega-buckets skipped) but remains a
+    subset of the unvalved pairs."""
+    from execute_sync_spark.functions import dedupe
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = dedupe.minhash_signatures(docs)
+    full = set(map(tuple, dedupe.lsh_candidate_pairs(sigs).collect()))
+    assert full
+
+    same = set(map(tuple, dedupe.lsh_candidate_pairs(sigs, max_bucket=10**9).collect()))
+    assert same == full
+
+    capped = set(map(tuple, dedupe.lsh_candidate_pairs(sigs, max_bucket=2).collect()))
+    assert capped <= full
