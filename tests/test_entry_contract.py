@@ -22,18 +22,22 @@ def test_oracles_subset_of_queries():
     assert set(oracles) <= set(qs)
     # every oracle is non-empty SQL
     assert all(isinstance(sql, str) and "SELECT" in sql.upper() for sql in oracles.values())
-    # only deliberately rows-only ops lack an oracle
-    assert set(qs) - set(oracles) == {"mm_features"}
-    # the driver gates the first 50 entries. Round-5 contract (VERDICT r4
-    # tasks 1+7): the 8 queries never driver-gated before round 5 and the
-    # reserved relational-core rotation slots must sit inside the window,
+    # round 6: every declared query has an oracle (mm_features gained a
+    # DuckDB byte-histogram reconstruction, VERDICT r5 #1b)
+    assert set(qs) - set(oracles) == set()
+    # the driver gates the first 50 entries. Round-6 contract (VERDICT r5
+    # tasks 1c/4/5): the never-gated / stale-green rotation set and the
+    # permanent relational-core slots must sit inside the window,
     # alongside the extension surface.
     first50 = set(list(qs)[:50])
     must_gate = {
-        # never green on the driver before round 5
-        "q_recursive_hierarchy", "q_range_band_join", "q_scd2_history",
-        "q_merge_upsert", "q_skew_salted_agg", "q_asof_join_banded",
-        "q_approx_distinct", "dedup_embedding_pairs_expr", "mm_features",
+        # never green on the driver before round 6
+        "sim_ivf_multiprobe", "sim_ivf_indexed", "q_merge_upsert",
+        "mm_features",
+        # stale greens (r01/r02) re-gated on current testdata
+        "d2_latest_version", "d2_asof_snapshot", "ingest_roundtrip",
+        "v_variant_shred", "q9_profit_by_nation_year",
+        "q21_waiting_supplier",
         # core rotation slots (re-gated on regenerated testdata)
         "q1_pricing_summary", "d1_latest_batch", "d3_superseded",
         "v_shred_props",
