@@ -116,8 +116,13 @@ def main(argv: list[str] | None = None) -> int:
         stmts = ddl.generate(args.dialect, _load_schema(cfg, _build_source(cfg)))
         print(";\n\n".join(stmts) + ";")
         if not args.dry_run:
-            print(f"-- NOTE: no live {args.dialect} connection in this build; "
-                  "DDL emitted as dry run", file=sys.stderr)
+            # exit non-zero so scripts can't mistake the emitted DDL for
+            # views actually created in the warehouse (ADVICE r5): until a
+            # live warehouse driver exists, --dialect requires --dry-run
+            print(f"create_views --dialect {args.dialect} requires --dry-run: "
+                  "no live warehouse connection in this build, so no views "
+                  "were created (DDL above is informational)", file=sys.stderr)
+            return 2
         return 0
 
     from execute_sync_spark.session import get_spark

@@ -88,6 +88,10 @@ def _load_env_file(path: str) -> dict[str, str]:
         key, value = key.strip(), value.strip()
         if len(value) >= 2 and value[0] == value[-1] and value[0] in "'\"":
             value = value[1:-1]
+        elif " #" in value:
+            # unquoted values end at an inline comment (godotenv behavior:
+            # 'KEY=val # comment' yields 'val'); quoted values keep '#'
+            value = value.split(" #", 1)[0].rstrip()
         if key:
             out[key] = value
     return out

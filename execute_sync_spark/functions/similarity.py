@@ -30,6 +30,19 @@ def _np_round_half_up(x, decimals: int = 4):
     return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
 
 
+def _desc_nulls_last(x):
+    """Sort key for descending similarity pinning the zero-vector contract
+    (ADVICE r5): a zero embedding scores NULL — ``cosine()``'s CASE guard
+    yields NULL on the expression path (required under Spark 4 ANSI, where
+    bare 0/0 throws), the BLAS batches' NaN becomes NULL through the Arrow
+    round-trip, and DuckDB's 0.0/0.0 IS NULL — and NULL ranks LAST under
+    DESC in all three (Spark desc = NULLS LAST, DuckDB default, and
+    np.lexsort sorts NaN last even negated). Plain negation is exactly that
+    key; the wrapper exists so the contract is named and regression-tested
+    (test_round2_ops.py) rather than an accident of -NaN being NaN."""
+    return -x
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
@@ -39,7 +52,12 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # zero vectors yield NULL (matching DuckDB's 0.0/0.0 and the Arrow
+    # NaN->NULL round-trip on the BLAS twins; see _desc_nulls_last) — the
+    # CASE guard is also required under Spark 4 ANSI mode, where a bare
+    # x/0 throws DIVIDE_BY_ZERO instead of producing NaN
+    denom = _norm(a) * _norm(b)
+    return F.when(denom != 0, _dot(a, b) / denom)
 
 
 def _as_double(col: str) -> Column:
@@ -118,7 +136,7 @@ def cosine_topk_vectorized(
                     continue
                 # local selection uses the SAME key as the global merge
                 # ((rounded sim desc, id asc)) so pruning can't change ranks
-                order = np.lexsort((ids[cand_idx], -col[cand_idx]))
+                order = np.lexsort((ids[cand_idx], _desc_nulls_last(col[cand_idx])))
                 top = cand_idx[order[:k]]
                 yield pd.DataFrame(
                     {
@@ -236,7 +254,7 @@ def quantized_topk_vectorized(
                     continue
                 # local selection key == global merge key ((sim desc, id
                 # asc) on the ROUNDED score) so pruning can't change ranks
-                order = np.lexsort((ids[cand_idx], -col[cand_idx]))
+                order = np.lexsort((ids[cand_idx], _desc_nulls_last(col[cand_idx])))
                 top = cand_idx[order[:k]]
                 yield pd.DataFrame(
                     {
@@ -491,7 +509,7 @@ def ivf_topk_vectorized(
     nprobe = min(nprobe, len(cell_ids))
     # rank cells per query by (sim desc, cell_id asc) — same key as the
     # expression path's argmax tie-break, extended to the top nprobe
-    order = np.lexsort((np.broadcast_to(cell_ids, sims.shape), -sims), axis=1)
+    order = np.lexsort((np.broadcast_to(cell_ids, sims.shape), _desc_nulls_last(sims)), axis=1)
     probe_cells = cell_ids[order[:, :nprobe]]  # |queries| x nprobe
     by_cell: dict[int, tuple] = {}
     for c in np.unique(probe_cells):
@@ -524,7 +542,7 @@ def ivf_topk_vectorized(
                         continue
                     # local selection key == global merge key ((rounded sim
                     # desc, id asc)) so pruning can't change ranks
-                    order = np.lexsort((sub_ids[cand], -col[cand]))
+                    order = np.lexsort((sub_ids[cand], _desc_nulls_last(col[cand])))
                     top = cand[order[:k]]
                     yield pd.DataFrame(
                         {
@@ -597,7 +615,7 @@ def ivf_topk_indexed(
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     sims = Qn @ CentN.T
     nprobe = min(nprobe, len(cell_ids))
-    order = np.lexsort((np.broadcast_to(cell_ids, sims.shape), -sims), axis=1)
+    order = np.lexsort((np.broadcast_to(cell_ids, sims.shape), _desc_nulls_last(sims)), axis=1)
     probe_cells = cell_ids[order[:, :nprobe]]
     by_cell: dict[int, tuple] = {}
     for c in np.unique(probe_cells):
@@ -628,7 +646,7 @@ def ivf_topk_indexed(
                     cand = np.nonzero(sub_ids != qid)[0]
                     if len(cand) == 0:
                         continue
-                    order_j = np.lexsort((sub_ids[cand], -col[cand]))
+                    order_j = np.lexsort((sub_ids[cand], _desc_nulls_last(col[cand])))
                     top = cand[order_j[:k]]
                     yield pd.DataFrame(
                         {"query_id": qid, "neighbor_id": sub_ids[top], "cos_sim": col[top]}
@@ -833,7 +851,7 @@ def lsh_topk_vectorized(
                 if len(cand) == 0:
                     continue
                 sims = _np_round_half_up(Cn[cand] @ bQn[j], 4)
-                order = np.lexsort((ids[cand], -sims))
+                order = np.lexsort((ids[cand], _desc_nulls_last(sims)))
                 top = cand[order[:k]]
                 yield pd.DataFrame(
                     {

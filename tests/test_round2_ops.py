@@ -205,3 +205,44 @@ def test_quantized_topk_tracks_exact_ranking(spark):
     assert len(hits) / len(exact) >= 0.8, f"recall {len(hits)}/{len(exact)}"
     for pair in hits:
         assert abs(exact[pair] - quant[pair]) <= 0.02, (pair, exact[pair], quant[pair])
+
+
+def test_zero_vector_scores_null_and_ranks_last_on_both_paths(spark):
+    """Zero-vector contract (ADVICE r5): an all-zero embedding scores NULL
+    cosine and ranks LAST under DESC on every path — the expression path's
+    CASE-guarded division (bare 0/0 throws under Spark 4 ANSI), the BLAS
+    twin (NaN becomes NULL through the Arrow round-trip; np.lexsort already
+    sorts NaN last), and the DuckDB oracle (0.0/0.0 IS NULL, default NULLS
+    LAST). Pinned here so the three paths can't silently diverge on ranks
+    when a corpus contains a zero vector."""
+    from execute_sync_spark.functions import similarity
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.5, 0.5, 0.0, 0.0]),
+        (4, [0.1, 0.9, 0.0, 0.0]),
+        (5, [0.0, 0.0, 0.0, 0.0]),  # zero vector: cosine NULL vs everything
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 2)
+
+    # k=3: the NULL-scored neighbor must be EXCLUDED (enough non-null rows)
+    a3 = sorted(map(repr, map(tuple, similarity.cosine_topk(emb, q, k=3).collect())))
+    b3 = sorted(map(repr, map(tuple, similarity.cosine_topk_vectorized(emb, q, k=3).collect())))
+    assert a3 == b3
+    assert not any(", 5," in r for r in a3), a3
+
+    # k=5: all 5 candidates kept — the zero vector appears at the BOTTOM
+    # rank with a NULL score, identically on both paths
+    a5 = similarity.cosine_topk(emb, q, k=5)
+    b5 = similarity.cosine_topk_vectorized(emb, q, k=5)
+    assert sorted(map(repr, map(tuple, a5.collect()))) == sorted(
+        map(repr, map(tuple, b5.collect()))
+    )
+    for df in (a5, b5):
+        last = df.filter(F.col("rank") == 5).collect()
+        assert len(last) == 2 and all(
+            r.neighbor_id == 5 and r.cos_sim is None for r in last
+        ), last

@@ -162,12 +162,16 @@ def test_config_env_file(monkeypatch, tmp_path):
         "EXECUTESYNC_MAX_DOCUMENTS=123\n"
         "export EXECUTESYNC_WAIT=42\n"
         'EXECUTESYNC_EXECUTE_URL="https://example.test/api"\n'
+        "EXECUTESYNC_CHUNK_SIZE=99 # inline comment stripped (godotenv)\n"
+        'EXECUTESYNC_DATABASE_DSN="dsn with # kept when quoted"\n'
         "malformed line without equals ignored? no - has no =\n"
     )
     cfg = resolve_config(env_file=str(env_file))
     assert cfg.max_documents == 123          # file beats default
     assert cfg.wait == 42                    # export prefix stripped
     assert cfg.execute_url == "https://example.test/api"  # quotes stripped
+    assert cfg.chunk_size == 99              # unquoted inline comment dropped
+    assert cfg.database_dsn == "dsn with # kept when quoted"
 
     monkeypatch.setenv("EXECUTESYNC_MAX_DOCUMENTS", "55")
     cfg = resolve_config(env_file=str(env_file))

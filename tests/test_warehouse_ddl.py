@@ -257,3 +257,30 @@ def test_cli_create_views_dialect_dry_run(tmp_path, capsys):
     assert "USING DELTA" in out
     assert "from_json(ed.data, 'map<string, string>')" in out
     assert "lateral view explode" in out
+
+
+def test_cli_create_views_dialect_requires_dry_run(tmp_path, capsys):
+    """--dialect without --dry-run must exit non-zero (ADVICE r5): no live
+    warehouse driver exists, so returning 0 would let a script believe the
+    views were actually created when only DDL text was printed."""
+    import os
+    import shutil
+
+    from execute_sync_spark.cli import main
+
+    d = tmp_path / "feedsrc"
+    d.mkdir()
+    feed.write_batches(d)
+    shutil.copy(
+        os.path.join(os.path.dirname(__file__), "fixtures", "schema.json"),
+        d / "schema.json",
+    )
+    rc = main(["create_views", "--dialect", "snowflake",
+               "-u", f"file://{d}", "--database-type", "parquet",
+               "--database-dsn", str(tmp_path / "wh"),
+               "-d", str(tmp_path / "state")])
+    assert rc == 2
+    captured = capsys.readouterr()
+    # the DDL is still emitted (informational) but the error names the cause
+    assert "CREATE FILE FORMAT IF NOT EXISTS" in captured.out
+    assert "requires --dry-run" in captured.err
