@@ -94,12 +94,29 @@ def _scale10_pass(spark, detail: dict) -> None:
     base = detail["queries"]
     detail["scale10"] = {
         "sf_dir": dst,
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "seq_total_sec": round(sum(times10.values()), 3),
         "queries": times10,
         "ratio_vs_base": {
             k: round(times10[k] / base[k], 1) for k in times10 if base.get(k)
         },
     }
+
+
+def _carry_scale10(detail: dict, detail_path: str) -> None:
+    """A plain (no --scale10) run must not DESTROY the last measured scale10
+    ratios (round-5 postmortem: the final bench run overwrote the committed
+    artifact and ROADMAP's pointer dangled). Carry the previous block
+    forward, marked stale — readers see both the ratios and that they
+    predate this base pass."""
+    try:
+        with open(detail_path) as f:
+            prev = json.load(f).get("scale10")
+    except (OSError, ValueError):
+        return
+    if prev:
+        prev["stale"] = True  # ratios measured against an EARLIER base pass
+        detail["scale10"] = prev
 
 
 def main() -> None:
@@ -183,10 +200,13 @@ def main() -> None:
         "queries": times,
         "aliases": alias,
     }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     if "--scale10" in sys.argv:
         _scale10_pass(spark, detail)
+    else:
+        _carry_scale10(detail, detail_path)
 
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
+    with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
 
     compact = {alias[k]: round(v, 2) for k, v in times.items()}
