@@ -5,9 +5,13 @@ Feed pages land in a directory (the spool the HTTP fetcher writes, or any
 file drop); the stream discovers new files, lands each micro-batch through
 the shared landing transform, and appends to the sink. The streaming
 checkpoint replaces the watermark file: file-source offsets give
-exactly-once *page processing* (the parquet append itself is at-least-once
-on crash mid-batch — absorbed by D1 dedup, same contract as the reference;
-on Delta the foreachBatch txn makes it exactly-once end-to-end).
+exactly-once *page processing*, and when the sink supports transactional
+appends (ParquetSink txn markers; Delta ``txnAppId``) each micro-batch is
+stamped with a replay-stable txn id so a crash AFTER the upload but BEFORE
+the checkpoint commit — the reference's watermark-after-upload window,
+cmd_sync.go:175-177 — replays as a no-op: exactly-once landing end-to-end.
+Sinks without txn support degrade to at-least-once, absorbed by D1 dedup
+(the reference's own contract).
 
 ``availableNow`` drains the backlog and stops (the ``push`` analog);
 omit it for the continuous ``sync`` analog.
@@ -32,6 +36,9 @@ def stream_sync(
     available_now: bool = True,
 ):
     """Run the streaming ingest; returns the number of batches processed."""
+    import hashlib
+    import inspect
+
     raw = (
         spark.readStream.format("text")
         .option("pathGlobFilter", "*.ndjson")
@@ -42,10 +49,18 @@ def stream_sync(
         .load(feed_dir)
     )
     batches = {"n": 0}
+    # txn id must be stable across crash replay (batch_id is — Spark reuses
+    # the epoch on restart) and distinct across streams sharing a sink
+    # (namespace on the checkpoint, the stream's identity)
+    supports_txn = "txn_id" in inspect.signature(sink.append).parameters
+    ns = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
 
     def handle(batch_df, batch_id: int):
         landed = _land(batch_df, datetime.now(timezone.utc), chunk_size)
-        sink.append(landed)
+        if supports_txn:
+            sink.append(landed, txn_id=f"stream-{ns}-{batch_id}")
+        else:
+            sink.append(landed)
         batches["n"] += 1
 
     writer = (

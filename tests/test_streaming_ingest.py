@@ -104,3 +104,60 @@ def test_stage_stream_dir_handles_directory_sources(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no data files"):
         stage_stream_dir(str(empty))
+
+
+def test_stream_sync_kill_mid_stream_replay_lands_once(spark, tmp_path):
+    """Exactly-once under the reference's watermark-after-upload crash window
+    (cmd_sync.go:175-177): kill the stream AFTER a micro-batch's upload but
+    BEFORE its checkpoint commits, restart, and assert the replayed page
+    lands exactly once. The replay-stable per-batch txn id (stream_sync)
+    makes the re-append a durable no-op — without it the restart would
+    append page 2's rows twice (at-least-once)."""
+    import pytest
+
+    feed_dir = tmp_path / "spool_crash"
+    feed_dir.mkdir()
+    feed.write_batches(feed_dir)
+    real = ParquetSink(spark, str(tmp_path / "wh_crash"))
+
+    class KillAfterUpload:
+        """Delegates to the real sink, then dies on the SECOND batch —
+        after the parquet append succeeded, before foreachBatch returns
+        (so the file-source offset for that batch never commits)."""
+
+        def __init__(self):
+            self.calls = 0
+            self.armed = True
+
+        def append(self, df, txn_id=None):
+            n = real.append(df, txn_id=txn_id)
+            self.calls += 1
+            if self.armed and self.calls == 2:
+                raise RuntimeError("simulated crash after upload, before checkpoint commit")
+            return n
+
+    sink = KillAfterUpload()
+    ckpt = str(tmp_path / "ckpt_crash")
+    with pytest.raises(Exception, match="simulated crash|Query .* terminated"):
+        stream_sync(spark, str(feed_dir), sink, ckpt)
+
+    # batch 0 committed; batch 1 uploaded but uncommitted -> restart must
+    # re-offer it (same batch_id), and the txn marker absorbs the re-append
+    sink.armed = False
+    stream_sync(spark, str(feed_dir), sink, ckpt)
+    assert sink.calls >= 4  # batch 1 was genuinely re-offered after restart
+
+    landed = real.read()
+    assert landed.count() == 11  # 4 + 5 + 2 valid docs, page 2 NOT doubled
+    # no (type, id, version, chunk) appears more times than in a clean run:
+    # the only legitimate cross-page duplicate in the fixture is afe-0001 v2
+    # (batches 1 and 2 both carry it)
+    dupes = (
+        landed.groupBy("type", "id", "version", "chunk")
+        .count()
+        .filter(F.col("count") > 1)
+        .collect()
+    )
+    assert [(r.type, r.id, int(r.version), r["count"]) for r in dupes] == [
+        ("AFE", "afe-0001", 2, 2)
+    ]
