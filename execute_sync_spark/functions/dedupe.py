@@ -151,6 +151,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     max_bucket: int | None = None,
+    salt: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become a candidate
     pair. Join key is (band_index, band values) — the full cross product is
@@ -163,24 +164,60 @@ def lsh_candidate_pairs(
     corpus scale. Buckets larger than max_bucket are dropped BEFORE the
     self-join (those docs still pair through their other, more selective
     bands — standard practice in production near-dup pipelines). Default
-    off for exact spec semantics (and the oracle)."""
+    off for exact spec semantics (and the oracle).
+
+    ``salt`` spreads a PATHOLOGICALLY skewed bucket key over S reducers
+    (r5 VERDICT task 7: a boilerplate corpus where most docs share ONE
+    signature hashes every row to a single task on raw (band, band_key)).
+    With salt=S, (a) the valve's size lookup joins on (band, band_key,
+    salt) — the size row replicated S ways, rows salted by hash(id) — and
+    (b) pair generation replicates side A S ways against side B's salt, so
+    one bucket's m^2 comparisons run across S^2 tasks instead of 1. Same
+    result set as unsalted (regression-tested); pay the Sx replication
+    only when the corpus is known boilerplate-heavy. Default off."""
     buckets = band_buckets(signatures, id_col, num_hashes, band_size)
+    if salt is not None:
+        buckets = buckets.withColumn(
+            "_salt", F.pmod(F.hash(F.col(id_col)), F.lit(salt))
+        )
     if max_bucket is not None:
         # same no-broadcast-hint rationale as the max_df valve: the kept
         # bucket-key set grows with the corpus; both sides are already
         # keyed by (band, band_key), AQE broadcasts when genuinely small
-        small = (
-            buckets.groupBy("band", "band_key")
+        sizes = (
+            buckets.groupBy("band", "band_key")  # partial agg: skew-immune
             .agg(F.count("*").alias("m"))
             .filter(F.col("m") <= max_bucket)
             .select("band", "band_key")
         )
-        buckets = buckets.join(small, ["band", "band_key"], "left_semi")
+        if salt is not None:
+            # replicate each kept-size row S ways so the row->size shuffle
+            # hashes on (band, band_key, _salt), not the skewed raw key
+            sizes = sizes.withColumn(
+                "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+            )
+            buckets = buckets.join(sizes, ["band", "band_key", "_salt"], "left_semi")
+        else:
+            buckets = buckets.join(sizes, ["band", "band_key"], "left_semi")
     a = buckets.alias("a")
     b = buckets.alias("b")
+    if salt is not None:
+        # blocked self-join: A replicated against every salt block of B;
+        # the shuffle key (band, band_key, salt) splits a mega bucket's
+        # pair generation across S^2 tasks
+        a = buckets.withColumn(
+            "_rep", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        ).alias("a")
+        joined = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a._rep") == F.col("b._salt")),
+        )
+    else:
+        joined = a.join(b, ["band", "band_key"])
     return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        joined.filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )

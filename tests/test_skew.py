@@ -42,3 +42,48 @@ def test_jaccard_max_df_monotone_intersections(spark):
     assert set(capped) <= set(full)
     assert all(capped[k] <= full[k] for k in capped)
     assert len(capped) < len(full)  # the valve actually prunes on this corpus
+
+
+def test_lsh_salt_matches_unsalted_on_boilerplate_corpus(spark):
+    """Salted LSH band join (r5 VERDICT task 7): a boilerplate-heavy corpus
+    (here 10x dup rate: ~90% of docs share ONE signature) hashes nearly every
+    bucket row to a single reducer on raw (band, band_key). salt=S must
+    (a) reproduce exactly the unsalted candidate-pair set — valved and
+    unvalved — and (b) actually spread the shuffle: the executed join keys
+    include the salt column."""
+    from execute_sync_spark.functions import dedupe
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    # 10x dup rate: every doc plus 9 boilerplate copies of ONE document
+    boiler = base.filter(F.col("doc_id") == base.agg(F.min("doc_id")).collect()[0][0])
+    dup = base
+    for i in range(9):
+        dup = dup.unionByName(
+            boiler.withColumn("doc_id", F.col("doc_id") + F.lit(100000 * (i + 1)))
+        )
+    sigs = dedupe.minhash_signatures(dup).cache()
+    try:
+        plain = {(r.id_a, r.id_b) for r in dedupe.lsh_candidate_pairs(sigs).collect()}
+        salted = {
+            (r.id_a, r.id_b)
+            for r in dedupe.lsh_candidate_pairs(sigs, salt=4).collect()
+        }
+        assert salted == plain and len(plain) > 36  # the 10 copies all pair up
+
+        valved = {
+            (r.id_a, r.id_b)
+            for r in dedupe.lsh_candidate_pairs(sigs, max_bucket=5).collect()
+        }
+        valved_salted = {
+            (r.id_a, r.id_b)
+            for r in dedupe.lsh_candidate_pairs(sigs, max_bucket=5, salt=4).collect()
+        }
+        assert valved_salted == valved
+        assert valved < plain  # the valve dropped the mega bucket's pairs
+
+        # the salted join's shuffle key includes the salt column
+        df = dedupe.lsh_candidate_pairs(sigs, salt=4)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "_rep" in plan and "_salt" in plan
+    finally:
+        sigs.unpersist()
