@@ -146,3 +146,76 @@ def test_views_registered_for_sql(views, spark):
         "SELECT count(*) AS n FROM AFE_PARTNERS p JOIN AFE a USING (DOCUMENT_ID)"
     ).first().n
     assert n == 2
+
+
+def test_nested_record_list_behind_flag(spark, caplog):
+    """List-in-list (r5 VERDICT task 8): every reference dialect SKIPS a
+    RECORD LIST nested in a RECORD LIST with a warning (snowflake.go:351-356)
+    — the flag-off default preserves that parity (warning included). Spark's
+    explode has no such limit, so nested_lists=True shreds the inner list
+    into a child view keyed by (DOCUMENT_ID, PARENT_LISTITEM_ID,
+    LISTITEM_ID), shuffle-free (chained Generates, no exchange)."""
+    import json as _json
+    import logging
+
+    from execute_sync_spark.landing import land_ndjson_lines
+    from execute_sync_spark.schema.model import parse_root_schema
+
+    raw_schema = {
+        "WELL": {
+            "WELL_NAME": {"TYPE": "TEXT"},
+            "PADS": {"TYPE": "RECORD LIST", "RECORD_TYPE": {
+                "PAD_NAME": {"TYPE": "TEXT"},
+                "SLOTS": {"TYPE": "RECORD LIST", "RECORD_TYPE": {
+                    "SLOT_NO": {"TYPE": "INTEGER"},
+                }},
+            }},
+        }
+    }
+    root = parse_root_schema(raw_schema)
+    doc = {
+        "$TYPE": "WELL", "DOCUMENT_ID": "w-1", "$VERSION": 1,
+        "$AUTHOR_ID": "u-1", "$DATE": "2026-03-01T00:00:00Z",
+        "WELL_NAME": "W1",
+        "PADS": [
+            {"LISTITEM_ID": "p1", "PAD_NAME": "A", "SLOTS": [
+                {"LISTITEM_ID": "s1", "SLOT_NO": 1},
+                {"LISTITEM_ID": "s2", "SLOT_NO": 2},
+            ]},
+            {"LISTITEM_ID": "p2", "PAD_NAME": "B", "SLOTS": [
+                {"LISTITEM_ID": "s3", "SLOT_NO": 3},
+            ]},
+        ],
+    }
+    from datetime import datetime, timezone
+    landing = land_ndjson_lines(
+        spark, [_json.dumps(doc)], datetime(2026, 3, 1, tzinfo=timezone.utc)
+    )
+
+    # flag OFF (default): outer list shredded, inner skipped WITH the
+    # reference's warning
+    with caplog.at_level(logging.WARNING):
+        off = create_views(latest(landing), root, register=False)
+    assert "WELL_PADS" in off and "WELL_PADS_SLOTS" not in off
+    assert any("list-in-list" in r.message for r in caplog.records)
+
+    # flag ON: inner list becomes a child view keyed back to the outer item
+    on = create_views(latest(landing), root, register=False, nested_lists=True)
+    assert "WELL_PADS_SLOTS" in on
+    pads = {(r.DOCUMENT_ID, r.LISTITEM_ID, r.PAD_NAME) for r in on["WELL_PADS"].collect()}
+    assert pads == {("w-1", "p1", "A"), ("w-1", "p2", "B")}
+    slots = {
+        (r.DOCUMENT_ID, r.PARENT_LISTITEM_ID, r.LISTITEM_ID, r.SLOT_NO)
+        for r in on["WELL_PADS_SLOTS"].collect()
+    }
+    assert slots == {
+        ("w-1", "p1", "s1", 1),
+        ("w-1", "p1", "s2", 2),
+        ("w-1", "p2", "s3", 3),
+    }
+    # the nested shred is shuffle-free: the extra explode level adds NO
+    # exchange beyond what the upstream latest() dedup already requires
+    plan_outer = on["WELL_PADS"]._jdf.queryExecution().executedPlan().toString()
+    plan_inner = on["WELL_PADS_SLOTS"]._jdf.queryExecution().executedPlan().toString()
+    assert plan_inner.count("Exchange") <= plan_outer.count("Exchange")
+    assert plan_inner.count("Generate explode") > plan_outer.count("Generate explode")
