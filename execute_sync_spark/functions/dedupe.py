@@ -21,7 +21,7 @@ Everything is built from explode / groupBy / join — no Python, no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from execute_sync_spark.functions.hashing import h32
@@ -220,6 +220,70 @@ def lsh_candidate_pairs(
         joined.filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate SPANS — the span-level dedup of Lee et al.
+    2022 ("Deduplicating Training Data Makes Language Models Better"),
+    re-expressed relationally instead of via a suffix array: a word position
+    is *duplicated* when its k-word gram occurs >= ``min_count`` times
+    across the whole corpus (counting repeats inside one document too, as
+    the paper does); maximal runs of duplicated positions merge into spans
+    via gaps-and-islands. Downstream curation can cut the spans out rather
+    than dropping whole documents.
+
+    Returns (id, span_start, span_end, span_tokens) with 0-based inclusive
+    word positions.
+
+    Scale shape: gram frequency is one map-side-combined groupBy on a
+    32-bit gram hash (shuffle = one long per gram per map task — the same
+    shuffle budget as minhash_signatures); the position join-back is a
+    semi-join on that hash (bloom-filter prunable); span merging is ONE
+    per-document window. No self-joins, nothing quadratic — the suffix
+    array the paper builds is global sequential state, this is not."""
+    toks = docs.select(F.col(id_col), tokens(text_col).alias("__tok"))
+    arr = F.col("__tok")
+    n = F.size(arr)
+    gram_arr = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(arr, i + j) for j in range(k)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        toks.select(F.col(id_col), F.posexplode_outer(gram_arr).alias("pos", "__g"))
+        .filter(F.col("__g").isNotNull())
+        .select(F.col(id_col), F.col("pos"), h32("__g").alias("__h"))
+    )
+    repeated = (
+        grams.groupBy("__h")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__h")
+    )
+    dup = grams.join(repeated, "__h", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = dup.withColumn("__isl", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            F.col(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
     )
 
 

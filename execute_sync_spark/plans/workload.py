@@ -714,6 +714,41 @@ DEDUP_SIMHASH_SQL = f"""
 """
 
 
+def dedup_substring_spans(spark, sf_dir):
+    """Exact-substring duplicate spans (Lee et al. 2022) — positions whose
+    5-word gram repeats anywhere in the corpus, merged into maximal
+    per-document spans. See functions/dedupe.py duplicate_spans for the
+    relational (non-suffix-array) 100 TB shape."""
+    return dedupe.duplicate_spans(_docs_wide(spark, sf_dir), k=5)
+
+
+_SPAN_K = 5
+
+DEDUP_SPANS_SQL = rf"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+        FROM documents),
+    g AS (
+        SELECT doc_id, arr,
+               unnest(range(1, len(arr) - {_SPAN_K} + 2)) AS i
+        FROM t WHERE len(arr) >= {_SPAN_K}),
+    grams AS (
+        SELECT doc_id, i - 1 AS pos,
+               {h32_sql(f"array_to_string(arr[i:i+{_SPAN_K - 1}], ' ')")} AS h
+        FROM g),
+    rep AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2),
+    dup AS (SELECT doc_id, pos FROM grams SEMI JOIN rep USING (h)),
+    isl AS (SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS il
+            FROM dup)
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {_SPAN_K} - 1 AS BIGINT) AS span_end,
+           CAST(MAX(pos) + {_SPAN_K} - MIN(pos) AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, il
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 
@@ -3553,6 +3588,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": dedup_incremental,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_simhash": dedup_simhash,
+    "dedup_substring_spans": dedup_substring_spans,
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "dedup_clusters": dedup_clusters,
     # text analysis
@@ -3569,7 +3605,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_contamination": curate_contamination,
     "curate_bloom_contamination": curate_bloom_contamination,
     "curate_quality_rules": curate_quality_rules,
-    "curate_mixture_weights": curate_mixture_weights,
     "curate_pipeline": curate_pipeline,
     # similarity search
     "sim_cosine_topk": sim_cosine_topk,
@@ -3611,6 +3646,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Slots 51+: relational core + document-model ops + the rows
     # displaced by the round-5/6 rotations (all have held a green driver
     # row within the last 2 rounds; still pytest-oracled every run).
+    "curate_mixture_weights": curate_mixture_weights,
     "dedup_embedding_pairs_expr": dedup_embedding_pairs_expr,
     "q_event_funnel": q_event_funnel,
     "q_recursive_hierarchy": q_recursive_hierarchy,
@@ -3732,6 +3768,7 @@ ORACLES: dict[str, Optional[str]] = {
     "dedup_jaccard_pairs": DEDUP_JACCARD_SQL,
     "dedup_jaccard_pairs_scaled": DEDUP_JACCARD_SCALED_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_substring_spans": DEDUP_SPANS_SQL,
     "dedup_embedding_pairs": DEDUP_EMB_SQL,
     "dedup_embedding_pairs_expr": DEDUP_EMB_SQL,
     "text_stats": TEXT_STATS_SQL,

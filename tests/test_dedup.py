@@ -153,3 +153,35 @@ def test_lsh_max_bucket_valve(spark):
 
     capped = set(map(tuple, dedupe.lsh_candidate_pairs(sigs, max_bucket=2).collect()))
     assert capped <= full
+
+
+def test_duplicate_spans_hand_corpus(spark):
+    """Span semantics (Lee et al. 2022 exact-substring dedup): two documents
+    share a 7-word sentence -> with k=5 every overlapping gram of that
+    sentence is corpus-repeated, and the positions merge into ONE maximal
+    span per document covering exactly the shared words. Unique text around
+    the span stays unflagged; a doc with no repeats emits no rows."""
+    from pyspark.sql import functions as F
+
+    from execute_sync_spark.functions import dedupe
+
+    shared = "the quick brown fox jumps over fences"  # 7 words
+    rows = [
+        (1, f"alpha beta {shared} gamma delta"),        # span at words 2..8
+        (2, f"{shared} epsilon zeta eta theta iota"),   # span at words 0..6
+        (3, "completely unrelated text with no repeated grams here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        r.doc_id: (r.span_start, r.span_end, r.span_tokens)
+        for r in dedupe.duplicate_spans(docs, k=5).collect()
+    }
+    assert spans == {1: (2, 8, 7), 2: (0, 6, 7)}
+
+    # self-repetition inside ONE document counts too (paper semantics)
+    solo = spark.createDataFrame(
+        [(9, "one two three four five filler one two three four five")],
+        "doc_id long, text string",
+    )
+    got = [tuple(r) for r in dedupe.duplicate_spans(solo, k=5).collect()]
+    assert got == [(9, 0, 4, 5), (9, 6, 10, 5)]

@@ -49,6 +49,17 @@ ANNOTATED = {
     "dedup_jaccard_pairs_scaled": "document-frequency valve bounds the "
     "inverted-index self-join to max_df^2 rows per shingle — join work "
     "grows with vocabulary, not corpus^2",
+    "sim_ivf_indexed": "probe against the PERSISTED cell-partitioned IVF "
+    "index: cell_id IN (...) resolves as PartitionFilters at the file "
+    "listing — only the nprobe probed cells' files are read, no shuffle, "
+    "no full scan (the declared 100 TB ANN shape)",
+    "text_tfidf_top_term": "round-5 rework: NO broadcast hint on the "
+    "token->df map (grows with vocabulary; AQE picks BHJ only at small SF), "
+    "1-row broadcast N, WindowGroupLimit prunes to rank-1 map-side, corpus "
+    "scanned+shuffled once with ReusedExchange",
+    "curate_chunk_windows": "round-5 rework: per-window structs built "
+    "row-local (sequence+transform) — zero shuffles, no O(n^2/stride) row "
+    "payload explosion",
 }
 
 
@@ -77,7 +88,7 @@ def main() -> None:
         scans = [
             l.strip()[:400]
             for l in details.splitlines()
-            if l.strip().startswith(("PushedFilters", "ReadSchema", "Arguments: "))
+            if l.strip().startswith(("PushedFilters", "PartitionFilters", "ReadSchema", "Arguments: "))
         ]
         out.append(tree.strip())
         if scans:
