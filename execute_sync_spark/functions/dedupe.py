@@ -287,6 +287,47 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """The actionable half of ``duplicate_spans`` (Lee et al. 2022): CUT the
+    corpus-repeated spans out of each document instead of dropping the
+    document. Returns (id, clean_text, n_tokens, n_tokens_removed) where
+    clean_text is the space-joined surviving tokens (lowercased — same
+    normalization the span positions were computed over).
+
+    Scale shape: spans aggregate to ONE small array per affected document
+    (collect_list over the span rows — bounded by dup volume, not corpus
+    size), broadcast-joinable back to the corpus; the cut itself is a
+    per-row ``filter`` higher-order function over token positions — no
+    extra shuffle beyond duplicate_spans' own."""
+    spans = (
+        duplicate_spans(docs, text_col, id_col, k, min_count)
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("span_start", "span_end")).alias("__spans"))
+    )
+    toks = docs.select(F.col(id_col), tokens(text_col).alias("__tok"))
+    joined = toks.join(spans, id_col, "left").select(
+        F.col(id_col),
+        "__tok",
+        F.coalesce("__spans", F.array().cast("array<struct<span_start:long,span_end:long>>")).alias("__spans"),
+    )
+    in_span = lambda i: F.exists(  # noqa: E731
+        F.col("__spans"), lambda s: (i >= s["span_start"]) & (i <= s["span_end"])
+    )
+    kept = F.filter(F.col("__tok"), lambda x, i: ~in_span(i.cast("long")))
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("__tok").cast("long").alias("n_tokens"),
+        (F.size("__tok") - F.size(kept)).cast("long").alias("n_tokens_removed"),
+    )
+
+
 def incremental_lsh_dedup(
     new_sigs: DataFrame,
     corpus_sigs: DataFrame,

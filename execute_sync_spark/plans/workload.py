@@ -749,6 +749,50 @@ DEDUP_SPANS_SQL = rf"""
 """
 
 
+def dedup_span_removal(spark, sf_dir):
+    """Cut the corpus-repeated spans out of each document (Lee et al. 2022's
+    cleanup step, not just detection) — see dedupe.remove_duplicate_spans."""
+    return dedupe.remove_duplicate_spans(_docs_wide(spark, sf_dir), k=5)
+
+
+DEDUP_SPAN_REMOVAL_SQL = rf"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+        FROM documents),
+    g AS (
+        SELECT doc_id, arr,
+               unnest(range(1, len(arr) - {_SPAN_K} + 2)) AS i
+        FROM t WHERE len(arr) >= {_SPAN_K}),
+    grams AS (
+        SELECT doc_id, i - 1 AS pos,
+               {h32_sql(f"array_to_string(arr[i:i+{_SPAN_K - 1}], ' ')")} AS h
+        FROM g),
+    rep AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2),
+    dup AS (SELECT doc_id, pos FROM grams SEMI JOIN rep USING (h)),
+    isl AS (SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS il
+            FROM dup),
+    spans AS (
+        SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {_SPAN_K} - 1 AS span_end
+        FROM isl GROUP BY doc_id, il),
+    toks AS (
+        SELECT doc_id, unnest(arr) AS w, unnest(range(len(arr))) AS pos FROM t),
+    kept AS (
+        SELECT tk.doc_id, tk.pos, tk.w FROM toks tk
+        ANTI JOIN spans s
+          ON s.doc_id = tk.doc_id AND tk.pos BETWEEN s.span_start AND s.span_end),
+    agg AS (
+        SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           CAST(len(t.arr) AS BIGINT) AS n_tokens,
+           CAST(len(t.arr) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens_removed
+    FROM t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 
@@ -3589,6 +3633,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_simhash": dedup_simhash,
     "dedup_substring_spans": dedup_substring_spans,
+    "dedup_span_removal": dedup_span_removal,
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "dedup_clusters": dedup_clusters,
     # text analysis
@@ -3600,7 +3645,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_redact_pii": text_redact_pii,
     # curation
     "curate_hash_split": curate_hash_split,
-    "curate_balanced_sample": curate_balanced_sample,
     "curate_stratified_sample": curate_stratified_sample,
     "curate_contamination": curate_contamination,
     "curate_bloom_contamination": curate_bloom_contamination,
@@ -3647,6 +3691,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # displaced by the round-5/6 rotations (all have held a green driver
     # row within the last 2 rounds; still pytest-oracled every run).
     "curate_mixture_weights": curate_mixture_weights,
+    "curate_balanced_sample": curate_balanced_sample,
     "dedup_embedding_pairs_expr": dedup_embedding_pairs_expr,
     "q_event_funnel": q_event_funnel,
     "q_recursive_hierarchy": q_recursive_hierarchy,
@@ -3769,6 +3814,7 @@ ORACLES: dict[str, Optional[str]] = {
     "dedup_jaccard_pairs_scaled": DEDUP_JACCARD_SCALED_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_substring_spans": DEDUP_SPANS_SQL,
+    "dedup_span_removal": DEDUP_SPAN_REMOVAL_SQL,
     "dedup_embedding_pairs": DEDUP_EMB_SQL,
     "dedup_embedding_pairs_expr": DEDUP_EMB_SQL,
     "text_stats": TEXT_STATS_SQL,

@@ -185,3 +185,34 @@ def test_duplicate_spans_hand_corpus(spark):
     )
     got = [tuple(r) for r in dedupe.duplicate_spans(solo, k=5).collect()]
     assert got == [(9, 0, 4, 5), (9, 6, 10, 5)]
+
+
+def test_remove_duplicate_spans_cuts_only_the_shared_words(spark):
+    """Span REMOVAL: the shared sentence disappears from both documents, the
+    unique surrounding words survive in order, and untouched documents come
+    back verbatim (lowercased) with zero removed."""
+    from execute_sync_spark.functions import dedupe
+
+    shared = "the quick brown fox jumps over fences"
+    rows = [
+        (1, f"Alpha beta {shared} gamma delta"),
+        (2, f"{shared} epsilon zeta"),
+        (3, "completely unrelated text with no repeated grams here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedupe.remove_duplicate_spans(docs, k=5).collect()}
+    assert out[1].clean_text == "alpha beta gamma delta"
+    assert (out[1].n_tokens, out[1].n_tokens_removed) == (11, 7)
+    assert out[2].clean_text == "epsilon zeta"
+    assert (out[2].n_tokens, out[2].n_tokens_removed) == (9, 7)
+    assert out[3].clean_text == rows[2][1]
+    assert out[3].n_tokens_removed == 0
+
+    # a document that is ENTIRELY a duplicated span empties cleanly
+    dup_all = spark.createDataFrame(
+        [(7, "one two three four five"), (8, "one two three four five")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dedupe.remove_duplicate_spans(dup_all, k=5).collect()}
+    assert got[7].clean_text == "" and got[7].n_tokens_removed == 5
+    assert got[8].clean_text == "" and got[8].n_tokens_removed == 5
