@@ -68,6 +68,19 @@ def _as_double(col: str) -> Column:
     return F.col(col).cast("array<double>")
 
 
+def _empty_result(spark, score_col: str = "cos_sim", with_rank: bool = True):
+    """Zero-row result in the standard top-k shape — the empty-input
+    contract for the BLAS twins: an empty query set (or an empty centroid
+    set) returns no rows instead of crashing np.stack on the driver.
+    Empty inputs are routine at scale (a pruned scan matching nothing, a
+    tenant with no data yet); tests/test_empty_inputs.py runs every
+    declared query against all-empty tables."""
+    rank = "rank int, " if with_rank else ""
+    return spark.createDataFrame(
+        [], f"query_id long, neighbor_id long, {rank}{score_col} double"
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -116,6 +129,8 @@ def cosine_topk_vectorized(
 
     spark = corpus.sparkSession
     qpdf = queries.select(F.col(id_col).alias("qid"), vec_col).toPandas()
+    if len(qpdf) == 0:
+        return _empty_result(spark)
     qids = qpdf["qid"].to_numpy()
     Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -231,6 +246,8 @@ def quantized_topk_vectorized(
 
     spark = quantized.sparkSession
     qpdf = queries.select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv")).toPandas()
+    if len(qpdf) == 0:
+        return _empty_result(spark, score_col="cos_sim_q")
     qids = qpdf["qid"].to_numpy()
     Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -432,6 +449,8 @@ def range_search_vectorized(
 
     spark = corpus.sparkSession
     qpdf = queries.select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv")).toPandas()
+    if len(qpdf) == 0:
+        return _empty_result(spark, with_rank=False)
     qids = qpdf["qid"].to_numpy()
     Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -500,11 +519,15 @@ def ivf_topk_vectorized(
         .toPandas()
         .sort_values("cell_id")  # argmax first-max => lowest cell_id on ties
     )
+    if len(cent_pdf) == 0:
+        return _empty_result(spark)
     cell_ids = cent_pdf["cell_id"].to_numpy()
     Cent = np.stack(cent_pdf["cv"].to_numpy()).astype(np.float64)
     CentN = Cent / np.linalg.norm(Cent, axis=1, keepdims=True)
 
     qpdf = queries.select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv")).toPandas()
+    if len(qpdf) == 0:
+        return _empty_result(spark)
     qids = qpdf["qid"].to_numpy()
     Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -608,11 +631,15 @@ def ivf_topk_indexed(
         .toPandas()
         .sort_values("cell_id")
     )
+    if len(cent_pdf) == 0:
+        return _empty_result(spark)
     cell_ids = cent_pdf["cell_id"].to_numpy()
     CentN = np.stack(cent_pdf["cv"].to_numpy()).astype(np.float64)
     CentN = CentN / np.linalg.norm(CentN, axis=1, keepdims=True)
 
     qpdf = queries.select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv")).toPandas()
+    if len(qpdf) == 0:
+        return _empty_result(spark)
     qids = qpdf["qid"].to_numpy()
     Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -823,6 +850,8 @@ def lsh_topk_vectorized(
 
     spark = corpus.sparkSession
     qpdf = queries.select(F.col(id_col).alias("qid"), vec_col).toPandas()
+    if len(qpdf) == 0:
+        return _empty_result(spark)
     qids = qpdf["qid"].to_numpy()
     Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
