@@ -1615,6 +1615,78 @@ DEDUP_CLUSTERS_SQL = f"""
 """
 
 
+def dedup_canonical_keep(spark, sf_dir):
+    """Canonical selection over near-dup clusters: each transitive cluster
+    keeps ONE document by a deterministic quality rule (longest text, tie to
+    the lowest doc_id); unclustered documents keep themselves (cluster_id =
+    own id). This is the step that turns pair/cluster detection into a
+    curated corpus. One extra shuffle on cluster_id over dedup_clusters'
+    own cost; the doc join is a broadcast of the (small) cluster map at
+    this SF and a co-partitioned join at scale."""
+    clusters = dedup_clusters(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+    j = docs.join(clusters, docs.doc_id == clusters.vec_id, "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        "n_chars",
+    )
+    w = Window.partitionBy("cluster_id")
+    ranked = j.withColumn(
+        "rn", F.row_number().over(w.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+    ).withColumn("n_members", F.count("*").over(w).cast("long"))
+    return ranked.filter(F.col("rn") == 1).select(
+        "doc_id", "cluster_id", "n_members", "n_chars"
+    )
+
+
+DEDUP_CANONICAL_SQL = f"""
+    WITH c AS ({DEDUP_CLUSTERS_SQL}),
+    j AS (
+        SELECT d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+               CAST(LENGTH(d.text) AS BIGINT) AS n_chars
+        FROM documents d LEFT JOIN c ON c.vec_id = d.doc_id),
+    r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+        FROM j)
+    SELECT doc_id, cluster_id, CAST(n_members AS BIGINT) AS n_members, n_chars
+    FROM r WHERE rn = 1
+"""
+
+
+def curate_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: the split is a hash of the
+    near-dup CLUSTER id, not the document id, so near-duplicates can never
+    straddle train and test (the classic eval-contamination leak that
+    per-document hashing cannot prevent). Unclustered docs hash their own
+    id — identical to plain hash_split for them."""
+    clusters = dedup_clusters(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    j = docs.join(clusters, docs.doc_id == clusters.vec_id, "left").select(
+        "doc_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id")
+    )
+    return curation.hash_split(j, "cluster_id").select("doc_id", "cluster_id", "split")
+
+
+_LEAK_BUCKET = curation.hash_bucket_sql("cluster_id")
+
+CURATE_LEAKAGE_SQL = f"""
+    WITH c AS ({DEDUP_CLUSTERS_SQL}),
+    j AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN c ON c.vec_id = d.doc_id)
+    SELECT doc_id, cluster_id,
+           CASE WHEN {_LEAK_BUCKET} < 800 THEN 'train'
+                WHEN {_LEAK_BUCKET} < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM j
+"""
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join — for each event, the user's most recent order on or before
     the event (Spark has no native ASOF): expressed as an inequality join +
@@ -3636,17 +3708,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_span_removal": dedup_span_removal,
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "dedup_clusters": dedup_clusters,
+    "dedup_canonical_keep": dedup_canonical_keep,
+    "curate_leakage_safe_split": curate_leakage_safe_split,
     # text analysis
     "text_stats": text_stats_q,
     "text_lang_id": text_lang_id,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
     "text_tfidf_top_term": text_tfidf_top_term,
-    "text_redact_pii": text_redact_pii,
     # curation
     "curate_hash_split": curate_hash_split,
     "curate_stratified_sample": curate_stratified_sample,
-    "curate_contamination": curate_contamination,
     "curate_bloom_contamination": curate_bloom_contamination,
     "curate_quality_rules": curate_quality_rules,
     "curate_pipeline": curate_pipeline,
@@ -3692,6 +3764,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # row within the last 2 rounds; still pytest-oracled every run).
     "curate_mixture_weights": curate_mixture_weights,
     "curate_balanced_sample": curate_balanced_sample,
+    "curate_contamination": curate_contamination,
+    "text_redact_pii": text_redact_pii,
     "dedup_embedding_pairs_expr": dedup_embedding_pairs_expr,
     "q_event_funnel": q_event_funnel,
     "q_recursive_hierarchy": q_recursive_hierarchy,
@@ -3815,6 +3889,8 @@ ORACLES: dict[str, Optional[str]] = {
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_substring_spans": DEDUP_SPANS_SQL,
     "dedup_span_removal": DEDUP_SPAN_REMOVAL_SQL,
+    "dedup_canonical_keep": DEDUP_CANONICAL_SQL,
+    "curate_leakage_safe_split": CURATE_LEAKAGE_SQL,
     "dedup_embedding_pairs": DEDUP_EMB_SQL,
     "dedup_embedding_pairs_expr": DEDUP_EMB_SQL,
     "text_stats": TEXT_STATS_SQL,

@@ -57,3 +57,62 @@ def test_bloom_contamination_is_superset_of_exact(spark):
     exact_ids = {r.train_id for r in workload.curate_contamination(spark, SF_DIR).collect()}
     bloom_ids = {r.train_id for r in workload.curate_bloom_contamination(spark, SF_DIR).collect()}
     assert exact_ids <= bloom_ids, exact_ids - bloom_ids
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """The leakage property itself: every near-dup cluster lands ENTIRELY in
+    one split (a per-document hash split cannot guarantee this), and
+    unclustered documents get exactly the plain hash_split assignment of
+    their own id."""
+    from pyspark.sql import functions as F
+
+    from execute_sync_spark.functions import curation
+    from execute_sync_spark.plans import workload
+    from tests.conftest import SF_DIR
+
+    out = workload.curate_leakage_safe_split(spark, SF_DIR)
+    straddlers = (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddlers == 0
+
+    rows = out.collect()
+    singles = [r for r in rows if r.cluster_id == r.doc_id]
+    assert singles, "expected some unclustered docs in the fixture corpus"
+    plain = {
+        r.doc_id: r.split
+        for r in curation.hash_split(
+            workload._docs(spark, SF_DIR).select("doc_id"), "doc_id"
+        ).collect()
+    }
+    assert all(plain[r.doc_id] == r.split for r in singles)
+
+
+def test_canonical_keep_picks_longest_member(spark):
+    """Canonical rule: the kept doc is the longest member of its cluster
+    (ties to lowest id), one keeper per cluster, and keepers cover every
+    cluster id exactly once."""
+    from pyspark.sql import functions as F
+
+    from execute_sync_spark.plans import workload
+    from tests.conftest import SF_DIR
+
+    kept = workload.dedup_canonical_keep(spark, SF_DIR)
+    assert kept.groupBy("cluster_id").count().filter(F.col("count") > 1).count() == 0
+
+    docs = workload._docs(spark, SF_DIR).select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+    clusters = workload.dedup_clusters(spark, SF_DIR)
+    members = docs.join(clusters, docs.doc_id == clusters.vec_id, "left").select(
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"), "n_chars"
+    )
+    max_len = {
+        r.cluster_id: r.m
+        for r in members.groupBy("cluster_id").agg(F.max("n_chars").alias("m")).collect()
+    }
+    for r in kept.collect():
+        assert r.n_chars == max_len[r.cluster_id], (r, max_len[r.cluster_id])

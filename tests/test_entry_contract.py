@@ -34,6 +34,7 @@ def test_oracles_subset_of_queries():
         # never green on the driver before round 6
         "sim_ivf_multiprobe", "sim_ivf_indexed", "q_merge_upsert",
         "mm_features", "dedup_substring_spans", "dedup_span_removal",
+        "dedup_canonical_keep", "curate_leakage_safe_split",
         # stale greens (r01/r02) re-gated on current testdata
         "d2_latest_version", "d2_asof_snapshot", "ingest_roundtrip",
         "v_variant_shred", "q9_profit_by_nation_year",
