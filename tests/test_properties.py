@@ -193,3 +193,40 @@ def test_decoder_backend_selection(spark):
     feats = multimodal.extract_features(bm, backend="pil").collect()[0]
     assert len(feats.features) == multimodal.FEATURE_DIM
     assert abs(sum(feats.features) - 1.0) < 1e-6
+
+
+words = st.sampled_from("aa bb cc dd ee ff gg hh".split())
+texts = st.lists(words, min_size=0, max_size=30).map(" ".join)
+
+
+@given(corpus=st.lists(texts, min_size=2, max_size=6), data=st.data())
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_duplicate_span_invariants(spark, corpus, data):
+    """Structural invariants of exact-substring spans on random small-alphabet
+    corpora (which repeat heavily by construction): every span lies inside
+    its document, is at least k tokens long, spans of one document never
+    overlap or touch (maximal islands), and removal never removes more
+    tokens than the document has."""
+    from execute_sync_spark.functions import dedupe
+
+    k = 3
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    n_tok = {i: len(t.split()) if t.strip() else 0 for i, t in enumerate(corpus)}
+    spans = dedupe.duplicate_spans(docs, k=k).collect()
+    by_doc: dict[int, list] = {}
+    for r in spans:
+        assert r.span_tokens == r.span_end - r.span_start + 1 >= k
+        assert 0 <= r.span_start <= r.span_end < n_tok[r.doc_id]
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for d, ss in by_doc.items():
+        ss.sort()
+        for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
+            assert e1 + 1 < s2, f"doc {d}: islands not maximal: {ss}"
+
+    removed = dedupe.remove_duplicate_spans(docs, k=k).collect()
+    for r in removed:
+        assert 0 <= r.n_tokens_removed <= r.n_tokens
+        expect_removed = sum(e - s + 1 for s, e in by_doc.get(r.doc_id, []))
+        assert r.n_tokens_removed == expect_removed
