@@ -62,10 +62,18 @@ def _aliases(names: list[str]) -> dict[str, str]:
     return out
 
 
-def _timed_pass(spark, sf_dir: str) -> dict[str, float]:
-    """One sequential timing pass over every declared query."""
+def _timed_pass(spark, sf_dir: str, warm: bool = False) -> dict[str, float]:
+    """One sequential timing pass over every declared query.
+
+    ``warm`` (bench --warm) times the SECOND run of each query — page cache
+    and codegen warm — measuring plan cost rather than cold I/O. Use it to
+    triage scale10 ratio outliers: the sequential 10x pass evicts the page
+    cache between string-heavy scans, inflating in-bench ratios 2-5x vs
+    isolated re-measures (ROADMAP "10x scale validation", round 6)."""
     times: dict[str, float] = {}
     for name, fn in workload.QUERIES.items():
+        if warm:
+            fn(spark, sf_dir).collect()
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         times[name] = round(time.perf_counter() - t0, 3)
@@ -90,7 +98,7 @@ def _scale10_pass(spark, detail: dict) -> None:
     # meaningless (or crashing) ratio_vs_base numbers.
     if not is_current(spark, src, dst, 10):
         build(spark, src, dst, 10)
-    times10 = _timed_pass(spark, dst)
+    times10 = _timed_pass(spark, dst, warm="--warm" in sys.argv)
     base = detail["queries"]
     detail["scale10"] = {
         "sf_dir": dst,
@@ -160,7 +168,8 @@ def main() -> None:
     except Exception:
         pass  # warmup only — never fail the bench for it
 
-    times = _timed_pass(spark, sf_dir)
+    warm = "--warm" in sys.argv
+    times = _timed_pass(spark, sf_dir, warm=warm)
     seq_total = round(sum(times.values()), 3)
 
     # Throughput pass (TPC-H-style multi-stream run): the same workload with
@@ -199,6 +208,7 @@ def main() -> None:
         "concurrent_streams": streams,
         "queries": times,
         "aliases": alias,
+        "warm": warm,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     if "--scale10" in sys.argv:
