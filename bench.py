@@ -98,9 +98,12 @@ def _scale10_pass(spark, detail: dict) -> None:
     # meaningless (or crashing) ratio_vs_base numbers.
     if not is_current(spark, src, dst, 10):
         build(spark, src, dst, 10)
-    times10 = _timed_pass(spark, dst, warm="--warm" in sys.argv)
+    warm = "--warm" in sys.argv
+    times10 = _timed_pass(spark, dst, warm=warm)
     base = detail["queries"]
-    detail["scale10"] = {
+    # warm ratios live under their own key: they measure plan scaling with
+    # page cache warm, not the cold-I/O methodology rounds compare against
+    detail["scale10_warm" if warm else "scale10"] = {
         "sf_dir": dst,
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "seq_total_sec": round(sum(times10.values()), 3),
@@ -112,19 +115,21 @@ def _scale10_pass(spark, detail: dict) -> None:
 
 
 def _carry_scale10(detail: dict, detail_path: str) -> None:
-    """A plain (no --scale10) run must not DESTROY the last measured scale10
-    ratios (round-5 postmortem: the final bench run overwrote the committed
-    artifact and ROADMAP's pointer dangled). Carry the previous block
-    forward, marked stale — readers see both the ratios and that they
-    predate this base pass."""
+    """A bench run must not DESTROY previously measured scale ratio blocks
+    (round-5 postmortem: the final bench run overwrote the committed
+    artifact and ROADMAP's pointer dangled). Any scale block the current
+    run did not itself measure is carried forward marked stale — readers
+    see both the ratios and that they predate this base pass."""
     try:
         with open(detail_path) as f:
-            prev = json.load(f).get("scale10")
+            prev_all = json.load(f)
     except (OSError, ValueError):
         return
-    if prev:
-        prev["stale"] = True  # ratios measured against an EARLIER base pass
-        detail["scale10"] = prev
+    for key in ("scale10", "scale10_warm"):
+        prev = prev_all.get(key)
+        if prev and key not in detail:
+            prev["stale"] = True  # measured against an EARLIER base pass
+            detail[key] = prev
 
 
 def main() -> None:
@@ -213,8 +218,7 @@ def main() -> None:
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     if "--scale10" in sys.argv:
         _scale10_pass(spark, detail)
-    else:
-        _carry_scale10(detail, detail_path)
+    _carry_scale10(detail, detail_path)  # carries whichever blocks this run did not measure
 
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
