@@ -270,8 +270,15 @@ def duplicate_spans(
         .select("__h")
     )
     dup = grams.join(repeated, "__h", "left_semi")
+    # gaps-and-islands over gram START positions, but with token-range
+    # semantics: starts p < q yield overlapping-or-touching k-token ranges
+    # whenever q <= p + k, so only a gap of MORE than k starts a new island
+    # (plain pos - row_number() would leave touching/overlapping spans
+    # unmerged — caught by test_duplicate_span_invariants). Both window
+    # functions share one partition+sort, so this is still a single pass.
     w = Window.partitionBy(id_col).orderBy("pos")
-    islands = dup.withColumn("__isl", F.col("pos") - F.row_number().over(w))
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0)
+    islands = dup.withColumn("__brk", brk).withColumn("__isl", F.sum("__brk").over(w))
     return (
         islands.groupBy(id_col, "__isl")
         .agg(

@@ -900,3 +900,188 @@ def lsh_topk_vectorized(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): coarse-cluster the corpus, then within
+    each cluster drop every vector that has a LOWER-ID cluster-mate with
+    cosine >= threshold (the mate may itself be dropped — the paper's
+    max-over-earlier-points rule, which makes the verdict per-row
+    independent and order-free). Emits one row per input vector with its
+    cell and the keep/drop verdict, so downstream curation can filter,
+    report drop rates per cell, or join the verdict back to documents.
+
+    Scale shape: assignment is a broadcast argmax (the corpus never
+    shuffles for it); the quadratic work is one BLAS gram matrix per CELL,
+    so cluster granularity bounds it exactly like the block key in
+    ``blocked_near_dup_pairs_vectorized`` — cells ≈ sqrt(N) keeps every
+    cell's matrix in one task's memory (COVERAGE.md "Scale tuning knobs").
+    Rounding to 4 decimals before the threshold compare keeps the verdict
+    bit-identical to the DuckDB oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cells = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
+
+    def verdicts_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = _np_round_half_up(Vn @ Vn.T, 4)
+        # strictly-lower-triangular mask: compare each row only against
+        # lower-id rows; NaN (zero vector) never satisfies >= threshold,
+        # matching the oracle's NULL-compare semantics
+        tri = np.tril(np.nan_to_num(S, nan=-2.0) >= threshold, k=-1)
+        kept = ~tri.any(axis=1)
+        return pd.DataFrame(
+            {id_col: ids, "cell_id": pdf["cell_id"].to_numpy(), "kept": kept}
+        )
+
+    return cells.groupBy("cell_id").applyInPandas(
+        verdicts_in_cell, schema=f"{id_col} long, cell_id long, kept boolean"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — Jégou et al. 2011 "Product Quantization
+# for Nearest Neighbor Search". The corpus is stored as m sub-codebook ids
+# (m bytes/vector at k<=256 codes: 64x smaller than 64 float32 dims), and
+# queries score candidates with an asymmetric-distance (ADC) lookup table —
+# no float vector is ever read at query time.
+
+PQ_M = 4  # subspaces (dim must divide evenly)
+
+
+def pq_codebook(sample: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Build the per-subspace codebooks from a bounded sample (collected to
+    the driver — at scale this is the k-means training sample, thousands of
+    rows, never the corpus). Codeword c of subspace j is sample-vector c's
+    j-th slice, ordered by id for determinism — the same fixed-seed idiom
+    the IVF queries use for their centroids, which keeps the codebook
+    reconstructible in the DuckDB oracle."""
+    import numpy as np
+
+    pdf = (
+        sample.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv"))
+        .orderBy("cid")
+        .toPandas()
+    )
+    if len(pdf) == 0:
+        # fully-pruned sample (empty-input contract): zero codewords — the
+        # encoder then emits no codes and ADC search returns empty
+        return np.zeros((PQ_M, 0, 0))
+    C = np.stack(pdf["cv"].to_numpy()).astype(np.float64)  # (k_codes, dim)
+    k_codes, dim = C.shape
+    dsub = dim // PQ_M
+    # (m, k_codes, dsub)
+    return C.reshape(k_codes, PQ_M, dsub).transpose(1, 0, 2).copy()
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every corpus vector to its m sub-codebook ids (argmin L2 per
+    subspace, tie to the lowest code id). One Arrow batch = one BLAS
+    distance computation per subspace; embarrassingly parallel, no shuffle.
+    Sub-distances are rounded (half-up, 6 dp) before the argmin so the hard
+    assignment decision is bit-identical to the DuckDB oracle's arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(codebook)
+    out_schema = f"{id_col} long, codes array<int>"
+
+    def encode_batch(batches):
+        cb = bc.value  # (m, k_codes, dsub)
+        m, k_codes, dsub = cb.shape
+        for pdf in batches:
+            if len(pdf) == 0 or k_codes == 0:
+                continue
+            X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            Xs = X.reshape(len(X), m, dsub)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                d2 = ((Xs[:, j, None, :] - cb[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = np.argmin(_np_round_half_up(d2, 6), axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "codes": list(codes)})
+
+    return corpus.select(id_col, _as_double(vec_col).alias("v")).mapInPandas(
+        encode_batch, schema=out_schema
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebook,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k over the PQ codes: each query precomputes an (m, k_codes)
+    table of partial squared distances to every codeword; a candidate's
+    approximate distance is then m LOOKUPS + a sum — the corpus float
+    vectors are never touched. Local top-k per Arrow batch prunes to
+    k rows/query/partition before the single global k-row merge (the
+    ``cosine_topk_vectorized`` pattern); ranking runs on the ROUNDED
+    distance so local and global keys agree and match the oracle."""
+    import numpy as np
+    import pandas as pd
+
+    spark = codes.sparkSession
+    qpdf = (
+        queries.select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv"))
+        .orderBy("qid")
+        .toPandas()
+    )
+    if len(qpdf) == 0:
+        return _empty_result(spark, score_col="adc_dist")
+    qids = qpdf["qid"].to_numpy()
+    Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
+    m, k_codes, dsub = codebook.shape
+    Qs = Q.reshape(len(Q), m, dsub)
+    # LUT[q, j, c] = ||q_sub_j - codeword_jc||^2
+    lut = ((Qs[:, :, None, :] - codebook[None, :, :, :]) ** 2).sum(-1)
+    bc = spark.sparkContext.broadcast((qids, lut))
+    out_schema = "query_id long, neighbor_id long, adc_dist double"
+
+    def topk_per_batch(batches):
+        bqids, blut = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (B, m)
+            jj = np.arange(m)
+            for qi, qid in enumerate(bqids):
+                # gather m partial distances per candidate and sum
+                D = _np_round_half_up(blut[qi][jj, C].sum(axis=1), 4)
+                cand = np.nonzero(ids != qid)[0]
+                if len(cand) == 0:
+                    continue
+                order = np.lexsort((ids[cand], D[cand]))
+                top = cand[order[:k]]
+                yield pd.DataFrame(
+                    {"query_id": qid, "neighbor_id": ids[top], "adc_dist": D[top]}
+                )
+
+    local = codes.select(id_col, "codes").mapInPandas(topk_per_batch, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

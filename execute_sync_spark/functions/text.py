@@ -147,3 +147,42 @@ def quality_rules(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         has_stopword.alias("ok_stopword"),
         (r_tokens & r_tok_len & r_symbols & has_stopword).alias("passes"),
     )
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-self unigram language-model score — the CCNet/KenLM-shaped
+    quality signal without an external model: P(w) is the token's relative
+    frequency in THIS corpus, a document's score is its mean token log-prob
+    (typical prose scores high; rare-token soup and boilerplate-free noise
+    score low). ``ppl_proxy = exp(-avg_logprob)`` is the familiar
+    perplexity-style view of the same number.
+
+    Scale: identical dataflow to tf-idf (same file) — the token→count table
+    IS the vocabulary (billions of rows at 100 TB), so it is NEVER
+    broadcast; the corpus token total arrives as a broadcast 1-row
+    cross-join instead of a separate count job. Two map-side-combined
+    aggregations plus one equi-join on token; no UDFs anywhere.
+    """
+    tok = (
+        docs.select(F.col(id_col), F.explode_outer(tokens(text_col)).alias("token"))
+        .filter(F.col("token").isNotNull() & (F.col("token") != ""))
+    )
+    tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    freq = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    total = freq.agg(F.sum("cnt").cast("double").alias("_total"))
+    logp = F.col("tf") * F.log(F.col("cnt") / F.col("_total"))
+    return (
+        tf.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (F.sum(logp) / F.sum("tf")).alias("_avg"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.round(F.col("_avg"), 6).alias("avg_logprob"),
+            F.round(F.exp(-F.col("_avg")), 4).alias("ppl_proxy"),
+        )
+    )

@@ -738,9 +738,13 @@ DEDUP_SPANS_SQL = rf"""
         FROM g),
     rep AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2),
     dup AS (SELECT doc_id, pos FROM grams SEMI JOIN rep USING (h)),
+    isl0 AS (SELECT doc_id, pos,
+                    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                              > 5 THEN 1 ELSE 0 END AS brk
+             FROM dup),
     isl AS (SELECT doc_id, pos,
-                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS il
-            FROM dup)
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS il
+            FROM isl0)
     SELECT doc_id,
            CAST(MIN(pos) AS BIGINT) AS span_start,
            CAST(MAX(pos) + {_SPAN_K} - 1 AS BIGINT) AS span_end,
@@ -769,9 +773,13 @@ DEDUP_SPAN_REMOVAL_SQL = rf"""
         FROM g),
     rep AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2),
     dup AS (SELECT doc_id, pos FROM grams SEMI JOIN rep USING (h)),
+    isl0 AS (SELECT doc_id, pos,
+                    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                              > 5 THEN 1 ELSE 0 END AS brk
+             FROM dup),
     isl AS (SELECT doc_id, pos,
-                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS il
-            FROM dup),
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS il
+            FROM isl0),
     spans AS (
         SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {_SPAN_K} - 1 AS span_end
         FROM isl GROUP BY doc_id, il),
@@ -902,6 +910,33 @@ TEXT_TFIDF_SQL = r"""
                                      ORDER BY score DESC, token) AS rn
         FROM scored)
     SELECT doc_id, token AS top_term, score FROM ranked WHERE rn = 1
+"""
+
+
+def text_unigram_logprob(spark, sf_dir):
+    """Corpus-self unigram LM quality score (the CCNet/KenLM-shaped signal
+    without an external model): a doc's score is its mean token log-prob
+    under the corpus unigram distribution; ppl_proxy = exp(-avg). Same
+    scale shape as text_tfidf_top_term: the token→count table IS the
+    vocabulary, never broadcast; the corpus total is a broadcast 1-row
+    cross-join."""
+    return text.unigram_logprob(_docs_wide(spark, sf_dir))
+
+
+TEXT_UNIGRAM_SQL = r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+    tok2 AS (SELECT * FROM tok WHERE token != ''),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok2 GROUP BY 1, 2),
+    freq AS (SELECT token, SUM(tf) AS cnt FROM tf GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM freq)
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           ROUND(SUM(tf * ln(cnt / total)) / SUM(tf), 6) AS avg_logprob,
+           ROUND(exp(-(SUM(tf * ln(cnt / total)) / SUM(tf))), 4) AS ppl_proxy
+    FROM tf JOIN freq USING (token) CROSS JOIN tot
+    GROUP BY doc_id
 """
 
 
@@ -1367,6 +1402,91 @@ DEDUP_EMB_SQL = f"""
                ROUND({_COS_RAW.format(a='a.v', b='b.v')}, 4) AS cos_sim
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
     SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.3
+"""
+
+
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) keep/drop verdicts: coarse-cluster the
+    embeddings (same fixed centroids as the IVF queries — lowest-8 ids, the
+    oracle-reconstructible idiom), then inside each cluster drop any vector
+    with a lower-id cluster-mate at cosine >= 0.35. Declared on the BLAS
+    path: ONE gram matrix per cell via applyInPandas; assignment is a
+    broadcast argmax so the corpus shuffles exactly once, on cell_id. At
+    100 TB the cells come from ``similarity.kmeans_fit`` with k ≈ sqrt(N),
+    which bounds each cell's quadratic work (COVERAGE.md "Scale tuning
+    knobs" block-key row)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    return similarity.semantic_dedup(emb, centroids, threshold=0.35)
+
+
+DEDUP_SEMANTIC_SQL = f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+    assign AS (
+        SELECT vec_id, v, cell_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY {_COS_RAW.format(a='v', b='cv')} DESC, cell_id) AS rn
+        FROM c, cent),
+    cells AS (SELECT vec_id, v, cell_id FROM assign WHERE rn = 1),
+    dropped AS (
+        SELECT DISTINCT d.vec_id
+        FROM cells d JOIN cells e USING (cell_id)
+        WHERE e.vec_id < d.vec_id
+          AND ROUND({_COS_RAW.format(a='d.v', b='e.v')}, 4) >= 0.35)
+    SELECT c2.vec_id, c2.cell_id, (dr.vec_id IS NULL) AS kept
+    FROM cells c2 LEFT JOIN dropped dr ON c2.vec_id = dr.vec_id
+"""
+
+
+def sim_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011): the corpus is encoded
+    once to 4 sub-codebook ids (4 bytes/vector vs 256 for float32 — the
+    64x-memory index that makes billion-vector search fit a cluster), and
+    each query scores candidates through an asymmetric-distance lookup
+    table: m gathers + a sum per candidate, no float vector read at query
+    time. Codebook = the lowest-16 corpus vectors' subspace slices (the
+    fixed-seed idiom the IVF centroids use, keeping the codebook — and so
+    the hard code assignments — reconstructible in the DuckDB oracle).
+    Encode and score are both mapInPandas BLAS passes; the only shuffle is
+    the final per-query k-row merge."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebook(emb.filter(F.col("vec_id") < 16))
+    codes = similarity.pq_encode(emb, cb)
+    return similarity.pq_topk(codes, emb.filter(F.col("vec_id") < 10), cb, k=3)
+
+
+# Mirrors pq_encode/pq_topk arithmetic exactly: slices are 1-based inclusive
+# DuckDB list slices; sub-distance rounded to 6 dp before the argmin (the
+# hard assignment), ADC distance rounded to 4 dp before ranking.
+SIM_PQ_SQL = """
+    WITH src AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sub AS (SELECT vec_id, j, v[CAST(j*16+1 AS INT):CAST(j*16+16 AS INT)] AS sv
+            FROM src, range(4) t(j)),
+    cbsub AS (SELECT vec_id AS code_k, j, sv AS cv FROM sub WHERE vec_id < 16),
+    enc AS (
+        SELECT s.vec_id, s.j, c.code_k,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+                   ORDER BY ROUND(list_sum(list_transform(range(1, 17),
+                       i -> (s.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) * (s.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))), 6),
+                            c.code_k) AS rn
+        FROM sub s JOIN cbsub c USING (j)),
+    codes AS (SELECT vec_id, j, code_k FROM enc WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, j, sv AS qsv FROM sub WHERE vec_id < 10),
+    adc AS (
+        SELECT q.query_id, co.vec_id AS neighbor_id,
+               SUM(list_sum(list_transform(range(1, 17),
+                   i -> (q.qsv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) * (q.qsv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])))) AS dist
+        FROM q JOIN codes co USING (j)
+        JOIN cbsub c ON c.j = co.j AND c.code_k = co.code_k
+        WHERE co.vec_id != q.query_id
+        GROUP BY 1, 2),
+    ranked AS (
+        SELECT query_id, neighbor_id, ROUND(dist, 4) AS adc_dist,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY ROUND(dist, 4), neighbor_id) AS INT) AS rank
+        FROM adc)
+    SELECT query_id, neighbor_id, rank, adc_dist FROM ranked WHERE rank <= 3
 """
 
 
@@ -3696,7 +3816,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # are ALL r5-green and move to slots 51+ (still pytest-oracled).
     # Permanent core rotation slots stay: q1, d1, d3, v_shred_props,
     # and q_merge_upsert / mm_features hold their slots for their first
-    # green with the round-6 oracle fixes.
+    # green with the round-6 oracle fixes. Late-round-6 additions
+    # (dedup_semantic, text_unigram_logprob, sim_pq_topk) enter the
+    # window immediately — never declare a new op outside the gate
+    # (VERDICT r4/r5 rule) — displacing three r5-green rows
+    # (stream_sessionize_closed, stream_purchase_attribution,
+    # d2_change_feed) to 51+.
     # dedup family
     "dedup_exact": dedup_exact,
     "dedup_minhash_sig": dedup_minhash_sig,
@@ -3707,6 +3832,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_span_removal": dedup_span_removal,
     "dedup_embedding_pairs": dedup_embedding_pairs,
+    "dedup_semantic": dedup_semantic,
     "dedup_clusters": dedup_clusters,
     "dedup_canonical_keep": dedup_canonical_keep,
     "curate_leakage_safe_split": curate_leakage_safe_split,
@@ -3716,6 +3842,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
     "text_tfidf_top_term": text_tfidf_top_term,
+    "text_unigram_logprob": text_unigram_logprob,
     # curation
     "curate_hash_split": curate_hash_split,
     "curate_stratified_sample": curate_stratified_sample,
@@ -3728,6 +3855,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivf_multiprobe": sim_ivf_multiprobe,
     "sim_ivf_indexed": sim_ivf_indexed,
     "sim_quantized_topk": sim_quantized_topk,
+    "sim_pq_topk": sim_pq_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_lsh_multiprobe": sim_lsh_multiprobe,
     # multimodal
@@ -3736,14 +3864,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_resize_plan": mm_resize_plan,
     # streaming
     "stream_window_counts": stream_window_counts_q,
-    "stream_sessionize_closed": stream_sessionize_closed,
     "stream_sessionize_flushed": stream_sessionize_flushed,
-    "stream_purchase_attribution": stream_purchase_attribution,
     "stream_enrich_join": stream_enrich_join,
     # document-model / landing analytics (r6 rotation: d2/ingest/variant
     # rows whose last green was r01/r02 re-gated on current testdata)
     "v_explode_tokens": v_explode_tokens,
-    "d2_change_feed": d2_change_feed,
     "d2_latest_version": d2_latest_version,
     "d2_asof_snapshot": d2_asof_snapshot,
     "ingest_roundtrip": ingest_roundtrip,
@@ -3762,6 +3887,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Slots 51+: relational core + document-model ops + the rows
     # displaced by the round-5/6 rotations (all have held a green driver
     # row within the last 2 rounds; still pytest-oracled every run).
+    "stream_sessionize_closed": stream_sessionize_closed,
+    "stream_purchase_attribution": stream_purchase_attribution,
+    "d2_change_feed": d2_change_feed,
     "curate_mixture_weights": curate_mixture_weights,
     "curate_balanced_sample": curate_balanced_sample,
     "curate_contamination": curate_contamination,
@@ -3892,12 +4020,14 @@ ORACLES: dict[str, Optional[str]] = {
     "dedup_canonical_keep": DEDUP_CANONICAL_SQL,
     "curate_leakage_safe_split": CURATE_LEAKAGE_SQL,
     "dedup_embedding_pairs": DEDUP_EMB_SQL,
+    "dedup_semantic": DEDUP_SEMANTIC_SQL,
     "dedup_embedding_pairs_expr": DEDUP_EMB_SQL,
     "text_stats": TEXT_STATS_SQL,
     "text_lang_id": TEXT_LANG_SQL,
     "text_token_count": TEXT_TOKEN_SQL,
     "text_fingerprint": TEXT_FP_SQL,
     "text_tfidf_top_term": TEXT_TFIDF_SQL,
+    "text_unigram_logprob": TEXT_UNIGRAM_SQL,
     "text_redact_pii": TEXT_REDACT_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "curate_hash_split": CURATE_SPLIT_SQL,
@@ -3914,6 +4044,7 @@ ORACLES: dict[str, Optional[str]] = {
     # the driver an agreement check between the two physical paths
     "sim_ivf_indexed": SIM_IVF_MP_SQL,
     "sim_quantized_topk": SIM_QUANT_SQL,
+    "sim_pq_topk": SIM_PQ_SQL,
     "mm_binary_meta": MM_META_SQL,
     "mm_features": MM_FEATURES_SQL,
     "stream_window_counts": STREAM_SQL,

@@ -1,0 +1,178 @@
+"""Behavioral tests for the late-round-6 operators: SemDeDup semantic
+dedup, product-quantization ANN, and the corpus-self unigram LM scorer.
+(The driver-gate oracle equivalence for all three is covered by
+tests/test_workload.py; these pin the semantics on hand-built inputs.)"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup
+
+
+def test_semantic_dedup_keeps_lowest_id(spark):
+    from execute_sync_spark.functions import similarity
+
+    # two well-separated clusters; ids 10/11/12 are near-identical around
+    # centroid A, 20/21 around centroid B but dissimilar to each other
+    rows = [
+        (10, [1.0, 0.0, 0.0, 0.0]),
+        (11, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 10 -> dropped
+        (12, [0.7, 0.7, 0.0, 0.0]),  # same cell, below threshold -> kept
+        (20, [0.0, 0.0, 1.0, 0.0]),
+        (21, [0.0, 0.0, 0.0, 1.0]),  # other cell, orthogonal -> kept
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: (r.cell_id, r.kept)
+        for r in similarity.semantic_dedup(emb, cents, threshold=0.9).collect()
+    }
+    assert out[10] == (0, True)
+    assert out[11] == (0, False)  # cos(10,11) ~ 1.0 >= 0.9, lower id exists
+    assert out[12][1] is True  # cos to 10/11 ~ 0.707 < 0.9
+    assert out[20] == (1, True)
+    assert out[21] == (1, True)  # orthogonal to 20
+
+
+def test_semantic_dedup_verdict_is_per_row_independent(spark):
+    """The max-over-earlier-points rule: a dropped doc still drops its
+    later near-dups (a chain 0~1~2 with cos(0,2) also high drops BOTH 1
+    and 2 — verdicts don't depend on processing order)."""
+    from execute_sync_spark.functions import similarity
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.999, 0.02]),
+        (2, [0.998, 0.04]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.kept for r in similarity.semantic_dedup(emb, cents, threshold=0.99).collect()}
+    assert out == {0: True, 1: False, 2: False}
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+
+
+def _toy_vectors(spark, dim=8, n=40):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    V = rng.randn(n, dim).round(3)
+    rows = [(i, [float(x) for x in V[i]]) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        V.astype(float),
+    )
+
+
+def test_pq_codebook_vectors_encode_to_themselves(spark):
+    """A sample vector's sub-slices are codewords, so encoding the sample
+    must assign each row its own code in every subspace (self-distance 0)."""
+    import numpy as np
+    from execute_sync_spark.functions import similarity
+
+    emb, _ = _toy_vectors(spark)
+    sample = emb.filter(F.col("vec_id") < similarity.PQ_M * 2)  # 8 codewords
+    cb = similarity.pq_codebook(sample)
+    codes = {
+        r.vec_id: list(r.codes)
+        for r in similarity.pq_encode(sample, cb).collect()
+    }
+    for vid, cs in codes.items():
+        assert cs == [vid] * similarity.PQ_M
+    assert cb.shape == (similarity.PQ_M, 8, 8 // similarity.PQ_M)
+    assert not np.isnan(cb).any()
+
+
+def test_pq_topk_matches_numpy_reference(spark):
+    """End-to-end ADC against an independent numpy implementation."""
+    import numpy as np
+    from execute_sync_spark.functions import similarity
+
+    emb, V = _toy_vectors(spark)
+    m = similarity.PQ_M
+    dsub = V.shape[1] // m
+    cb_sample = emb.filter(F.col("vec_id") < 16)
+    cb = similarity.pq_codebook(cb_sample)
+    codes_df = similarity.pq_encode(emb, cb)
+    got = (
+        similarity.pq_topk(codes_df, emb.filter(F.col("vec_id") < 3), cb, k=4)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+
+    # reference: encode + ADC in plain numpy (same rounding contract)
+    C = V[:16].reshape(16, m, dsub).transpose(1, 0, 2)
+    codes = np.empty((len(V), m), dtype=int)
+    for j in range(m):
+        d2 = ((V[:, None, j * dsub:(j + 1) * dsub] - C[j][None]) ** 2).sum(-1)
+        codes[:, j] = np.argmin(np.round(d2, 6), axis=1)
+    for qid in range(3):
+        lut = np.stack(
+            [((V[qid, j * dsub:(j + 1) * dsub] - C[j]) ** 2).sum(-1) for j in range(m)]
+        )
+        D = np.round(lut[np.arange(m), codes].sum(1), 4)
+        order = sorted((float(D[i]), i) for i in range(len(V)) if i != qid)[:4]
+        mine = [(r.neighbor_id, r.adc_dist) for r in got if r.query_id == qid]
+        assert mine == [(i, d) for d, i in order]
+
+
+def test_pq_topk_excludes_self_and_ranks_dense(spark):
+    from execute_sync_spark.functions import similarity
+
+    emb, _ = _toy_vectors(spark)
+    cb = similarity.pq_codebook(emb.filter(F.col("vec_id") < 16))
+    out = similarity.pq_topk(
+        similarity.pq_encode(emb, cb), emb.filter(F.col("vec_id") < 5), cb, k=3
+    ).collect()
+    assert len(out) == 15
+    for r in out:
+        assert r.neighbor_id != r.query_id
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
+
+
+# ---------------------------------------------------------------------------
+# unigram LM score
+
+
+def test_unigram_logprob_hand_computed(spark):
+    from execute_sync_spark.functions import text
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in text.unigram_logprob(docs).collect()}
+    # corpus: a=2, b=2, c=1, total=5
+    d0 = (2 * math.log(2 / 5) + math.log(2 / 5)) / 3
+    d1 = (math.log(2 / 5) + math.log(1 / 5)) / 2
+    assert out[0].n_tokens == 3
+    assert out[1].n_tokens == 2
+    assert out[0].avg_logprob == pytest.approx(round(d0, 6), abs=1e-6)
+    assert out[1].avg_logprob == pytest.approx(round(d1, 6), abs=1e-6)
+    assert out[0].ppl_proxy == pytest.approx(round(math.exp(-d0), 4), abs=1e-4)
+    # the all-common-words doc is "more typical" => higher avg logprob
+    assert out[0].avg_logprob > out[1].avg_logprob
+
+
+def test_unigram_logprob_empty_and_whitespace_docs(spark):
+    from execute_sync_spark.functions import text
+
+    docs = spark.createDataFrame(
+        [(0, "x y"), (1, ""), (2, "   ")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in text.unigram_logprob(docs).collect()}
+    # token-free docs drop from the output (nothing to score), like the oracle
+    assert set(out) == {0}
+    assert out[0].n_tokens == 2
