@@ -35,6 +35,9 @@ def test_oracles_subset_of_queries():
         "sim_ivf_multiprobe", "sim_ivf_indexed", "q_merge_upsert",
         "mm_features", "dedup_substring_spans", "dedup_span_removal",
         "dedup_canonical_keep", "curate_leakage_safe_split",
+        # late-round-6 additions gate immediately (never declare a new op
+        # outside the window)
+        "dedup_semantic", "text_unigram_logprob", "sim_pq_topk",
         # stale greens (r01/r02) re-gated on current testdata
         "d2_latest_version", "d2_asof_snapshot", "ingest_roundtrip",
         "v_variant_shred", "q9_profit_by_nation_year",
