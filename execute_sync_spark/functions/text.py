@@ -7,7 +7,7 @@ an aggregation is the semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from execute_sync_spark.functions.hashing import h32
@@ -185,4 +185,66 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
             F.round(F.col("_avg"), 6).alias("avg_logprob"),
             F.round(F.exp(-F.col("_avg")), 4).alias("ppl_proxy"),
         )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Spärck Jones; the Okapi BM25 scoring
+    every search stack uses) for ONE query over the corpus:
+    ``idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)`` and
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``.
+    N and avgdl count only docs with ≥1 token (token-free docs can never
+    match and are excluded on both engine and oracle sides). Returns the
+    top-k docs by (score desc, id) with their matched-term count.
+
+    Scale shape: the corpus token stream is scanned ONCE (doc-length agg);
+    per-query work touches only postings of the query's terms — the
+    tf table is pre-filtered by an `isin` on the (tiny, literal) term set
+    BEFORE any shuffle, so the groupBy aggregates query-term postings
+    only. df and the (N, avgdl) scalars are broadcast 1-row/short tables;
+    the final top-k is a TakeOrdered, not a global sort. At 100 TB this is
+    the query side of an inverted index: with the tf table written out
+    bucketed by token, each extra query is a partition-pruned probe."""
+    qt = [t.lower() for t in query_terms]
+    tok = (
+        docs.select(F.col(id_col), F.explode_outer(tokens(text_col)).alias("token"))
+        .filter(F.col("token").isNotNull() & (F.col("token") != ""))
+    )
+    dl = tok.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        F.avg("dl").alias("_avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("token").isin(qt))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log((F.col("_n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    norm = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("_avgdl"))
+    term_score = idf * (F.col("tf") * (k1 + 1)) / norm
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(term_score), 6).alias("score"),
+            F.count("*").cast("long").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "rank", "score", "n_terms_hit"
     )

@@ -940,6 +940,44 @@ TEXT_UNIGRAM_SQL = r"""
 """
 
 
+_BM25_TERMS = ["vector", "merge", "filter"]
+
+def text_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval for a fixed 3-term query — the IR scoring half
+    of a retrieval pipeline (functions/text.py bm25_topk documents the
+    inverted-index 100 TB shape: one corpus scan for doc lengths, postings
+    pre-filtered to the query's terms before any shuffle, TakeOrdered
+    top-k)."""
+    return text.bm25_topk(_docs_wide(spark, sf_dir), _BM25_TERMS, k=20)
+
+
+_BM25_IDF = "ln((s._n_docs - d.df + 0.5) / (d.df + 0.5) + 1)"
+_BM25_NORM = "(t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s._avgdl))"
+
+TEXT_BM25_SQL = rf"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+    tok2 AS (SELECT * FROM tok WHERE token != ''),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY 1),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS _n_docs, AVG(dl) AS _avgdl FROM dl),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok2
+           WHERE token IN ('vector', 'merge', 'filter') GROUP BY 1, 2),
+    df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+    scored AS (
+        SELECT t.doc_id,
+               ROUND(SUM({_BM25_IDF} * (t.tf * (1.2 + 1)) / {_BM25_NORM}), 6) AS score,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+        FROM tf t JOIN df d USING (token) JOIN dl l USING (doc_id) CROSS JOIN stats s
+        GROUP BY t.doc_id),
+    ranked AS (
+        SELECT doc_id, score, n_terms_hit,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+        FROM scored)
+    SELECT doc_id, rank, score, n_terms_hit FROM ranked WHERE rank <= 20
+"""
+
+
 def text_redact_pii(spark, sf_dir):
     """PII-style masking pass: long digit runs redacted, with a count of
     masked spans — the shape of a compliance scrub over a corpus."""
@@ -3798,6 +3836,71 @@ STREAM_DEDUP_SQL = """
 """
 
 
+def q_gapfill_timeseries(spark, sf_dir):
+    """Time-series gap fill + LOCF (the hypertable `time_bucket_gapfill` /
+    `locf` idiom): hourly per-event-type rollups joined onto a dense hour
+    spine, missing hours 0-filled for counts and last-observation-carried-
+    forward for the value sum. The spine is (types × hours) — it grows with
+    the TIME RANGE, not the data volume, so at 100 TB it stays a broadcast-
+    sized table while the heavy hourly rollup is one map-side-combined
+    aggregation of the event scan; the LOCF is one window per type (at very
+    long ranges, partition the window by (type, month) and seed each month
+    with the previous month's closing value — same plan shape)."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_start")
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket_start")
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(hours))
+    joined = spine.join(hourly, ["event_type", "bucket_start"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "bucket_start",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        "sum_value",
+        F.last("sum_value", ignorenulls=True).over(w).alias("locf_sum"),
+    )
+
+
+Q_GAPFILL_SQL = """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2),
+    bounds AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+                      date_trunc('hour', MAX(ts)) AS hi FROM events),
+    hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start
+              FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    spine AS (SELECT event_type, bucket_start FROM types, hours),
+    j AS (SELECT s.event_type, s.bucket_start, h.n, h.sum_value
+          FROM spine s LEFT JOIN hourly h
+            ON h.event_type = s.event_type AND h.bucket_start = s.bucket_start)
+    SELECT event_type, bucket_start,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+           sum_value,
+           last_value(sum_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_sum
+    FROM j
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3819,9 +3922,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # green with the round-6 oracle fixes. Late-round-6 additions
     # (dedup_semantic, text_unigram_logprob, sim_pq_topk) enter the
     # window immediately — never declare a new op outside the gate
-    # (VERDICT r4/r5 rule) — displacing three r5-green rows
+    # (VERDICT r4/r5 rule) — displacing five r5-green rows
     # (stream_sessionize_closed, stream_purchase_attribution,
-    # d2_change_feed) to 51+.
+    # d2_change_feed, v_explode_tokens, mm_resize_plan) to 51+.
     # dedup family
     "dedup_exact": dedup_exact,
     "dedup_minhash_sig": dedup_minhash_sig,
@@ -3843,6 +3946,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": text_fingerprint,
     "text_tfidf_top_term": text_tfidf_top_term,
     "text_unigram_logprob": text_unigram_logprob,
+    "text_bm25_topk": text_bm25_topk,
     # curation
     "curate_hash_split": curate_hash_split,
     "curate_stratified_sample": curate_stratified_sample,
@@ -3861,14 +3965,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # multimodal
     "mm_binary_meta": mm_binary_meta,
     "mm_features": mm_features,
-    "mm_resize_plan": mm_resize_plan,
     # streaming
     "stream_window_counts": stream_window_counts_q,
     "stream_sessionize_flushed": stream_sessionize_flushed,
     "stream_enrich_join": stream_enrich_join,
     # document-model / landing analytics (r6 rotation: d2/ingest/variant
     # rows whose last green was r01/r02 re-gated on current testdata)
-    "v_explode_tokens": v_explode_tokens,
     "d2_latest_version": d2_latest_version,
     "d2_asof_snapshot": d2_asof_snapshot,
     "ingest_roundtrip": ingest_roundtrip,
@@ -3877,6 +3979,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_merge_upsert": q_merge_upsert,
     "q9_profit_by_nation_year": q9_profit_by_nation_year,
     "q21_waiting_supplier": q21_waiting_supplier,
+    "q_gapfill_timeseries": q_gapfill_timeseries,
     # relational-core rotation slots (permanent: re-gated every round on
     # regenerated data)
     "q1_pricing_summary": q1_pricing_summary,
@@ -3890,6 +3993,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sessionize_closed": stream_sessionize_closed,
     "stream_purchase_attribution": stream_purchase_attribution,
     "d2_change_feed": d2_change_feed,
+    "v_explode_tokens": v_explode_tokens,
+    "mm_resize_plan": mm_resize_plan,
     "curate_mixture_weights": curate_mixture_weights,
     "curate_balanced_sample": curate_balanced_sample,
     "curate_contamination": curate_contamination,
@@ -4028,6 +4133,7 @@ ORACLES: dict[str, Optional[str]] = {
     "text_fingerprint": TEXT_FP_SQL,
     "text_tfidf_top_term": TEXT_TFIDF_SQL,
     "text_unigram_logprob": TEXT_UNIGRAM_SQL,
+    "text_bm25_topk": TEXT_BM25_SQL,
     "text_redact_pii": TEXT_REDACT_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "curate_hash_split": CURATE_SPLIT_SQL,
@@ -4045,6 +4151,7 @@ ORACLES: dict[str, Optional[str]] = {
     "sim_ivf_indexed": SIM_IVF_MP_SQL,
     "sim_quantized_topk": SIM_QUANT_SQL,
     "sim_pq_topk": SIM_PQ_SQL,
+    "q_gapfill_timeseries": Q_GAPFILL_SQL,
     "mm_binary_meta": MM_META_SQL,
     "mm_features": MM_FEATURES_SQL,
     "stream_window_counts": STREAM_SQL,

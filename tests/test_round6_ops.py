@@ -176,3 +176,80 @@ def test_unigram_logprob_empty_and_whitespace_docs(spark):
     # token-free docs drop from the output (nothing to score), like the oracle
     assert set(out) == {0}
     assert out[0].n_tokens == 2
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+
+
+def test_bm25_hand_computed(spark):
+    from execute_sync_spark.functions import text
+
+    docs = spark.createDataFrame(
+        [(0, "apple banana apple"), (1, "banana cherry"), (2, "dog dog dog dog")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.bm25_topk(docs, ["apple", "banana"], k=10).collect()}
+    # doc 2 matches nothing -> absent; doc 0 matches both terms
+    assert set(out) == {0, 1}
+    assert out[0].n_terms_hit == 2 and out[1].n_terms_hit == 1
+    # independent reference computation
+    N, avgdl = 3.0, (3 + 2 + 4) / 3
+    k1, b = 1.2, 0.75
+
+    def idf(df):
+        return math.log((N - df + 0.5) / (df + 0.5) + 1)
+
+    def ts(tf, dl, df):
+        return idf(df) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    d0 = ts(2, 3, 1) + ts(1, 3, 2)  # apple tf=2 df=1; banana tf=1 df=2
+    d1 = ts(1, 2, 2)
+    assert out[0].score == pytest.approx(round(d0, 6), abs=1e-6)
+    assert out[1].score == pytest.approx(round(d1, 6), abs=1e-6)
+    assert out[0].rank == 1 and out[1].rank == 2
+
+
+def test_bm25_rare_term_outscores_common(spark):
+    """idf must favor the rarer term at equal tf/dl."""
+    from execute_sync_spark.functions import text
+
+    docs = spark.createDataFrame(
+        [(i, "common filler") for i in range(9)] + [(9, "rare filler")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.score for r in text.bm25_topk(docs, ["common", "rare"], k=20).collect()}
+    assert out[9] > out[0]
+
+
+# ---------------------------------------------------------------------------
+# time-series gap fill
+
+
+def test_gapfill_dense_spine_and_locf(spark, tmp_path):
+    import os
+
+    from execute_sync_spark.plans import workload
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", 1, "click", 2.0, "{}"),
+            (2, "2024-01-01 03:20:00", 1, "click", 3.0, "{}"),
+            (3, "2024-01-01 01:00:00", 2, "view", 5.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    sf = str(tmp_path)
+    ev.write.parquet(os.path.join(sf, "events.parquet"))
+    rows = workload.q_gapfill_timeseries(spark, sf).collect()
+    # spine: 2 types x 4 hours (00..03)
+    assert len(rows) == 8
+    click = sorted(
+        [r for r in rows if r.event_type == "click"], key=lambda r: r.bucket_start
+    )
+    assert [r.n_events for r in click] == [1, 0, 0, 1]
+    # LOCF carries hour-0's sum through the empty hours 1-2
+    assert [r.locf_sum for r in click] == [2.0, 2.0, 2.0, 3.0]
+    view = sorted([r for r in rows if r.event_type == "view"], key=lambda r: r.bucket_start)
+    # leading gap before the first observation stays NULL
+    assert [r.locf_sum for r in view] == [None, 5.0, 5.0, 5.0]
