@@ -214,18 +214,29 @@ def bm25_topk(
     the query side of an inverted index: with the tf table written out
     bucketed by token, each extra query is a partition-pruned probe."""
     qt = [t.lower() for t in query_terms]
-    tok = (
-        docs.select(F.col(id_col), F.explode_outer(tokens(text_col)).alias("token"))
-        .filter(F.col("token").isNotNull() & (F.col("token") != ""))
-    )
-    dl = tok.groupBy(id_col).agg(F.count("*").alias("dl"))
-    stats = dl.agg(
+    # doc length is a pure per-row EXPRESSION (array size) — no explode, no
+    # shuffle; the only full-token fan-out is the tf branch, and its isin
+    # filter drops non-query tokens before the (id, token) shuffle, so the
+    # aggregated postings are query-sized, not corpus-sized
+    base = docs.select(
+        F.col(id_col),
+        F.filter(tokens(text_col), lambda x: x != "").alias("__toks"),
+    ).select(
+        F.col(id_col), "__toks", F.size("__toks").cast("long").alias("dl")
+    ).filter(F.col("dl") > 0)
+    stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("_n_docs"),
         F.avg("dl").alias("_avgdl"),
     )
+    # dl rides as a GROUP KEY (functionally dependent on the doc id): group
+    # keys survive column pruning in every consumer, so the df branch below
+    # shares this exact aggregation subtree and Catalyst REUSES the one
+    # postings exchange instead of re-scanning the corpus (plan-asserted in
+    # tests/test_plan_quality.py)
     tf = (
-        tok.filter(F.col("token").isin(qt))
-        .groupBy(id_col, "token")
+        base.select(F.col(id_col), "dl", F.explode("__toks").alias("token"))
+        .filter(F.col("token").isin(qt))
+        .groupBy(id_col, "dl", "token")
         .agg(F.count("*").alias("tf"))
     )
     df_ = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
@@ -234,7 +245,6 @@ def bm25_topk(
     term_score = idf * (F.col("tf") * (k1 + 1)) / norm
     scored = (
         tf.join(F.broadcast(df_), "token")
-        .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
         .agg(

@@ -168,3 +168,52 @@ def test_ivf_indexed_probe_prunes_partitions(spark, tmp_path):
         emb, q, centroids, k=3, nprobe=2).collect()))
     b = sorted(map(tuple, probe.collect()))
     assert a == b
+
+
+def test_bm25_reuses_postings_exchange(spark):
+    """The df branch must derive from the SAME postings aggregation as the
+    scoring branch (dl rides as a group key so column pruning can't
+    de-duplicate the subtrees): after AQE the corpus is scanned for
+    postings ONCE, with a ReusedExchange feeding the df count."""
+    from execute_sync_spark.plans import workload
+
+    df = workload.text_bm25_topk(spark, SF_DIR)
+    df.collect()  # AQE reuse is a runtime decision
+    plan = _plan(df)
+    assert "ReusedExchange" in plan
+
+
+def test_bm25_filters_postings_before_shuffle(spark):
+    """The query-term isin filter must sit directly on the exploded token
+    stream, BEFORE the (id, dl, token) postings exchange — the shuffled
+    postings are query-sized, not vocabulary-sized."""
+    from execute_sync_spark.plans import workload
+
+    plan = _formatted(workload.text_bm25_topk(spark, SF_DIR))
+    # the condition node exists and names the literal term set
+    assert "IN (vector,merge,filter)" in plan
+    # and it appears before the first postings hashpartitioning exchange
+    filt_pos = plan.index("IN (vector,merge,filter)")
+    post_pos = plan.index("hashpartitioning(doc_id")
+    assert filt_pos < post_pos
+
+
+def test_gapfill_broadcasts_spine_side_tables(spark):
+    """The hour spine and the hourly rollup are range-bounded (they grow
+    with TIME, not data) — both must broadcast; the events scan must not
+    shuffle for the join, and no cartesian/NLJ appears."""
+    from execute_sync_spark.plans import workload
+
+    plan = _formatted(workload.q_gapfill_timeseries(spark, SF_DIR))
+    assert plan.count("BroadcastExchange") >= 2
+    # the only NLJ allowed is the broadcast cross-join of the 1-row bounds
+    # table that seeds the hour spine; anything more means the spine join
+    # degenerated (formatted explain lists each node twice: tree + detail)
+    import re
+
+    nlj_nodes = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    assert len(nlj_nodes) <= 1, nlj_nodes
+    assert "CartesianProduct" not in plan
+    # LOCF runs as one partitioned window (no global single-partition sort)
+    win = [l for l in plan.splitlines() if "Arguments" in l and "event_type" in l]
+    assert any("bucket_start" in l for l in win) or "Window" in plan
