@@ -10,3 +10,4 @@ from execute_sync_spark.operators.catalog import (  # noqa: F401
     materialize_views,
     drop_database,
 )
+from execute_sync_spark.operators.rollup import HourlyRollup  # noqa: F401

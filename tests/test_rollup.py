@@ -1,0 +1,95 @@
+"""Incremental continuous aggregate (operators/rollup.py): additive-merge
+refresh equals a full recompute, and untouched day partitions keep their
+physical files."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _snapshot_files(path):
+    return {
+        f: os.stat(f).st_ino
+        for f in glob.glob(os.path.join(path, "day=*", "*.parquet"))
+    }
+
+
+def test_refresh_equals_full_rebuild(spark, tmp_path):
+    from execute_sync_spark.operators.rollup import HourlyRollup
+
+    batch1 = [
+        (1, "2024-01-01 00:10:00", 1, "click", 2.0),
+        (2, "2024-01-01 00:40:00", 2, "click", 3.0),
+        (3, "2024-01-02 05:00:00", 1, "view", 1.0),
+    ]
+    # batch 2: new day 03 AND late data for day 01 hour 00
+    batch2 = [
+        (4, "2024-01-03 09:00:00", 3, "click", 7.0),
+        (5, "2024-01-01 00:55:00", 4, "click", 10.0),
+    ]
+    r = HourlyRollup(spark, str(tmp_path / "rollup"))
+    r.build(_events(spark, batch1))
+    touched = r.refresh(_events(spark, batch2))
+    assert touched == ["2024-01-01", "2024-01-03"]
+
+    got = {
+        (x.event_type, str(x.bucket_start), str(x.day)): (x.n_events, x.sum_value)
+        for x in r.read().collect()
+    }
+    full = HourlyRollup(spark, str(tmp_path / "full"))
+    full.build(_events(spark, batch1 + batch2))
+    want = {
+        (x.event_type, str(x.bucket_start), str(x.day)): (x.n_events, x.sum_value)
+        for x in full.read().collect()
+    }
+    assert got == want
+    # the late day-01 rows merged additively: 3 events, 2+3+10
+    assert got[("click", "2024-01-01 00:00:00", "2024-01-01")] == (3, 15.0)
+
+
+def test_refresh_leaves_untouched_partitions_in_place(spark, tmp_path):
+    from execute_sync_spark.operators.rollup import HourlyRollup
+
+    r = HourlyRollup(spark, str(tmp_path / "rollup"))
+    r.build(
+        _events(
+            spark,
+            [
+                (1, "2024-01-01 00:10:00", 1, "click", 2.0),
+                (2, "2024-01-02 03:00:00", 2, "view", 5.0),
+            ],
+        )
+    )
+    before = _snapshot_files(str(tmp_path / "rollup"))
+    day1_files = {f: i for f, i in before.items() if "day=2024-01-01" in f}
+    assert day1_files
+
+    touched = r.refresh(_events(spark, [(3, "2024-01-02 04:00:00", 3, "view", 1.0)]))
+    assert touched == ["2024-01-02"]
+    after = _snapshot_files(str(tmp_path / "rollup"))
+    # day-01's files are bit-for-bit the same inodes — never read or written
+    for f, ino in day1_files.items():
+        assert after.get(f) == ino
+    # day-02 was rewritten (new files)
+    assert {f for f in after if "day=2024-01-02" in f} != {
+        f for f in before if "day=2024-01-02" in f
+    }
+
+
+def test_refresh_bootstraps_and_empty_batch_noops(spark, tmp_path):
+    from execute_sync_spark.operators.rollup import HourlyRollup
+
+    r = HourlyRollup(spark, str(tmp_path / "rollup"))
+    # no rollup yet -> refresh falls back to a full build
+    assert r.refresh(_events(spark, [(1, "2024-01-01 00:10:00", 1, "click", 2.0)])) == ["*"]
+    # empty batch -> nothing touched, nothing changed
+    before = _snapshot_files(str(tmp_path / "rollup"))
+    assert r.refresh(_events(spark, []).limit(0)) == []
+    assert _snapshot_files(str(tmp_path / "rollup")) == before
