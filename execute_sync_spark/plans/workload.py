@@ -3901,6 +3901,60 @@ Q_GAPFILL_SQL = """
 """
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix — users grouped by first-seen week,
+    each cell = how many of a cohort were active N weeks later (the classic
+    product-analytics rollup). Two map-side-combined aggregations + one
+    equi-join on user_id; cohort sizes are a weeks-sized table and
+    broadcast for the rate division. At 100 TB the per-user first-seen
+    aggregate is the only user-cardinality shuffle, and it is the same
+    shuffle the activity dedup needs — Catalyst lines both up on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    # ISO string weeks: a DATE column round-trips as python objects via
+    # Arrow while DuckDB dates become datetime64 — strings hash identically
+    wk = F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+    first = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    active = ev.select("user_id", wk.alias("active_week")).distinct()
+    cohort_size = first.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("cohort_n")
+    )
+    cells = (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff(F.to_date("active_week"), F.to_date("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_no"),
+        )
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )
+    return cells.join(F.broadcast(cohort_size), "cohort_week").select(
+        "cohort_week",
+        "week_no",
+        "n_active",
+        "cohort_n",
+        F.round(F.col("n_active") / F.col("cohort_n"), 4).alias("retention"),
+    )
+
+
+Q_COHORT_SQL = """
+    WITH wk AS (SELECT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS w FROM events),
+    first AS (SELECT user_id, MIN(w) AS cohort_week FROM wk GROUP BY 1),
+    active AS (SELECT DISTINCT user_id, w AS active_week FROM wk),
+    size_ AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_n
+              FROM first GROUP BY 1),
+    cells AS (
+        SELECT f.cohort_week,
+               CAST(FLOOR(date_diff('day', CAST(f.cohort_week AS DATE), CAST(a.active_week AS DATE)) / 7.0) AS INT) AS week_no,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM active a JOIN first f USING (user_id)
+        GROUP BY 1, 2)
+    SELECT c.cohort_week, c.week_no, c.n_active, s.cohort_n,
+           ROUND(c.n_active / CAST(s.cohort_n AS DOUBLE), 4) AS retention
+    FROM cells c JOIN size_ s USING (cohort_week)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3949,7 +4003,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bm25_topk": text_bm25_topk,
     # curation
     "curate_hash_split": curate_hash_split,
-    "curate_stratified_sample": curate_stratified_sample,
     "curate_bloom_contamination": curate_bloom_contamination,
     "curate_quality_rules": curate_quality_rules,
     "curate_pipeline": curate_pipeline,
@@ -3980,6 +4033,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q9_profit_by_nation_year": q9_profit_by_nation_year,
     "q21_waiting_supplier": q21_waiting_supplier,
     "q_gapfill_timeseries": q_gapfill_timeseries,
+    "q_cohort_retention": q_cohort_retention,
     # relational-core rotation slots (permanent: re-gated every round on
     # regenerated data)
     "q1_pricing_summary": q1_pricing_summary,
@@ -3995,6 +4049,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d2_change_feed": d2_change_feed,
     "v_explode_tokens": v_explode_tokens,
     "mm_resize_plan": mm_resize_plan,
+    "curate_stratified_sample": curate_stratified_sample,
     "curate_mixture_weights": curate_mixture_weights,
     "curate_balanced_sample": curate_balanced_sample,
     "curate_contamination": curate_contamination,
@@ -4152,6 +4207,7 @@ ORACLES: dict[str, Optional[str]] = {
     "sim_quantized_topk": SIM_QUANT_SQL,
     "sim_pq_topk": SIM_PQ_SQL,
     "q_gapfill_timeseries": Q_GAPFILL_SQL,
+    "q_cohort_retention": Q_COHORT_SQL,
     "mm_binary_meta": MM_META_SQL,
     "mm_features": MM_FEATURES_SQL,
     "stream_window_counts": STREAM_SQL,

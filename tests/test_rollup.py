@@ -93,3 +93,62 @@ def test_refresh_bootstraps_and_empty_batch_noops(spark, tmp_path):
     before = _snapshot_files(str(tmp_path / "rollup"))
     assert r.refresh(_events(spark, []).limit(0)) == []
     assert _snapshot_files(str(tmp_path / "rollup")) == before
+
+
+def test_rollup_maintained_from_a_stream(spark, tmp_path):
+    """Continuous-aggregate maintenance under Structured Streaming: a file
+    stream of event batches drives HourlyRollup.refresh from foreachBatch
+    (one file per micro-batch), and the maintained rollup equals a full
+    rebuild over everything that streamed through."""
+    import os
+
+    from execute_sync_spark.operators.rollup import HourlyRollup
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    b1 = _events(spark, [(1, "2024-01-01 00:10:00", 1, "click", 2.0)])
+    b2 = _events(
+        spark,
+        [
+            (2, "2024-01-01 00:30:00", 2, "click", 3.0),  # late for day 1
+            (3, "2024-01-02 07:00:00", 1, "view", 4.0),
+        ],
+    )
+    b1.coalesce(1).write.parquet(os.path.join(src, "f1"))
+    b2.coalesce(1).write.parquet(os.path.join(src, "f2"))
+    # flatten part-files so maxFilesPerTrigger sees two files
+    files = []
+    for d in ("f1", "f2"):
+        for f in os.listdir(os.path.join(src, d)):
+            if f.endswith(".parquet"):
+                dst = os.path.join(src, f"{d}.parquet")
+                os.rename(os.path.join(src, d, f), dst)
+                files.append(dst)
+    schema = spark.read.parquet(files[0]).schema
+
+    r = HourlyRollup(spark, str(tmp_path / "rollup"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*.parquet")
+    )
+    q = (
+        stream.writeStream.foreachBatch(lambda df, _id: r.refresh(df))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    full = HourlyRollup(spark, str(tmp_path / "full"))
+    full.build(_events(spark, []).limit(0).unionByName(b1).unionByName(b2))
+    got = {
+        (x.event_type, str(x.bucket_start)): (x.n_events, x.sum_value)
+        for x in r.read().collect()
+    }
+    want = {
+        (x.event_type, str(x.bucket_start)): (x.n_events, x.sum_value)
+        for x in full.read().collect()
+    }
+    assert got == want
+    assert got[("click", "2024-01-01 00:00:00")] == (2, 5.0)

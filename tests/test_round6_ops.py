@@ -253,3 +253,60 @@ def test_gapfill_dense_spine_and_locf(spark, tmp_path):
     view = sorted([r for r in rows if r.event_type == "view"], key=lambda r: r.bucket_start)
     # leading gap before the first observation stays NULL
     assert [r.locf_sum for r in view] == [None, 5.0, 5.0, 5.0]
+
+
+# ---------------------------------------------------------------------------
+# cohort retention
+
+
+def test_cohort_retention_hand_computed(spark, tmp_path):
+    import os
+
+    from execute_sync_spark.plans import workload
+
+    # users 1,2 first seen week of 2024-01-01 (Mon); user 1 returns week+1;
+    # user 3 first seen week+1
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-02 10:00:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-03 10:00:00", 2, "click", 1.0, "{}"),
+            (3, "2024-01-09 10:00:00", 1, "view", 1.0, "{}"),
+            (4, "2024-01-10 10:00:00", 3, "view", 1.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    sf = str(tmp_path)
+    ev.write.parquet(os.path.join(sf, "events.parquet"))
+    rows = {
+        (r.cohort_week, r.week_no): (r.n_active, r.cohort_n, r.retention)
+        for r in workload.q_cohort_retention(spark, sf).collect()
+    }
+    assert rows[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert rows[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert rows[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert len(rows) == 3
+
+
+# ---------------------------------------------------------------------------
+# production-path compositions
+
+
+def test_semantic_dedup_with_kmeans_centroids(spark):
+    """The declared query uses fixed centroids for oracle stability; the
+    production path feeds kmeans_fit centroids in — same contract: one
+    verdict per vector, and within every cell the lowest surviving id is
+    always kept."""
+    from tests.conftest import SF_DIR
+
+    from execute_sync_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = similarity.kmeans_fit(emb, k=4, iters=2)
+    out = similarity.semantic_dedup(emb, cents, threshold=0.35).collect()
+    assert len(out) == emb.count()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r.cell_id, []).append(r)
+    for rows in by_cell.values():
+        lowest = min(r.vec_id for r in rows)
+        assert next(r.kept for r in rows if r.vec_id == lowest) is True
