@@ -991,6 +991,7 @@ def pq_encode(
     codebook,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Encode every corpus vector to its m sub-codebook ids (argmin L2 per
     subspace, tie to the lowest code id). One Arrow batch = one BLAS
@@ -1001,8 +1002,13 @@ def pq_encode(
     import pandas as pd
 
     spark = corpus.sparkSession
+    carry = list(carry_cols or [])
     bc = spark.sparkContext.broadcast(codebook)
-    out_schema = f"{id_col} long, codes array<int>"
+    carry_schema = "".join(
+        f", {c} {t}" for c, t in
+        ((c, dict(corpus.dtypes)[c]) for c in carry)
+    )
+    out_schema = f"{id_col} long, codes array<int>" + carry_schema
 
     def encode_batch(batches):
         cb = bc.value  # (m, k_codes, dsub)
@@ -1016,9 +1022,12 @@ def pq_encode(
             for j in range(m):
                 d2 = ((Xs[:, j, None, :] - cb[j][None, :, :]) ** 2).sum(-1)
                 codes[:, j] = np.argmin(_np_round_half_up(d2, 6), axis=1)
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "codes": list(codes)})
+            out = {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            for c in carry:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
 
-    return corpus.select(id_col, _as_double(vec_col).alias("v")).mapInPandas(
+    return corpus.select(id_col, _as_double(vec_col).alias("v"), *carry).mapInPandas(
         encode_batch, schema=out_schema
     )
 
@@ -1079,6 +1088,109 @@ def pq_topk(
                 )
 
     local = codes.select(id_col, "codes").mapInPandas(topk_per_batch, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ — the canonical billion-vector ANN composition (Jégou et al.
+    2011 §V): the coarse quantizer prunes candidates to the query's nprobe
+    nearest cells, and PQ asymmetric-distance scores ONLY those candidates
+    from their m-byte codes. Cost per query: nprobe/cells of the corpus,
+    scored at m lookups per candidate, no float vector read. The cell
+    assignment + encode is the one-time index build (pq_encode carries
+    cell_id through, so cells+codes land in one pass over the corpus and
+    can be written partitioned by cell for the ``build_cell_index``-style
+    partition-pruned probe).
+
+    Probe ranking matches ``assign_cells``: cosine desc, cell_id asc —
+    computed driver-side over the (bounded) query and centroid sets."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    cells = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(cells, codebook, id_col=id_col, vec_col="v", carry_cols=["cell_id"])
+
+    qpdf = (
+        queries.select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv"))
+        .orderBy("qid")
+        .toPandas()
+    )
+    if len(qpdf) == 0:
+        return _empty_result(spark, score_col="adc_dist")
+    cpdf = (
+        centroids.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv"))
+        .orderBy("cid")
+        .toPandas()
+    )
+    qids = qpdf["qid"].to_numpy()
+    Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
+    cids = cpdf["cid"].to_numpy()
+    C = np.stack(cpdf["cv"].to_numpy()).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        S = Qn @ Cn.T  # |queries| x |cells|
+    probes = {}
+    for i, qid in enumerate(qids):
+        order = np.lexsort((cids, _desc_nulls_last(S[i])))
+        probes[int(qid)] = set(int(c) for c in cids[order[:nprobe]])
+    all_probed = sorted(set().union(*probes.values()))
+
+    m, k_codes, dsub = codebook.shape
+    Qs = Q.reshape(len(Q), m, dsub)
+    lut = ((Qs[:, :, None, :] - codebook[None, :, :, :]) ** 2).sum(-1)
+    bc = spark.sparkContext.broadcast((qids, lut, probes))
+    out_schema = "query_id long, neighbor_id long, adc_dist double"
+
+    def topk_per_batch(batches):
+        bqids, blut, bprobes = bc.value
+        jj = np.arange(m)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            cell = pdf["cell_id"].to_numpy()
+            Cc = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            for qi, qid in enumerate(bqids):
+                allowed = bprobes[int(qid)]
+                mask = np.fromiter((int(c) in allowed for c in cell), bool, len(cell))
+                mask &= ids != qid
+                cand = np.nonzero(mask)[0]
+                if len(cand) == 0:
+                    continue
+                D = _np_round_half_up(blut[qi][jj, Cc[cand]].sum(axis=1), 4)
+                order = np.lexsort((ids[cand], D))
+                top = order[:k]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": ids[cand[top]],
+                        "adc_dist": D[top],
+                    }
+                )
+
+    # cell pruning happens BEFORE Python sees the rows: the isin filter on
+    # the carried cell_id prunes to the probed cells (partition pruning
+    # when codes are persisted partitioned by cell)
+    pruned = codes.filter(F.col("cell_id").isin(all_probed))
+    local = pruned.select(id_col, "cell_id", "codes").mapInPandas(
+        topk_per_batch, schema=out_schema
+    )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     return (
         local.withColumn("rank", F.row_number().over(w))

@@ -1528,6 +1528,62 @@ SIM_PQ_SQL = """
 """
 
 
+def sim_ivfpq_topk(spark, sf_dir):
+    """IVF+PQ — coarse cells prune to nprobe=2 cells per query, PQ-ADC
+    scores the survivors from 4-byte codes (Jégou et al. 2011 §V, the
+    billion-vector composition: nprobe/cells of the corpus per query, m
+    lookups per candidate, no float vector read at query time). Same fixed
+    centroids as the IVF family and the same sample codebook as sim_pq_topk,
+    so the full composition is DuckDB-reconstructible."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter(F.col("vec_id") < 10)
+    cb = similarity.pq_codebook(emb.filter(F.col("vec_id") < 16))
+    return similarity.ivfpq_topk(emb, queries, centroids, cb, k=3, nprobe=2)
+
+
+SIM_IVFPQ_SQL = f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+    assign AS (
+        SELECT vec_id, v, cell_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY {_COS_RAW.format(a='v', b='cv')} DESC, cell_id) AS rn
+        FROM c, cent),
+    cells AS (SELECT vec_id, cell_id FROM assign WHERE rn = 1),
+    qprobe AS (SELECT vec_id AS query_id, cell_id FROM assign WHERE vec_id < 10 AND rn <= 2),
+    sub AS (SELECT vec_id, j, v[CAST(j*16+1 AS INT):CAST(j*16+16 AS INT)] AS sv
+            FROM c, range(4) t(j)),
+    cbsub AS (SELECT vec_id AS code_k, j, sv AS cv FROM sub WHERE vec_id < 16),
+    enc AS (
+        SELECT s.vec_id, s.j, cb.code_k,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+                   ORDER BY ROUND(list_sum(list_transform(range(1, 17),
+                       i -> (s.sv[CAST(i AS INT)] - cb.cv[CAST(i AS INT)]) * (s.sv[CAST(i AS INT)] - cb.cv[CAST(i AS INT)]))), 6),
+                            cb.code_k) AS rn
+        FROM sub s JOIN cbsub cb USING (j)),
+    codes AS (SELECT vec_id, j, code_k FROM enc WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, j, sv AS qsv FROM sub WHERE vec_id < 10),
+    adc AS (
+        SELECT q.query_id, co.vec_id AS neighbor_id,
+               SUM(list_sum(list_transform(range(1, 17),
+                   i -> (q.qsv[CAST(i AS INT)] - cb.cv[CAST(i AS INT)]) * (q.qsv[CAST(i AS INT)] - cb.cv[CAST(i AS INT)])))) AS dist
+        FROM q
+        JOIN codes co USING (j)
+        JOIN cbsub cb ON cb.j = co.j AND cb.code_k = co.code_k
+        JOIN cells cl ON cl.vec_id = co.vec_id
+        JOIN qprobe qp ON qp.query_id = q.query_id AND qp.cell_id = cl.cell_id
+        WHERE co.vec_id != q.query_id
+        GROUP BY 1, 2),
+    ranked AS (
+        SELECT query_id, neighbor_id, ROUND(dist, 4) AS adc_dist,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY ROUND(dist, 4), neighbor_id) AS INT) AS rank
+        FROM adc)
+    SELECT query_id, neighbor_id, rank, adc_dist FROM ranked WHERE rank <= 3
+"""
+
+
 def q10_returned_items(spark, sf_dir):
     """TPC-H Q10 shape: revenue lost to returned items per customer, top 20."""
     cust = _t(spark, sf_dir, "customer")
@@ -4013,10 +4069,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivf_indexed": sim_ivf_indexed,
     "sim_quantized_topk": sim_quantized_topk,
     "sim_pq_topk": sim_pq_topk,
+    "sim_ivfpq_topk": sim_ivfpq_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_lsh_multiprobe": sim_lsh_multiprobe,
     # multimodal
-    "mm_binary_meta": mm_binary_meta,
     "mm_features": mm_features,
     # streaming
     "stream_window_counts": stream_window_counts_q,
@@ -4050,6 +4106,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "v_explode_tokens": v_explode_tokens,
     "mm_resize_plan": mm_resize_plan,
     "curate_stratified_sample": curate_stratified_sample,
+    "mm_binary_meta": mm_binary_meta,
     "curate_mixture_weights": curate_mixture_weights,
     "curate_balanced_sample": curate_balanced_sample,
     "curate_contamination": curate_contamination,
@@ -4206,6 +4263,7 @@ ORACLES: dict[str, Optional[str]] = {
     "sim_ivf_indexed": SIM_IVF_MP_SQL,
     "sim_quantized_topk": SIM_QUANT_SQL,
     "sim_pq_topk": SIM_PQ_SQL,
+    "sim_ivfpq_topk": SIM_IVFPQ_SQL,
     "q_gapfill_timeseries": Q_GAPFILL_SQL,
     "q_cohort_retention": Q_COHORT_SQL,
     "mm_binary_meta": MM_META_SQL,

@@ -39,7 +39,7 @@ def test_oracles_subset_of_queries():
         # outside the window)
         "dedup_semantic", "text_unigram_logprob", "sim_pq_topk",
         "text_bm25_topk", "q_gapfill_timeseries",
-        "q_cohort_retention",
+        "q_cohort_retention", "sim_ivfpq_topk",
         # stale greens (r01/r02) re-gated on current testdata
         "d2_latest_version", "d2_asof_snapshot", "ingest_roundtrip",
         "v_variant_shred", "q9_profit_by_nation_year",

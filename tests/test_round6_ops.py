@@ -310,3 +310,44 @@ def test_semantic_dedup_with_kmeans_centroids(spark):
     for rows in by_cell.values():
         lowest = min(r.vec_id for r in rows)
         assert next(r.kept for r in rows if r.vec_id == lowest) is True
+
+
+def test_ivfpq_with_all_cells_probed_equals_plain_pq(spark):
+    """With nprobe = |cells| the coarse quantizer prunes nothing, so IVF+PQ
+    must return exactly plain PQ-ADC's answer — the composition only ever
+    REMOVES candidates."""
+    from execute_sync_spark.functions import similarity
+
+    emb, _ = _toy_vectors(spark)
+    cents = emb.filter(F.col("vec_id") < 3)
+    cb = similarity.pq_codebook(emb.filter(F.col("vec_id") < 16))
+    queries = emb.filter(F.col("vec_id") < 4)
+    full = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_dist)
+        for r in similarity.pq_topk(
+            similarity.pq_encode(emb, cb), queries, cb, k=3
+        ).collect()
+    }
+    ivfpq = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_dist)
+        for r in similarity.ivfpq_topk(emb, queries, cents, cb, k=3, nprobe=3).collect()
+    }
+    assert ivfpq == full
+
+
+def test_ivfpq_prunes_to_probed_cells(spark):
+    """With nprobe=1 every neighbor must share the query's own cell."""
+    from execute_sync_spark.functions import similarity
+
+    emb, _ = _toy_vectors(spark)
+    cents = emb.filter(F.col("vec_id") < 3)
+    cb = similarity.pq_codebook(emb.filter(F.col("vec_id") < 16))
+    queries = emb.filter(F.col("vec_id") < 4)
+    cells = {
+        r.vec_id: r.cell_id
+        for r in similarity.assign_cells(emb, cents).collect()
+    }
+    out = similarity.ivfpq_topk(emb, queries, cents, cb, k=5, nprobe=1).collect()
+    assert out
+    for r in out:
+        assert cells[r.neighbor_id] == cells[r.query_id]
