@@ -204,7 +204,6 @@ def main() -> None:
     total = min(seq_total, wall)
     # pick the longest alias cap whose printed line still fits the tail
     # window — per-query data in the driver record beats pretty aliases
-    alias = _aliases(list(times))
     for cap in (10, 7, 5, 4):
         alias = _aliases(list(times), cap=cap)
         probe = json.dumps(

@@ -1056,11 +1056,14 @@ def pq_topk(
         .orderBy("qid")
         .toPandas()
     )
-    if len(qpdf) == 0:
+    m, k_codes, dsub = codebook.shape
+    if len(qpdf) == 0 or k_codes == 0:
+        # empty queries OR a zero-codeword codebook (pq_codebook's
+        # empty-sample contract): no candidates can score — return the
+        # standard empty shape instead of crashing the reshape below
         return _empty_result(spark, score_col="adc_dist")
     qids = qpdf["qid"].to_numpy()
     Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
-    m, k_codes, dsub = codebook.shape
     Qs = Q.reshape(len(Q), m, dsub)
     # LUT[q, j, c] = ||q_sub_j - codeword_jc||^2
     lut = ((Qs[:, :, None, :] - codebook[None, :, :, :]) ** 2).sum(-1)
@@ -1130,13 +1133,18 @@ def ivfpq_topk(
         .orderBy("qid")
         .toPandas()
     )
-    if len(qpdf) == 0:
-        return _empty_result(spark, score_col="adc_dist")
     cpdf = (
         centroids.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv"))
         .orderBy("cid")
         .toPandas()
     )
+    m, k_codes, dsub = codebook.shape
+    if len(qpdf) == 0 or len(cpdf) == 0 or k_codes == 0:
+        # empty queries, an empty centroid set (nothing to probe), or a
+        # zero-codeword codebook all mean "no scored candidates" — the
+        # empty-input contract (_empty_result docstring) promises an empty
+        # frame, not an np.stack/reshape crash
+        return _empty_result(spark, score_col="adc_dist")
     qids = qpdf["qid"].to_numpy()
     Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
     cids = cpdf["cid"].to_numpy()
@@ -1151,7 +1159,6 @@ def ivfpq_topk(
         probes[int(qid)] = set(int(c) for c in cids[order[:nprobe]])
     all_probed = sorted(set().union(*probes.values()))
 
-    m, k_codes, dsub = codebook.shape
     Qs = Q.reshape(len(Q), m, dsub)
     lut = ((Qs[:, :, None, :] - codebook[None, :, :, :]) ** 2).sum(-1)
     bc = spark.sparkContext.broadcast((qids, lut, probes))
@@ -1167,9 +1174,8 @@ def ivfpq_topk(
             cell = pdf["cell_id"].to_numpy()
             Cc = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
             for qi, qid in enumerate(bqids):
-                allowed = bprobes[int(qid)]
-                mask = np.fromiter((int(c) in allowed for c in cell), bool, len(cell))
-                mask &= ids != qid
+                allowed = np.fromiter(bprobes[int(qid)], dtype=np.int64)
+                mask = np.isin(cell, allowed) & (ids != qid)
                 cand = np.nonzero(mask)[0]
                 if len(cand) == 0:
                     continue

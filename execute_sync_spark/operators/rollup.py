@@ -1,20 +1,22 @@
 """Incremental continuous aggregate over an append-only event log — the
-hypertable "continuous aggregate" / materialized-view-maintenance idiom.
+hypertable "continuous aggregate" / materialized-view-maintenance idiom,
+made IDEMPOTENT under at-least-once batch replay.
 
-A materialized hourly rollup table lives on disk partitioned by DAY; each
-arriving batch is folded in by ADDITIVE MERGE: the batch's partial
-aggregates (count / sum are associative) union with the existing rollup
-rows of ONLY the day partitions the batch touches, re-aggregate, and those
-partitions swap atomically. The event log is never re-read for a refresh —
-at 100 TB a day's late events cost one partition-pruned rollup read plus
-one small write, regardless of log size. (Contrast `ParquetSink
-.refresh_latest`, which must re-read the log because D2 latest-version is
-NOT additive; rollup sums are, so this path is cheaper still.)
+Layout: ``{path}/day=D/batch_id=B/part-*.parquet`` holds PARTIAL hourly
+aggregates — one (day, batch_id) partition per ingested batch. A refresh
+writes the batch's partials with dynamic partition overwrite, so replaying
+the same batch (a foreachBatch restart after a crash, the reference's
+watermark-after-upload window) OVERWRITES its own partitions instead of
+double-counting — the exactly-once contract falls out of the layout, with
+no ledger and no read-modify-write race. The event log is never re-read
+for a refresh; at 100 TB a late batch for an old day costs one small
+partition write, regardless of log size.
 
-Layout: ``{path}/day=YYYY-MM-DD/part-*.parquet`` with rows
-(event_type, bucket_start, n_events, sum_value). AVG is derivable as
-sum/n downstream; only associative aggregates are maintained (the rule for
-any incrementally-maintained view).
+``read()`` folds the partials (sum of sums/counts — associative, the rule
+for any incrementally-maintained aggregate); ``compact()`` collapses a
+day's accumulated batch partials into one, the OPTIMIZE analog for
+long-lived rollups. (Contrast ``ParquetSink.refresh_latest``, which must
+re-read the log because D2 latest-version is NOT additive.)
 """
 
 from __future__ import annotations
@@ -39,8 +41,8 @@ def _hourly(events: DataFrame) -> DataFrame:
 
 
 class HourlyRollup:
-    """Materialized hourly (event_type, hour) rollup with per-day
-    incremental refresh."""
+    """Materialized hourly (event_type, hour) rollup maintained from
+    batches, replay-idempotent per batch_id."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -49,61 +51,86 @@ class HourlyRollup:
     # -- full build ---------------------------------------------------------
 
     def build(self, events: DataFrame) -> str:
-        """Full (re)build — the bootstrap, or the escape hatch if the
-        rollup is ever suspected stale."""
-        tmp = f"{self.path}_{uuid.uuid4().hex[:8]}"
-        _hourly(events).write.mode("overwrite").partitionBy("day").parquet(tmp)
-        if os.path.isdir(self.path):
-            shutil.rmtree(self.path)
-        os.rename(tmp, self.path)
+        """Full (re)build — the bootstrap from a complete log, or the
+        escape hatch if the rollup is ever suspected stale. Replaces the
+        whole table (static overwrite) under batch_id=__full__."""
+        (
+            _hourly(events)
+            .withColumn("batch_id", F.lit("__full__"))
+            .write.mode("overwrite")
+            .partitionBy("day", "batch_id")
+            .parquet(self.path)
+        )
         return self.path
 
     # -- incremental refresh ------------------------------------------------
 
-    def refresh(self, new_batch: DataFrame) -> list[str]:
-        """Fold one new batch into the rollup. Only the day partitions the
-        batch touches are read (partition-pruned) and rewritten; all other
-        partitions keep their physical files (inode-asserted in
-        tests/test_rollup.py). Returns the refreshed day list.
+    def refresh(self, new_batch: DataFrame, batch_id=None) -> list[str]:
+        """Fold one batch into the rollup. Writes the batch's partial
+        aggregates under (day, batch_id) with DYNAMIC partition overwrite:
+        only the partitions this batch produces are replaced, every other
+        partition keeps its physical files (inode-asserted in
+        tests/test_rollup.py), and a REPLAY of the same batch_id rewrites
+        its own partitions instead of double-counting (replay-asserted).
 
-        Additivity is the contract: existing rollup rows and the batch's
-        partial aggregates union and re-sum — correct for count/sum
-        whatever order batches arrive in, including late data for old days.
-        """
-        if not os.path.isdir(self.path):
-            self.build(new_batch)
-            return ["*"]
+        ``batch_id`` is the replay-stable identity — foreachBatch's epoch
+        id is exactly right. A None batch_id gets a random one: still
+        correct for a batch that runs once, but replays of it would
+        double-count, so streaming callers must pass the epoch id.
+        Returns the touched day list."""
+        bid = str(batch_id) if batch_id is not None else uuid.uuid4().hex[:12]
+        deltas = _hourly(new_batch).withColumn("batch_id", F.lit(bid)).persist()
+        try:
+            touched = sorted(r.day for r in deltas.select("day").distinct().collect())
+            if not touched:
+                return []
+            (
+                deltas.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("day", "batch_id")
+                .parquet(self.path)
+            )
+        finally:
+            deltas.unpersist()
+        return touched
 
-        deltas = _hourly(new_batch)
-        touched = [r.day for r in deltas.select("day").distinct().collect()]
-        if not touched:
-            return []
-        existing = self.read().filter(F.col("day").isin(touched))
+    # -- compaction ---------------------------------------------------------
+
+    def compact(self) -> list[str]:
+        """Collapse each day's accumulated batch partials into a single
+        ``batch_id=__compacted__`` partition — bounds partial-file growth
+        on long-lived rollups (the OPTIMIZE analog). Per-day subtree swap,
+        same pattern as ParquetSink.prune."""
         merged = (
-            existing.select(deltas.columns)
-            .unionByName(deltas)
+            self.read()
+            .withColumn("batch_id", F.lit("__compacted__"))
+            .select("event_type", "bucket_start", "n_events", "sum_value", "day", "batch_id")
+        )
+        tmp = f"{self.path}_compact_{os.getpid()}"
+        merged.write.mode("overwrite").partitionBy("day", "batch_id").parquet(tmp)
+        days = [
+            d for d in os.listdir(tmp)
+            if d.startswith("day=") and os.path.isdir(os.path.join(tmp, d))
+        ]
+        for d in days:
+            src, dst = os.path.join(tmp, d), os.path.join(self.path, d)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            os.rename(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return sorted(d[len("day="):] for d in days)
+
+    # -- read ---------------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        """The rollup: partials folded to one row per (type, hour). Day is
+        a partition column, so day predicates prune to subtrees before the
+        fold."""
+        return (
+            self.spark.read.parquet(self.path)
             .groupBy("event_type", "bucket_start", "day")
             .agg(
                 F.sum("n_events").cast("long").alias("n_events"),
                 F.sum("sum_value").alias("sum_value"),
             )
-            .select(deltas.columns)
         )
-        tmp = f"{self.path}_delta_{os.getpid()}"
-        merged.write.mode("overwrite").partitionBy("day").parquet(tmp)
-        for d in touched:
-            src = os.path.join(tmp, f"day={d}")
-            dst = os.path.join(self.path, f"day={d}")
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)
-            if os.path.isdir(src):
-                os.rename(src, dst)
-        shutil.rmtree(tmp, ignore_errors=True)
-        return sorted(touched)
-
-    # -- read ---------------------------------------------------------------
-
-    def read(self) -> DataFrame:
-        """The materialized rollup (day is a partition column ⇒ day
-        predicates prune to subtrees)."""
-        return self.spark.read.parquet(self.path)

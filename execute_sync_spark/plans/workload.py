@@ -740,7 +740,7 @@ DEDUP_SPANS_SQL = rf"""
     dup AS (SELECT doc_id, pos FROM grams SEMI JOIN rep USING (h)),
     isl0 AS (SELECT doc_id, pos,
                     CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                              > 5 THEN 1 ELSE 0 END AS brk
+                              > {_SPAN_K} THEN 1 ELSE 0 END AS brk
              FROM dup),
     isl AS (SELECT doc_id, pos,
                    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS il
@@ -775,7 +775,7 @@ DEDUP_SPAN_REMOVAL_SQL = rf"""
     dup AS (SELECT doc_id, pos FROM grams SEMI JOIN rep USING (h)),
     isl0 AS (SELECT doc_id, pos,
                     CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                              > 5 THEN 1 ELSE 0 END AS brk
+                              > {_SPAN_K} THEN 1 ELSE 0 END AS brk
              FROM dup),
     isl AS (SELECT doc_id, pos,
                    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS il
@@ -4032,9 +4032,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # green with the round-6 oracle fixes. Late-round-6 additions
     # (dedup_semantic, text_unigram_logprob, sim_pq_topk) enter the
     # window immediately — never declare a new op outside the gate
-    # (VERDICT r4/r5 rule) — displacing five r5-green rows
+    # (VERDICT r4/r5 rule) — displacing seven r5-green rows
     # (stream_sessionize_closed, stream_purchase_attribution,
-    # d2_change_feed, v_explode_tokens, mm_resize_plan) to 51+.
+    # d2_change_feed, v_explode_tokens, mm_resize_plan,
+    # curate_stratified_sample, mm_binary_meta) to 51+.
     # dedup family
     "dedup_exact": dedup_exact,
     "dedup_minhash_sig": dedup_minhash_sig,

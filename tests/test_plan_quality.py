@@ -214,6 +214,11 @@ def test_gapfill_broadcasts_spine_side_tables(spark):
     nlj_nodes = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
     assert len(nlj_nodes) <= 1, nlj_nodes
     assert "CartesianProduct" not in plan
-    # LOCF runs as one partitioned window (no global single-partition sort)
-    win = [l for l in plan.splitlines() if "Arguments" in l and "event_type" in l]
-    assert any("bucket_start" in l for l in win) or "Window" in plan
+    # LOCF runs as one PARTITIONED window: the Window spec must partition
+    # by event_type (a global single-partition window would have an empty
+    # partition spec and a WindowExec warning at scale)
+    win_lines = [
+        l for l in plan.splitlines()
+        if "last_value" in l or ("Arguments" in l and "windowspecdefinition" in l)
+    ]
+    assert any("event_type" in l and "bucket_start" in l for l in win_lines), win_lines

@@ -1,6 +1,6 @@
-"""Incremental continuous aggregate (operators/rollup.py): additive-merge
-refresh equals a full recompute, and untouched day partitions keep their
-physical files."""
+"""Incremental continuous aggregate (operators/rollup.py): per-batch
+partial aggregates equal a full recompute, untouched day partitions keep
+their physical files, and replaying a batch_id never double-counts."""
 
 import glob
 import os
@@ -17,7 +17,14 @@ def _events(spark, rows):
 def _snapshot_files(path):
     return {
         f: os.stat(f).st_ino
-        for f in glob.glob(os.path.join(path, "day=*", "*.parquet"))
+        for f in glob.glob(os.path.join(path, "day=*", "batch_id=*", "*.parquet"))
+    }
+
+
+def _rows(r):
+    return {
+        (x.event_type, str(x.bucket_start), str(x.day)): (x.n_events, x.sum_value)
+        for x in r.read().collect()
     }
 
 
@@ -35,73 +42,93 @@ def test_refresh_equals_full_rebuild(spark, tmp_path):
         (5, "2024-01-01 00:55:00", 4, "click", 10.0),
     ]
     r = HourlyRollup(spark, str(tmp_path / "rollup"))
-    r.build(_events(spark, batch1))
-    touched = r.refresh(_events(spark, batch2))
-    assert touched == ["2024-01-01", "2024-01-03"]
+    assert r.refresh(_events(spark, batch1), batch_id=1) == ["2024-01-01", "2024-01-02"]
+    assert r.refresh(_events(spark, batch2), batch_id=2) == ["2024-01-01", "2024-01-03"]
 
-    got = {
-        (x.event_type, str(x.bucket_start), str(x.day)): (x.n_events, x.sum_value)
-        for x in r.read().collect()
-    }
     full = HourlyRollup(spark, str(tmp_path / "full"))
     full.build(_events(spark, batch1 + batch2))
-    want = {
-        (x.event_type, str(x.bucket_start), str(x.day)): (x.n_events, x.sum_value)
-        for x in full.read().collect()
-    }
-    assert got == want
+    assert _rows(r) == _rows(full)
     # the late day-01 rows merged additively: 3 events, 2+3+10
-    assert got[("click", "2024-01-01 00:00:00", "2024-01-01")] == (3, 15.0)
+    assert _rows(r)[("click", "2024-01-01 00:00:00", "2024-01-01")] == (3, 15.0)
+
+
+def test_refresh_replay_is_idempotent(spark, tmp_path):
+    """At-least-once delivery: re-running the SAME batch_id (a foreachBatch
+    restart after a crash mid-commit) overwrites its own partitions instead
+    of double-counting."""
+    from execute_sync_spark.operators.rollup import HourlyRollup
+
+    r = HourlyRollup(spark, str(tmp_path / "rollup"))
+    b1 = [(1, "2024-01-01 00:10:00", 1, "click", 2.0)]
+    b2 = [(2, "2024-01-01 00:30:00", 2, "click", 3.0)]
+    r.refresh(_events(spark, b1), batch_id=1)
+    r.refresh(_events(spark, b2), batch_id=2)
+    before = _rows(r)
+    # crash/replay: batch 2 delivered again
+    r.refresh(_events(spark, b2), batch_id=2)
+    assert _rows(r) == before
+    assert before[("click", "2024-01-01 00:00:00", "2024-01-01")] == (2, 5.0)
 
 
 def test_refresh_leaves_untouched_partitions_in_place(spark, tmp_path):
     from execute_sync_spark.operators.rollup import HourlyRollup
 
     r = HourlyRollup(spark, str(tmp_path / "rollup"))
-    r.build(
+    r.refresh(
         _events(
             spark,
             [
                 (1, "2024-01-01 00:10:00", 1, "click", 2.0),
                 (2, "2024-01-02 03:00:00", 2, "view", 5.0),
             ],
-        )
+        ),
+        batch_id=1,
     )
     before = _snapshot_files(str(tmp_path / "rollup"))
     day1_files = {f: i for f, i in before.items() if "day=2024-01-01" in f}
     assert day1_files
 
-    touched = r.refresh(_events(spark, [(3, "2024-01-02 04:00:00", 3, "view", 1.0)]))
+    touched = r.refresh(
+        _events(spark, [(3, "2024-01-02 04:00:00", 3, "view", 1.0)]), batch_id=2
+    )
     assert touched == ["2024-01-02"]
     after = _snapshot_files(str(tmp_path / "rollup"))
     # day-01's files are bit-for-bit the same inodes — never read or written
     for f, ino in day1_files.items():
         assert after.get(f) == ino
-    # day-02 was rewritten (new files)
-    assert {f for f in after if "day=2024-01-02" in f} != {
-        f for f in before if "day=2024-01-02" in f
-    }
+    # day-02 gained batch 2's partial partition alongside batch 1's
+    assert any("day=2024-01-02/batch_id=2" in f for f in after)
 
 
-def test_refresh_bootstraps_and_empty_batch_noops(spark, tmp_path):
+def test_compact_collapses_partials_and_preserves_totals(spark, tmp_path):
     from execute_sync_spark.operators.rollup import HourlyRollup
 
     r = HourlyRollup(spark, str(tmp_path / "rollup"))
-    # no rollup yet -> refresh falls back to a full build
-    assert r.refresh(_events(spark, [(1, "2024-01-01 00:10:00", 1, "click", 2.0)])) == ["*"]
-    # empty batch -> nothing touched, nothing changed
+    r.refresh(_events(spark, [(1, "2024-01-01 00:10:00", 1, "click", 2.0)]), batch_id=1)
+    r.refresh(_events(spark, [(2, "2024-01-01 00:20:00", 2, "click", 3.0)]), batch_id=2)
+    before = _rows(r)
+    days = r.compact()
+    assert days == ["2024-01-01"]
+    assert _rows(r) == before
+    files = _snapshot_files(str(tmp_path / "rollup"))
+    assert files and all("batch_id=__compacted__" in f for f in files)
+
+
+def test_empty_batch_noops(spark, tmp_path):
+    from execute_sync_spark.operators.rollup import HourlyRollup
+
+    r = HourlyRollup(spark, str(tmp_path / "rollup"))
+    r.refresh(_events(spark, [(1, "2024-01-01 00:10:00", 1, "click", 2.0)]), batch_id=1)
     before = _snapshot_files(str(tmp_path / "rollup"))
-    assert r.refresh(_events(spark, []).limit(0)) == []
+    assert r.refresh(_events(spark, []).limit(0), batch_id=2) == []
     assert _snapshot_files(str(tmp_path / "rollup")) == before
 
 
 def test_rollup_maintained_from_a_stream(spark, tmp_path):
     """Continuous-aggregate maintenance under Structured Streaming: a file
     stream of event batches drives HourlyRollup.refresh from foreachBatch
-    (one file per micro-batch), and the maintained rollup equals a full
-    rebuild over everything that streamed through."""
-    import os
-
+    (epoch id = the replay-stable batch identity), and the maintained
+    rollup equals a full rebuild over everything that streamed through."""
     from execute_sync_spark.operators.rollup import HourlyRollup
 
     src = str(tmp_path / "stream_src")
@@ -133,7 +160,7 @@ def test_rollup_maintained_from_a_stream(spark, tmp_path):
         .parquet(src + "/*.parquet")
     )
     q = (
-        stream.writeStream.foreachBatch(lambda df, _id: r.refresh(df))
+        stream.writeStream.foreachBatch(lambda df, epoch: r.refresh(df, batch_id=epoch))
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
         .start()
@@ -141,14 +168,6 @@ def test_rollup_maintained_from_a_stream(spark, tmp_path):
     q.awaitTermination(120)
 
     full = HourlyRollup(spark, str(tmp_path / "full"))
-    full.build(_events(spark, []).limit(0).unionByName(b1).unionByName(b2))
-    got = {
-        (x.event_type, str(x.bucket_start)): (x.n_events, x.sum_value)
-        for x in r.read().collect()
-    }
-    want = {
-        (x.event_type, str(x.bucket_start)): (x.n_events, x.sum_value)
-        for x in full.read().collect()
-    }
-    assert got == want
-    assert got[("click", "2024-01-01 00:00:00")] == (2, 5.0)
+    full.build(b1.unionByName(b2))
+    assert _rows(r) == _rows(full)
+    assert _rows(r)[("click", "2024-01-01 00:00:00", "2024-01-01")] == (2, 5.0)
