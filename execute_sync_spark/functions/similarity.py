@@ -1203,3 +1203,91 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
     )
+
+
+def pq_train(
+    sample: DataFrame,
+    k_codes: int = 16,
+    iters: int = 8,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train per-subspace PQ codebooks with Lloyd's k-means (the production
+    codebook path; the declared ``sim_pq_topk`` query keeps the sample-slice
+    codebook for oracle stability, exactly as the IVF queries keep fixed
+    centroids). The training sample is bounded (thousands of rows) and runs
+    driver-side in numpy — at 100 TB you train on a sample, never the
+    corpus; encoding the corpus with the result is ``pq_encode``'s
+    distributed pass. Deterministic: seeded init from the sample itself.
+
+    Returns an (m, k_codes, dsub) codebook accepted by pq_encode/pq_topk/
+    ivfpq_topk."""
+    import numpy as np
+
+    pdf = (
+        sample.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv"))
+        .orderBy("cid")
+        .toPandas()
+    )
+    if len(pdf) == 0:
+        return np.zeros((PQ_M, 0, 0))
+    X = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+    n, dim = X.shape
+    dsub = dim // PQ_M
+    k = min(k_codes, n)
+    rng = np.random.RandomState(seed)
+    cb = np.empty((PQ_M, k, dsub))
+    for j in range(PQ_M):
+        Xs = X[:, j * dsub:(j + 1) * dsub]
+        C = Xs[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = np.argmin(d2, axis=1)
+            for c in range(k):
+                hit = a == c
+                if hit.any():
+                    C[c] = Xs[hit].mean(axis=0)
+                # empty cells keep their previous centroid (kmeans_fit rule)
+        cb[j] = C
+    return cb
+
+
+def semantic_dedup_scores(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The threshold-free half of ``semantic_dedup``: per vector, the MAX
+    (rounded) cosine to any LOWER-ID cluster-mate (NULL when it has none,
+    or when the similarities are NaN zero-vector cases). Any threshold's
+    verdicts derive as ``kept = max_lower_sim IS NULL OR max_lower_sim <
+    t`` — so a threshold SWEEP (the tuning loop SemDeDup deployments run)
+    costs ONE gram-matrix pass instead of one per candidate threshold
+    (agreement-tested against semantic_dedup in test_round6_ops.py)."""
+    import numpy as np
+    import pandas as pd
+
+    cells = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
+
+    def scores_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = _np_round_half_up(Vn @ Vn.T, 4)
+        n = len(ids)
+        out = np.full(n, np.nan)
+        for i in range(1, n):
+            row = S[i, :i]
+            if not np.all(np.isnan(row)):
+                out[i] = np.nanmax(row)
+        return pd.DataFrame(
+            {id_col: ids, "cell_id": pdf["cell_id"].to_numpy(), "max_lower_sim": out}
+        )
+
+    return cells.groupBy("cell_id").applyInPandas(
+        scores_in_cell, schema=f"{id_col} long, cell_id long, max_lower_sim double"
+    )

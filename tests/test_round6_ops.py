@@ -351,3 +351,56 @@ def test_ivfpq_prunes_to_probed_cells(spark):
     assert out
     for r in out:
         assert cells[r.neighbor_id] == cells[r.query_id]
+
+
+def test_pq_train_beats_sample_slice_codebook(spark):
+    """The trained codebook must quantize the corpus with LOWER mean squared
+    reconstruction error than the sample-slice codebook (that is its whole
+    point), and plug into the same encode/search pipeline."""
+    import numpy as np
+    from execute_sync_spark.functions import similarity
+
+    emb, V = _toy_vectors(spark, dim=8, n=40)
+    m, dsub = similarity.PQ_M, 8 // similarity.PQ_M
+
+    def mse(cb):
+        err = 0.0
+        codes = {r.vec_id: list(r.codes) for r in similarity.pq_encode(emb, cb).collect()}
+        for vid, cs in codes.items():
+            for j, c in enumerate(cs):
+                err += ((V[vid, j * dsub:(j + 1) * dsub] - cb[j][c]) ** 2).sum()
+        return err / len(codes)
+
+    naive = similarity.pq_codebook(emb.filter(F.col("vec_id") < 8))
+    trained = similarity.pq_train(emb, k_codes=8, iters=8)
+    assert trained.shape == naive.shape == (m, 8, dsub)
+    assert mse(trained) < mse(naive)
+    # and search still works end-to-end on the trained codebook
+    out = similarity.pq_topk(
+        similarity.pq_encode(emb, trained), emb.filter(F.col("vec_id") < 2), trained, k=3
+    ).collect()
+    assert len(out) == 6
+
+
+def test_semantic_scores_derive_any_threshold(spark):
+    """One score pass must reproduce semantic_dedup's verdicts for EVERY
+    threshold (the sweep contract), on the real test corpus."""
+    from tests.conftest import SF_DIR
+
+    from execute_sync_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8)
+    scores = {
+        r.vec_id: r.max_lower_sim
+        for r in similarity.semantic_dedup_scores(emb, cents).collect()
+    }
+    for t in (0.2, 0.35, 0.45):
+        verdicts = {
+            r.vec_id: r.kept
+            for r in similarity.semantic_dedup(emb, cents, threshold=t).collect()
+        }
+        derived = {
+            vid: (s is None or s < t) for vid, s in scores.items()
+        }
+        assert derived == verdicts, t
