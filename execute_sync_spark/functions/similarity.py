@@ -925,29 +925,19 @@ def semantic_dedup(
     Rounding to 4 decimals before the threshold compare keeps the verdict
     bit-identical to the DuckDB oracle.
     """
-    import numpy as np
-    import pandas as pd
-
-    cells = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
-
-    def verdicts_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col)
-        ids = pdf[id_col].to_numpy()
-        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            S = _np_round_half_up(Vn @ Vn.T, 4)
-        # strictly-lower-triangular mask: compare each row only against
-        # lower-id rows; NaN (zero vector) never satisfies >= threshold,
-        # matching the oracle's NULL-compare semantics
-        tri = np.tril(np.nan_to_num(S, nan=-2.0) >= threshold, k=-1)
-        kept = ~tri.any(axis=1)
-        return pd.DataFrame(
-            {id_col: ids, "cell_id": pdf["cell_id"].to_numpy(), "kept": kept}
-        )
-
-    return cells.groupBy("cell_id").applyInPandas(
-        verdicts_in_cell, schema=f"{id_col} long, cell_id long, kept boolean"
+    # ONE kernel: the verdicts are a pure threshold over the per-row max
+    # lower-id similarity, so they derive from semantic_dedup_scores — no
+    # second copy of the assign/sort/normalize/gram logic to keep in
+    # agreement (a NULL score means no lower-id mate, or only NaN
+    # zero-vector similarities — kept either way, matching the oracle's
+    # NULL-compare semantics)
+    scores = semantic_dedup_scores(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    return scores.select(
+        id_col,
+        "cell_id",
+        (
+            F.col("max_lower_sim").isNull() | (F.col("max_lower_sim") < threshold)
+        ).alias("kept"),
     )
 
 
@@ -1120,7 +1110,12 @@ def ivfpq_topk(
     partition-pruned probe).
 
     Probe ranking matches ``assign_cells``: cosine desc, cell_id asc —
-    computed driver-side over the (bounded) query and centroid sets."""
+    computed driver-side over the (bounded) query and centroid sets. Like
+    the whole IVF family, probe choice compares RAW (unrounded) cosines
+    across numpy/Spark/DuckDB arithmetic; a last-ulp centroid tie could in
+    principle pick a different probe set than the oracle — six rounds of
+    regenerated testdata have not produced one, and a rounding contract
+    here would have to change every IVF oracle in lockstep."""
     import numpy as np
     import pandas as pd
 

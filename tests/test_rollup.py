@@ -171,3 +171,54 @@ def test_rollup_maintained_from_a_stream(spark, tmp_path):
     full.build(b1.unionByName(b2))
     assert _rows(r) == _rows(full)
     assert _rows(r)[("click", "2024-01-01 00:00:00", "2024-01-01")] == (2, 5.0)
+
+
+def test_compact_then_replay_stays_idempotent(spark, tmp_path):
+    """The compaction crash window: a batch folded into __compacted__ and
+    then replayed (foreachBatch restart whose checkpoint never committed)
+    must find itself in the day manifest and skip — totals unchanged."""
+    from execute_sync_spark.operators.rollup import HourlyRollup
+
+    r = HourlyRollup(spark, str(tmp_path / "rollup"))
+    b2 = [(2, "2024-01-01 00:30:00", 2, "click", 3.0)]
+    r.refresh(_events(spark, [(1, "2024-01-01 00:10:00", 1, "click", 2.0)]), batch_id=1)
+    r.refresh(_events(spark, b2), batch_id=2)
+    r.compact()
+    before = _rows(r)
+    assert r.refresh(_events(spark, b2), batch_id=2) == []  # absorbed -> skip
+    assert _rows(r) == before
+    assert before[("click", "2024-01-01 00:00:00", "2024-01-01")] == (2, 5.0)
+    # a genuinely NEW batch for the same day still lands
+    r.refresh(_events(spark, [(3, "2024-01-01 00:45:00", 3, "click", 1.0)]), batch_id=3)
+    assert _rows(r)[("click", "2024-01-01 00:00:00", "2024-01-01")] == (3, 6.0)
+
+
+def test_build_pins_static_overwrite_under_dynamic_session_default(spark, tmp_path):
+    """A session-level dynamic-overwrite default must not let build() leave
+    stale batch partials alive under the rebuilt table."""
+    from execute_sync_spark.operators.rollup import HourlyRollup
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        r = HourlyRollup(spark, str(tmp_path / "rollup"))
+        full = [(1, "2024-01-01 00:10:00", 1, "click", 2.0),
+                (2, "2024-01-01 00:30:00", 2, "click", 3.0)]
+        r.refresh(_events(spark, full[:1]), batch_id=1)
+        r.build(_events(spark, full))
+        # without the static pin + swap, batch_id=1's partial would survive
+        # and this would read (3, 7.0)
+        assert _rows(r)[("click", "2024-01-01 00:00:00", "2024-01-01")] == (2, 5.0)
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_read_and_compact_on_never_written_rollup(spark, tmp_path):
+    from execute_sync_spark.operators.rollup import HourlyRollup
+
+    r = HourlyRollup(spark, str(tmp_path / "rollup"))
+    assert r.read().count() == 0
+    assert r.compact() == []
+    assert r.refresh(_events(spark, []).limit(0), batch_id=1) == []
+    assert r.read().count() == 0  # still no table, still readable
