@@ -1274,11 +1274,15 @@ def semantic_dedup_scores(
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
             S = _np_round_half_up(Vn @ Vn.T, 4)
         n = len(ids)
-        out = np.full(n, np.nan)
-        for i in range(1, n):
-            row = S[i, :i]
-            if not np.all(np.isnan(row)):
-                out[i] = np.nanmax(row)
+        # strictly-lower-triangular nanmax, vectorized: mask the diagonal
+        # and upper triangle to NaN, reduce rows in C (the interpreted
+        # per-row loop was O(n^2) Python at large cells)
+        S2 = S.copy()
+        S2[np.triu_indices(n)] = np.nan
+        with np.errstate(all="ignore"):
+            out = np.where(
+                np.all(np.isnan(S2), axis=1), np.nan, np.nanmax(np.nan_to_num(S2, nan=-np.inf), axis=1)
+            )
         return pd.DataFrame(
             {id_col: ids, "cell_id": pdf["cell_id"].to_numpy(), "max_lower_sim": out}
         )
