@@ -951,6 +951,86 @@ def semantic_dedup(
 PQ_M = 4  # subspaces (dim must divide evenly)
 
 
+def _collect_vecs(df: DataFrame, id_col: str, vec_col: str):
+    """Collect a BOUNDED vector set (queries / centroids / codebook sample)
+    to the driver as (ids, float64 matrix), id-ordered for determinism.
+    Returns (empty, None) when the set is empty — callers implement the
+    empty-input contract on top."""
+    import numpy as np
+
+    pdf = (
+        df.select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"))
+        .orderBy("_id")
+        .toPandas()
+    )
+    if len(pdf) == 0:
+        return np.array([], dtype=np.int64), None
+    return pdf["_id"].to_numpy(), np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+
+
+def _adc_lut(Q, codebook):
+    """LUT[q, j, c] = ||q_sub_j - codeword_jc||^2 for every query."""
+    m, k_codes, dsub = codebook.shape
+    Qs = Q.reshape(len(Q), m, dsub)
+    return ((Qs[:, :, None, :] - codebook[None, :, :, :]) ** 2).sum(-1)
+
+
+def _pq_adc_search(codes: DataFrame, qids, lut, k: int, id_col: str, probes=None) -> DataFrame:
+    """Shared ADC scoring kernel for pq_topk and ivfpq_topk: per Arrow
+    batch, gather each candidate's m partial distances from the query's
+    LUT, rank on the ROUNDED distance (so local pruning, the global merge,
+    and the DuckDB oracles all use one key), keep k per query per batch,
+    then one global k-row merge. ``probes`` (qid → allowed cell_id set)
+    adds the IVF cell mask; the codes frame must then carry ``cell_id``.
+    ONE copy of the rounding/tie-break contract — a change here changes
+    both search paths together."""
+    import numpy as np
+    import pandas as pd
+
+    spark = codes.sparkSession
+    m = lut.shape[1]
+    bc = spark.sparkContext.broadcast((qids, lut, probes))
+    out_schema = "query_id long, neighbor_id long, adc_dist double"
+
+    def topk_per_batch(batches):
+        bqids, blut, bprobes = bc.value
+        jj = np.arange(m)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            cell = pdf["cell_id"].to_numpy() if bprobes is not None else None
+            Cc = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (B, m)
+            for qi, qid in enumerate(bqids):
+                mask = ids != qid
+                if bprobes is not None:
+                    allowed = np.fromiter(bprobes[int(qid)], dtype=np.int64)
+                    mask &= np.isin(cell, allowed)
+                cand = np.nonzero(mask)[0]
+                if len(cand) == 0:
+                    continue
+                # gather m partial distances per candidate and sum
+                D = _np_round_half_up(blut[qi][jj, Cc[cand]].sum(axis=1), 4)
+                order = np.lexsort((ids[cand], D))
+                top = order[:k]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": ids[cand[top]],
+                        "adc_dist": D[top],
+                    }
+                )
+
+    cols = [id_col, "codes"] + (["cell_id"] if probes is not None else [])
+    local = codes.select(*cols).mapInPandas(topk_per_batch, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
 def pq_codebook(sample: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"):
     """Build the per-subspace codebooks from a bounded sample (collected to
     the driver — at scale this is the k-means training sample, thousands of
@@ -960,16 +1040,11 @@ def pq_codebook(sample: DataFrame, id_col: str = "vec_id", vec_col: str = "embed
     reconstructible in the DuckDB oracle."""
     import numpy as np
 
-    pdf = (
-        sample.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv"))
-        .orderBy("cid")
-        .toPandas()
-    )
-    if len(pdf) == 0:
+    _, C = _collect_vecs(sample, id_col, vec_col)
+    if C is None:
         # fully-pruned sample (empty-input contract): zero codewords — the
         # encoder then emits no codes and ADC search returns empty
         return np.zeros((PQ_M, 0, 0))
-    C = np.stack(pdf["cv"].to_numpy()).astype(np.float64)  # (k_codes, dim)
     k_codes, dim = C.shape
     dsub = dim // PQ_M
     # (m, k_codes, dsub)
@@ -1037,56 +1112,14 @@ def pq_topk(
     k rows/query/partition before the single global k-row merge (the
     ``cosine_topk_vectorized`` pattern); ranking runs on the ROUNDED
     distance so local and global keys agree and match the oracle."""
-    import numpy as np
-    import pandas as pd
-
     spark = codes.sparkSession
-    qpdf = (
-        queries.select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv"))
-        .orderBy("qid")
-        .toPandas()
-    )
-    m, k_codes, dsub = codebook.shape
-    if len(qpdf) == 0 or k_codes == 0:
+    qids, Q = _collect_vecs(queries, id_col, vec_col)
+    if Q is None or codebook.shape[1] == 0:
         # empty queries OR a zero-codeword codebook (pq_codebook's
         # empty-sample contract): no candidates can score — return the
-        # standard empty shape instead of crashing the reshape below
+        # standard empty shape instead of crashing the LUT reshape
         return _empty_result(spark, score_col="adc_dist")
-    qids = qpdf["qid"].to_numpy()
-    Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
-    Qs = Q.reshape(len(Q), m, dsub)
-    # LUT[q, j, c] = ||q_sub_j - codeword_jc||^2
-    lut = ((Qs[:, :, None, :] - codebook[None, :, :, :]) ** 2).sum(-1)
-    bc = spark.sparkContext.broadcast((qids, lut))
-    out_schema = "query_id long, neighbor_id long, adc_dist double"
-
-    def topk_per_batch(batches):
-        bqids, blut = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids = pdf[id_col].to_numpy()
-            C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (B, m)
-            jj = np.arange(m)
-            for qi, qid in enumerate(bqids):
-                # gather m partial distances per candidate and sum
-                D = _np_round_half_up(blut[qi][jj, C].sum(axis=1), 4)
-                cand = np.nonzero(ids != qid)[0]
-                if len(cand) == 0:
-                    continue
-                order = np.lexsort((ids[cand], D[cand]))
-                top = cand[order[:k]]
-                yield pd.DataFrame(
-                    {"query_id": qid, "neighbor_id": ids[top], "adc_dist": D[top]}
-                )
-
-    local = codes.select(id_col, "codes").mapInPandas(topk_per_batch, schema=out_schema)
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "adc_dist")
-    )
+    return _pq_adc_search(codes, qids, _adc_lut(Q, codebook), k, id_col)
 
 
 def ivfpq_topk(
@@ -1117,33 +1150,19 @@ def ivfpq_topk(
     regenerated testdata have not produced one, and a rounding contract
     here would have to change every IVF oracle in lockstep."""
     import numpy as np
-    import pandas as pd
 
     spark = corpus.sparkSession
     cells = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
     codes = pq_encode(cells, codebook, id_col=id_col, vec_col="v", carry_cols=["cell_id"])
 
-    qpdf = (
-        queries.select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv"))
-        .orderBy("qid")
-        .toPandas()
-    )
-    cpdf = (
-        centroids.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv"))
-        .orderBy("cid")
-        .toPandas()
-    )
-    m, k_codes, dsub = codebook.shape
-    if len(qpdf) == 0 or len(cpdf) == 0 or k_codes == 0:
+    qids, Q = _collect_vecs(queries, id_col, vec_col)
+    cids, C = _collect_vecs(centroids, id_col, vec_col)
+    if Q is None or C is None or codebook.shape[1] == 0:
         # empty queries, an empty centroid set (nothing to probe), or a
         # zero-codeword codebook all mean "no scored candidates" — the
         # empty-input contract (_empty_result docstring) promises an empty
         # frame, not an np.stack/reshape crash
         return _empty_result(spark, score_col="adc_dist")
-    qids = qpdf["qid"].to_numpy()
-    Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
-    cids = cpdf["cid"].to_numpy()
-    C = np.stack(cpdf["cv"].to_numpy()).astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
         Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
@@ -1154,50 +1173,12 @@ def ivfpq_topk(
         probes[int(qid)] = set(int(c) for c in cids[order[:nprobe]])
     all_probed = sorted(set().union(*probes.values()))
 
-    Qs = Q.reshape(len(Q), m, dsub)
-    lut = ((Qs[:, :, None, :] - codebook[None, :, :, :]) ** 2).sum(-1)
-    bc = spark.sparkContext.broadcast((qids, lut, probes))
-    out_schema = "query_id long, neighbor_id long, adc_dist double"
-
-    def topk_per_batch(batches):
-        bqids, blut, bprobes = bc.value
-        jj = np.arange(m)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids = pdf[id_col].to_numpy()
-            cell = pdf["cell_id"].to_numpy()
-            Cc = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
-            for qi, qid in enumerate(bqids):
-                allowed = np.fromiter(bprobes[int(qid)], dtype=np.int64)
-                mask = np.isin(cell, allowed) & (ids != qid)
-                cand = np.nonzero(mask)[0]
-                if len(cand) == 0:
-                    continue
-                D = _np_round_half_up(blut[qi][jj, Cc[cand]].sum(axis=1), 4)
-                order = np.lexsort((ids[cand], D))
-                top = order[:k]
-                yield pd.DataFrame(
-                    {
-                        "query_id": qid,
-                        "neighbor_id": ids[cand[top]],
-                        "adc_dist": D[top],
-                    }
-                )
-
     # cell pruning happens BEFORE Python sees the rows: the isin filter on
     # the carried cell_id prunes to the probed cells (partition pruning
-    # when codes are persisted partitioned by cell)
+    # when codes are persisted partitioned by cell); the shared ADC kernel
+    # then applies the per-query probe mask inside each batch
     pruned = codes.filter(F.col("cell_id").isin(all_probed))
-    local = pruned.select(id_col, "cell_id", "codes").mapInPandas(
-        topk_per_batch, schema=out_schema
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "adc_dist")
-    )
+    return _pq_adc_search(pruned, qids, _adc_lut(Q, codebook), k, id_col, probes=probes)
 
 
 def pq_train(
@@ -1220,14 +1201,9 @@ def pq_train(
     ivfpq_topk."""
     import numpy as np
 
-    pdf = (
-        sample.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv"))
-        .orderBy("cid")
-        .toPandas()
-    )
-    if len(pdf) == 0:
+    _, X = _collect_vecs(sample, id_col, vec_col)
+    if X is None:
         return np.zeros((PQ_M, 0, 0))
-    X = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
     n, dim = X.shape
     dsub = dim // PQ_M
     k = min(k_codes, n)

@@ -37,8 +37,11 @@ _MANIFEST = "_absorbed.json"
 
 
 def _hourly(events: DataFrame) -> DataFrame:
-    """Partial hourly aggregates of one event set (map-side combined)."""
-    return events.groupBy(
+    """Partial hourly aggregates of one event set (map-side combined).
+    Rows with a NULL timestamp cannot be bucketed and are dropped — the
+    same rule on the build and refresh paths, so a dirty log never makes
+    the incremental path diverge from (or crash harder than) a rebuild."""
+    return events.filter(F.col("ts").isNotNull()).groupBy(
         "event_type",
         F.date_trunc("hour", F.col("ts")).alias("bucket_start"),
     ).agg(
@@ -69,10 +72,13 @@ class HourlyRollup:
     def build(self, events: DataFrame) -> str:
         """Full (re)build — the bootstrap from a complete log, or the
         escape hatch if the rollup is ever suspected stale. Stages the
-        rebuild beside the live table and swaps with one rename, so a
-        crash mid-build can never destroy the previous rollup; the write
-        mode is pinned STATIC so a session-level dynamic-overwrite default
-        can't leave stale batch partials alive under the new table."""
+        rebuild beside the live table and commits via rename-aside →
+        rename-in → delete-old: a crash before the first rename leaves the
+        old table live; a crash in the (tiny) two-rename window leaves the
+        old table intact under ``{path}_old_*`` for manual recovery —
+        never an unrecoverable delete-then-write gap. The write mode is
+        pinned STATIC so a session-level dynamic-overwrite default can't
+        leave stale batch partials alive under the new table."""
         tmp = f"{self.path}_{uuid.uuid4().hex[:8]}"
         (
             _hourly(events)
@@ -82,9 +88,13 @@ class HourlyRollup:
             .partitionBy("day", "batch_id")
             .parquet(tmp)
         )
-        if os.path.isdir(self.path):
-            shutil.rmtree(self.path)
+        old_aside = f"{self.path}_old_{uuid.uuid4().hex[:8]}"
+        had_live = os.path.isdir(self.path)
+        if had_live:
+            os.rename(self.path, old_aside)
         os.rename(tmp, self.path)
+        if had_live:
+            shutil.rmtree(old_aside, ignore_errors=True)
         return self.path
 
     # -- incremental refresh ------------------------------------------------
@@ -137,8 +147,22 @@ class HourlyRollup:
         every day either fully old or fully new, both consistent)."""
         if not os.path.isdir(self.path):
             return []
+        # only days holding UNCOMPACTED partials need work — periodic
+        # compaction is O(days with new batches), not O(full table)
+        days = sorted(
+            d[len("day="):]
+            for d in os.listdir(self.path)
+            if d.startswith("day=") and os.path.isdir(os.path.join(self.path, d))
+            and any(
+                b.startswith("batch_id=") and b != "batch_id=__compacted__"
+                for b in os.listdir(os.path.join(self.path, d))
+            )
+        )
+        if not days:
+            return []
         merged = (
             self.read()
+            .filter(F.col("day").cast("string").isin(days))
             .withColumn("batch_id", F.lit("__compacted__"))
             .select("event_type", "bucket_start", "n_events", "sum_value", "day", "batch_id")
         )
@@ -146,26 +170,22 @@ class HourlyRollup:
         merged.write.mode("overwrite").option(
             "partitionOverwriteMode", "static"
         ).partitionBy("day", "batch_id").parquet(tmp)
-        days = sorted(
-            d[len("day="):]
-            for d in os.listdir(tmp)
-            if d.startswith("day=") and os.path.isdir(os.path.join(tmp, d))
-        )
         for day in days:
             live = os.path.join(self.path, f"day={day}")
-            absorbed = self._absorbed(day)
-            if os.path.isdir(live):
-                absorbed |= {
-                    b[len("batch_id="):]
-                    for b in os.listdir(live)
-                    if b.startswith("batch_id=") and b != "batch_id=__compacted__"
-                }
+            absorbed = self._absorbed(day) | {
+                b[len("batch_id="):]
+                for b in os.listdir(live)
+                if b.startswith("batch_id=") and b != "batch_id=__compacted__"
+            }
             src = os.path.join(tmp, f"day={day}")
             with open(os.path.join(src, _MANIFEST), "w") as f:
                 json.dump({"batches": sorted(absorbed)}, f)
-            if os.path.isdir(live):
-                shutil.rmtree(live)
+            # recoverable two-rename swap: aside dir is "_"-prefixed, so
+            # Spark's reader ignores it if a crash strands it mid-window
+            aside = os.path.join(self.path, f"_old_day_{day.replace('-', '')}_{os.getpid()}")
+            os.rename(live, aside)
             os.rename(src, live)
+            shutil.rmtree(aside, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
         return days
 

@@ -222,3 +222,39 @@ def test_read_and_compact_on_never_written_rollup(spark, tmp_path):
     assert r.compact() == []
     assert r.refresh(_events(spark, []).limit(0), batch_id=1) == []
     assert r.read().count() == 0  # still no table, still readable
+
+
+def test_null_ts_rows_dropped_consistently(spark, tmp_path):
+    """Dirty logs: NULL-timestamp rows can't be bucketed — both build and
+    refresh drop them (the incremental path must not be more fragile than
+    a rebuild)."""
+    from execute_sync_spark.operators.rollup import HourlyRollup
+
+    dirty = [
+        (1, "2024-01-01 00:10:00", 1, "click", 2.0),
+        (2, None, 2, "click", 99.0),
+    ]
+    r = HourlyRollup(spark, str(tmp_path / "rollup"))
+    assert r.refresh(_events(spark, dirty), batch_id=1) == ["2024-01-01"]
+    full = HourlyRollup(spark, str(tmp_path / "full"))
+    full.build(_events(spark, dirty))
+    assert _rows(r) == _rows(full)
+    assert _rows(r)[("click", "2024-01-01 00:00:00", "2024-01-01")] == (1, 2.0)
+
+
+def test_second_compact_is_a_noop(spark, tmp_path):
+    """Periodic compaction must be O(days with new partials): a compact
+    right after a compact finds nothing to do and rewrites nothing."""
+    from execute_sync_spark.operators.rollup import HourlyRollup
+
+    r = HourlyRollup(spark, str(tmp_path / "rollup"))
+    r.refresh(_events(spark, [(1, "2024-01-01 00:10:00", 1, "click", 2.0)]), batch_id=1)
+    r.refresh(_events(spark, [(2, "2024-01-02 00:10:00", 2, "view", 1.0)]), batch_id=2)
+    assert r.compact() == ["2024-01-01", "2024-01-02"]
+    files_after_first = _snapshot_files(str(tmp_path / "rollup"))
+    assert r.compact() == []
+    assert _snapshot_files(str(tmp_path / "rollup")) == files_after_first
+    # a new batch makes ONLY its day compactable again
+    r.refresh(_events(spark, [(3, "2024-01-02 01:00:00", 3, "view", 4.0)]), batch_id=3)
+    assert r.compact() == ["2024-01-02"]
+    assert _rows(r)[("view", "2024-01-02 01:00:00", "2024-01-02")] == (1, 4.0)
