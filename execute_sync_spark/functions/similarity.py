@@ -1181,6 +1181,88 @@ def ivfpq_topk(
     return _pq_adc_search(pruned, qids, _adc_lut(Q, codebook), k, id_col, probes=probes)
 
 
+def build_pq_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebook,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Materialize the IVF+PQ index: one pass over the corpus assigns the
+    coarse cell AND encodes the m sub-codebook ids, written as parquet
+    PARTITIONED BY cell_id with the codebook persisted alongside
+    (``_codebook.npy`` — the underscore prefix keeps Spark's reader from
+    treating it as data, same convention as ``_SUCCESS``). This is the
+    deployment shape of ``ivfpq_topk``'s inline assignment+encode: the
+    index build cost is paid once at ingest, each probe is a
+    partition-pruned scan of nprobe cells' code files (m bytes/vector, not
+    the float vectors), and the codebook travels with the codes so a query
+    session can't pair codes with the wrong codebook."""
+    import os
+
+    import numpy as np
+
+    cells = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(cells, codebook, id_col=id_col, vec_col="v", carry_cols=["cell_id"])
+    codes.write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    np.save(os.path.join(path, "_codebook.npy"), codebook)
+    return path
+
+
+def load_pq_codebook(path: str):
+    """The codebook persisted by ``build_pq_index`` (m, k_codes, dsub)."""
+    import os
+
+    import numpy as np
+
+    return np.load(os.path.join(path, "_codebook.npy"))
+
+
+def ivfpq_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook=None,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ probe against a persisted cell-partitioned code index
+    (``build_pq_index``): the union of all queries' probe cells becomes a
+    ``cell_id IN (...)`` filter resolved by PARTITION PRUNING — only the
+    probed cells' code files are listed and read
+    (tests/test_plan_quality.py asserts the pruned scan), and what is read
+    is m-byte codes, never float vectors. Scoring is the shared ADC kernel
+    (``_pq_adc_search``), so ranking/rounding semantics are identical to
+    the in-flight ``ivfpq_topk`` — the two are agreement-tested. Probe
+    ranking matches ``assign_cells`` (cosine desc, cell_id asc) with the
+    same raw-cosine caveat documented on ``ivfpq_topk``."""
+    import numpy as np
+
+    if codebook is None:
+        codebook = load_pq_codebook(index_path)
+    qids, Q = _collect_vecs(queries, id_col, vec_col)
+    cids, C = _collect_vecs(centroids, id_col, vec_col)
+    if Q is None or C is None or codebook.shape[1] == 0:
+        return _empty_result(spark, score_col="adc_dist")
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        S = Qn @ Cn.T
+    probes = {}
+    for i, qid in enumerate(qids):
+        order = np.lexsort((cids, _desc_nulls_last(S[i])))
+        probes[int(qid)] = set(int(c) for c in cids[order[:nprobe]])
+    all_probed = sorted(set().union(*probes.values()))
+
+    scan = spark.read.parquet(index_path).filter(F.col("cell_id").isin(all_probed))
+    codes = scan.select(id_col, "codes", F.col("cell_id").cast("long").alias("cell_id"))
+    return _pq_adc_search(codes, qids, _adc_lut(Q, codebook), k, id_col, probes=probes)
+
+
 def pq_train(
     sample: DataFrame,
     k_codes: int = 16,

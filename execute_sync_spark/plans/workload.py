@@ -1584,6 +1584,45 @@ SIM_IVFPQ_SQL = f"""
 """
 
 
+def _ivfpq_index_path(sf_dir: str) -> str:
+    """Cache location for the persisted IVF+PQ code index — same
+    (mtime, size) fingerprint idiom as ``_ivf_index_path`` so regenerated
+    testdata invalidates the cache, distinct prefix so the two indexes
+    never collide."""
+    import hashlib
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        fp = "missing"
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{fp}".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"ess_ivfpq_index_{key}")
+
+
+def sim_ivfpq_indexed(spark, sf_dir):
+    """IVF+PQ probe against the PERSISTED cell-partitioned code index — the
+    declared 100 TB shape of sim_ivfpq_topk (VERDICT r6 #4, mirroring
+    sim_ivf_indexed): ``build_pq_index`` pays assignment+encode once (one
+    corpus pass; cached here per testdata fingerprint) and persists the
+    codebook alongside the codes; the probe reads ONLY the probed cells'
+    partitions via partition pruning, and what it reads is 4-byte codes,
+    never float vectors (tests/test_plan_quality.py asserts the pruned
+    scan). Semantics are identical to sim_ivfpq_topk (same fixed centroids,
+    sample codebook, nprobe=2), so the two share one oracle and the driver
+    checks agreement between the physical paths."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = _ivfpq_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        cb = similarity.pq_codebook(emb.filter(F.col("vec_id") < 16))
+        similarity.build_pq_index(emb, centroids, cb, path)
+    return similarity.ivfpq_topk_indexed(spark, path, queries, centroids, k=3, nprobe=2)
+
+
 def q10_returned_items(spark, sf_dir):
     """TPC-H Q10 shape: revenue lost to returned items per customer, top 20."""
     cust = _t(spark, sf_dir, "customer")
@@ -4017,26 +4056,81 @@ Q_COHORT_SQL = """
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -----------------------------------------------------------------
     # Slots 1-50: the driver's CORRECTNESS gate covers the first 50
-    # entries of this dict. Round-6 rotation (VERDICT r5, tasks 1c/4/5):
-    # rotate in the never-gated sim_ivf_multiprobe, the new
-    # sim_ivf_indexed (persisted-index ANN default), and the rows whose
-    # latest driver green dates from r01/r02 on since-regenerated
-    # testdata (d2_latest_version, d2_asof_snapshot, ingest_roundtrip,
-    # v_variant_shred) plus two deep TPC-H joins (q9, q21). The 8
-    # displaced rows (q_event_funnel, q_recursive_hierarchy,
-    # q_range_band_join, q_scd2_history, q_skew_salted_agg,
-    # q_approx_distinct, q_asof_join_banded, dedup_embedding_pairs_expr)
-    # are ALL r5-green and move to slots 51+ (still pytest-oracled).
-    # Permanent core rotation slots stay: q1, d1, d3, v_shred_props,
-    # and q_merge_upsert / mm_features hold their slots for their first
-    # green with the round-6 oracle fixes. Late-round-6 additions
-    # (dedup_semantic, text_unigram_logprob, sim_pq_topk) enter the
-    # window immediately — never declare a new op outside the gate
-    # (VERDICT r4/r5 rule) — displacing seven r5-green rows
-    # (stream_sessionize_closed, stream_purchase_attribution,
-    # d2_change_feed, v_explode_tokens, mm_resize_plan,
-    # curate_stratified_sample, mm_binary_meta) to 51+.
-    # dedup family
+    # entries of this dict. Round-7 rotation (VERDICT r6 task 1 — pay
+    # down gate staleness): 51 rows' latest driver green dated from
+    # r02/r04 on since-regenerated testdata. This window re-gates 49 of
+    # them (all 39 r02 rows — the TPC-H core + window/pivot/grouping-
+    # sets/percentile rows — plus 10 of the 12 r04 rows) and the one
+    # new op of the round, sim_ivfpq_indexed (persisted IVF+PQ code
+    # index — new ops always enter the gate immediately, VERDICT r4/r5
+    # rule). The remaining two r04 rows (curate_chunk_windows,
+    # d_version_churn — every gated family stays represented, so mm_
+    # keeps mm_frame_sample in the window) lead the 51+ block and rotate in next round; the
+    # 50 displaced rows are ALL r6-green and stay pytest-oracled every
+    # run. The permanent-core re-gate slots (q1/d1/d3/v_shred_props)
+    # are suspended for one round — all four are r6-green, and the
+    # staleness debt has strict priority for the 50 slots.
+    # the round's new op
+    "sim_ivfpq_indexed": sim_ivfpq_indexed,
+    # r04-stale rows (latest driver green = r04)
+    "dedup_jaccard_pairs_scaled": dedup_jaccard_pairs_scaled,
+    "text_bigram_top": text_bigram_top,
+    "text_repetition": text_repetition,
+    "curate_weighted_sample": curate_weighted_sample,
+    "curate_pack_sequences": curate_pack_sequences,
+    "mm_frame_sample": mm_frame_sample,
+    "sim_cosine_topk_vec": sim_cosine_topk_vec,
+    "sim_range_search": sim_range_search,
+    "stream_dedup": stream_dedup,
+    "stream_sliding_counts": stream_sliding_counts_q,
+    # r02-stale rows (latest driver green = r02): TPC-H core
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q3_top_orders": q3_top_orders,
+    "q4_priority_exists": q4_priority_exists,
+    "q5_revenue_by_nation": q5_revenue_by_nation,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q10_returned_items": q10_returned_items,
+    "q11_important_parts": q11_important_parts,
+    "q12_ship_lag_buckets": q12_ship_lag_buckets,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_variety": q16_supplier_variety,
+    "q17_small_quantity": q17_small_quantity,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q19_disjunctive_predicates": q19_disjunctive_predicates,
+    "q20_supplier_semi_chain": q20_supplier_semi_chain,
+    "q22_idle_customers": q22_idle_customers,
+    # r02-stale rows: window / set-op / shaping surface
+    "q_customers_without_orders": q_customers_without_orders,
+    "q_window_top3_orders": q_window_top3_orders,
+    "q_window_funcs": q_window_funcs,
+    "q_rollup_status": q_rollup_status,
+    "q_distinct_nations": q_distinct_nations,
+    "q_percentiles": q_percentiles,
+    "q_pivot_status": q_pivot_status,
+    "q_cube_qty": q_cube_qty,
+    "q_grouping_sets": q_grouping_sets,
+    "q_except_intersect": q_except_intersect,
+    "q_string_funcs": q_string_funcs,
+    "q_date_funcs": q_date_funcs,
+    "q_top_supplier_per_nation": q_top_supplier_per_nation,
+    "q_having_big_customers": q_having_big_customers,
+    "q_conditional_agg": q_conditional_agg,
+    "q_asof_join": q_asof_join,
+    "q_asof_join_merge": q_asof_join_merge,
+    "q_unpivot_measures": q_unpivot_measures,
+    "q_string_agg": q_string_agg,
+    "q_sessionize": q_sessionize,
+    # -----------------------------------------------------------------
+    # Slots 51+: everything here is r5/r6-driver-green (plus the two
+    # deferred r04 rows leading, queued for the round-8 window) and
+    # still pytest-oracled on every run.
+    "curate_chunk_windows": curate_chunk_windows,
+    "d_version_churn": d_version_churn,
+    # dedup family (r6-green)
     "dedup_exact": dedup_exact,
     "dedup_minhash_sig": dedup_minhash_sig,
     "dedup_lsh_pairs": dedup_lsh_pairs,
@@ -4050,7 +4144,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": dedup_clusters,
     "dedup_canonical_keep": dedup_canonical_keep,
     "curate_leakage_safe_split": curate_leakage_safe_split,
-    # text analysis
+    # text analysis (r6-green)
     "text_stats": text_stats_q,
     "text_lang_id": text_lang_id,
     "text_token_count": text_token_count,
@@ -4058,12 +4152,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tfidf_top_term": text_tfidf_top_term,
     "text_unigram_logprob": text_unigram_logprob,
     "text_bm25_topk": text_bm25_topk,
-    # curation
+    # curation (r6-green)
     "curate_hash_split": curate_hash_split,
     "curate_bloom_contamination": curate_bloom_contamination,
     "curate_quality_rules": curate_quality_rules,
     "curate_pipeline": curate_pipeline,
-    # similarity search
+    # similarity search (r6-green)
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_ivf_multiprobe": sim_ivf_multiprobe,
@@ -4073,34 +4167,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivfpq_topk": sim_ivfpq_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_lsh_multiprobe": sim_lsh_multiprobe,
-    # multimodal
+    # multimodal / streaming (r6-green)
     "mm_features": mm_features,
-    # streaming
     "stream_window_counts": stream_window_counts_q,
     "stream_sessionize_flushed": stream_sessionize_flushed,
     "stream_enrich_join": stream_enrich_join,
-    # document-model / landing analytics (r6 rotation: d2/ingest/variant
-    # rows whose last green was r01/r02 re-gated on current testdata)
+    # document-model / landing analytics (r6-green)
     "d2_latest_version": d2_latest_version,
     "d2_asof_snapshot": d2_asof_snapshot,
     "ingest_roundtrip": ingest_roundtrip,
     "v_variant_shred": v_variant_shred,
-    # relational additions + deep TPC-H joins (r6 rotation: q9, q21)
     "q_merge_upsert": q_merge_upsert,
     "q9_profit_by_nation_year": q9_profit_by_nation_year,
     "q21_waiting_supplier": q21_waiting_supplier,
     "q_gapfill_timeseries": q_gapfill_timeseries,
     "q_cohort_retention": q_cohort_retention,
-    # relational-core rotation slots (permanent: re-gated every round on
-    # regenerated data)
     "q1_pricing_summary": q1_pricing_summary,
     "d1_latest_batch": d1_latest_batch,
     "d3_superseded": d3_superseded,
     "v_shred_props": v_shred_props,
-    # -----------------------------------------------------------------
-    # Slots 51+: relational core + document-model ops + the rows
-    # displaced by the round-5/6 rotations (all have held a green driver
-    # row within the last 2 rounds; still pytest-oracled every run).
+    # r5-green rows displaced by the r6 rotation
     "stream_sessionize_closed": stream_sessionize_closed,
     "stream_purchase_attribution": stream_purchase_attribution,
     "d2_change_feed": d2_change_feed,
@@ -4120,57 +4206,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_skew_salted_agg": q_skew_salted_agg,
     "q_asof_join_banded": q_asof_join_banded,
     "q_approx_distinct": q_approx_distinct,
-    "dedup_jaccard_pairs_scaled": dedup_jaccard_pairs_scaled,
-    "text_bigram_top": text_bigram_top,
-    "text_repetition": text_repetition,
-    "curate_weighted_sample": curate_weighted_sample,
-    "curate_pack_sequences": curate_pack_sequences,
-    "curate_chunk_windows": curate_chunk_windows,
-    "sim_cosine_topk_vec": sim_cosine_topk_vec,
-    "sim_range_search": sim_range_search,
-    "mm_frame_sample": mm_frame_sample,
-    "stream_dedup": stream_dedup,
-    "stream_sliding_counts": stream_sliding_counts_q,
-    "d_version_churn": d_version_churn,
-    "q3_top_orders": q3_top_orders,
-    "q4_priority_exists": q4_priority_exists,
-    "q5_revenue_by_nation": q5_revenue_by_nation,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "q10_returned_items": q10_returned_items,
-    "q_customers_without_orders": q_customers_without_orders,
-    "q_window_top3_orders": q_window_top3_orders,
-    "q_window_funcs": q_window_funcs,
-    "q_rollup_status": q_rollup_status,
-    "q_distinct_nations": q_distinct_nations,
-    "q_percentiles": q_percentiles,
-    "q_pivot_status": q_pivot_status,
-    "q_cube_qty": q_cube_qty,
-    "q17_small_quantity": q17_small_quantity,
-    "q_string_funcs": q_string_funcs,
-    "q_date_funcs": q_date_funcs,
-    "q_top_supplier_per_nation": q_top_supplier_per_nation,
-    "q_having_big_customers": q_having_big_customers,
-    "q_conditional_agg": q_conditional_agg,
-    "q_asof_join": q_asof_join,
-    "q_asof_join_merge": q_asof_join_merge,
-    "q_unpivot_measures": q_unpivot_measures,
-    "q_string_agg": q_string_agg,
-    "q7_volume_shipping": q7_volume_shipping,
-    "q8_market_share": q8_market_share,
-    "q12_ship_lag_buckets": q12_ship_lag_buckets,
-    "q13_order_count_distribution": q13_order_count_distribution,
-    "q14_promo_revenue": q14_promo_revenue,
-    "q16_supplier_variety": q16_supplier_variety,
-    "q18_large_volume_customers": q18_large_volume_customers,
-    "q19_disjunctive_predicates": q19_disjunctive_predicates,
-    "q2_min_cost_supplier": q2_min_cost_supplier,
-    "q11_important_parts": q11_important_parts,
-    "q15_top_supplier": q15_top_supplier,
-    "q20_supplier_semi_chain": q20_supplier_semi_chain,
-    "q22_idle_customers": q22_idle_customers,
-    "q_grouping_sets": q_grouping_sets,
-    "q_except_intersect": q_except_intersect,
-    "q_sessionize": q_sessionize,
 }
 
 ORACLES: dict[str, Optional[str]] = {
@@ -4265,6 +4300,9 @@ ORACLES: dict[str, Optional[str]] = {
     "sim_quantized_topk": SIM_QUANT_SQL,
     "sim_pq_topk": SIM_PQ_SQL,
     "sim_ivfpq_topk": SIM_IVFPQ_SQL,
+    # indexed probe == in-flight IVF+PQ semantics (nprobe=2); the shared
+    # oracle makes the driver an agreement check between the two paths
+    "sim_ivfpq_indexed": SIM_IVFPQ_SQL,
     "q_gapfill_timeseries": Q_GAPFILL_SQL,
     "q_cohort_retention": Q_COHORT_SQL,
     "mm_binary_meta": MM_META_SQL,

@@ -31,22 +31,21 @@ def test_oracles_subset_of_queries():
     # alongside the extension surface.
     first50 = set(list(qs)[:50])
     must_gate = {
-        # never green on the driver before round 6
-        "sim_ivf_multiprobe", "sim_ivf_indexed", "q_merge_upsert",
-        "mm_features", "dedup_substring_spans", "dedup_span_removal",
-        "dedup_canonical_keep", "curate_leakage_safe_split",
-        # late-round-6 additions gate immediately (never declare a new op
+        # the round-7 new op gates immediately (never declare a new op
         # outside the window)
-        "dedup_semantic", "text_unigram_logprob", "sim_pq_topk",
-        "text_bm25_topk", "q_gapfill_timeseries",
-        "q_cohort_retention", "sim_ivfpq_topk",
-        # stale greens (r01/r02) re-gated on current testdata
-        "d2_latest_version", "d2_asof_snapshot", "ingest_roundtrip",
-        "v_variant_shred", "q9_profit_by_nation_year",
-        "q21_waiting_supplier",
-        # core rotation slots (re-gated on regenerated testdata)
-        "q1_pricing_summary", "d1_latest_batch", "d3_superseded",
-        "v_shred_props",
+        "sim_ivfpq_indexed",
+        # r04-stale greens re-gated on current testdata (10 of 12; the
+        # deferred two lead slots 51+ for round 8)
+        "dedup_jaccard_pairs_scaled", "text_bigram_top", "text_repetition",
+        "curate_weighted_sample", "curate_pack_sequences",
+        "mm_frame_sample", "sim_cosine_topk_vec", "sim_range_search",
+        "stream_dedup", "stream_sliding_counts",
+        # r02-stale greens: the TPC-H core + window/pivot/grouping-sets/
+        # percentile surface (spot-check the corners; the full 39 are in
+        # the window per the registry comment)
+        "q2_min_cost_supplier", "q7_volume_shipping", "q13_order_count_distribution",
+        "q22_idle_customers", "q_window_funcs", "q_pivot_status",
+        "q_grouping_sets", "q_percentiles", "q_asof_join", "q_sessionize",
     }
     assert must_gate <= first50, sorted(must_gate - first50)
     # the extension families stay represented in the window

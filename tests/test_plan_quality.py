@@ -170,6 +170,40 @@ def test_ivf_indexed_probe_prunes_partitions(spark, tmp_path):
     assert a == b
 
 
+def test_ivfpq_indexed_probe_prunes_partitions(spark, tmp_path):
+    """The persisted IVF+PQ code index (build_pq_index: parquet partitioned
+    by cell_id, codebook persisted alongside) must turn a probe into a
+    PARTITION-PRUNED scan of the probed cells' code files — m-byte codes,
+    never float vectors. Also: the indexed probe must agree exactly with
+    the in-flight ivfpq_topk composition, codebook loaded from the index."""
+    import re
+
+    from execute_sync_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    q = emb.filter(F.col("vec_id") < 2)
+    cb = similarity.pq_codebook(emb.filter(F.col("vec_id") < 16))
+
+    idx = similarity.build_pq_index(emb, centroids, cb, str(tmp_path / "ivfpq_idx"))
+    # codebook=None exercises the load-from-index path
+    probe = similarity.ivfpq_topk_indexed(spark, idx, q, centroids, k=3, nprobe=2)
+
+    plan = _formatted(probe)
+    m = re.search(r"PartitionFilters: \[cell_id#\d+ IN \(([\d,]+)\)\]", plan)
+    assert m, plan[:800]
+    # 2 queries x nprobe=2 -> at most 4 of the 8 cells listed and read
+    assert len(m.group(1).split(",")) <= 4
+    # the probe reads codes, not embeddings
+    read = [l for l in plan.splitlines() if "ReadSchema:" in l][0]
+    assert "codes" in read and "embedding" not in read, read
+
+    a = sorted(map(tuple, similarity.ivfpq_topk(
+        emb, q, centroids, cb, k=3, nprobe=2).collect()))
+    b = sorted(map(tuple, probe.collect()))
+    assert a == b
+
+
 def test_bm25_reuses_postings_exchange(spark):
     """The df branch must derive from the SAME postings aggregation as the
     scoring branch (dl rides as a group key so column pruning can't
