@@ -229,6 +229,7 @@ def duplicate_spans(
     id_col: str = "doc_id",
     k: int = 5,
     min_count: int = 2,
+    hash_bits: int = 64,
 ) -> DataFrame:
     """Exact-substring duplicate SPANS — the span-level dedup of Lee et al.
     2022 ("Deduplicating Training Data Makes Language Models Better"),
@@ -242,12 +243,28 @@ def duplicate_spans(
     Returns (id, span_start, span_end, span_tokens) with 0-based inclusive
     word positions.
 
-    Scale shape: gram frequency is one map-side-combined groupBy on a
-    32-bit gram hash (shuffle = one long per gram per map task — the same
-    shuffle budget as minhash_signatures); the position join-back is a
-    semi-join on that hash (bloom-filter prunable); span merging is ONE
-    per-document window. No self-joins, nothing quadratic — the suffix
-    array the paper builds is global sequential state, this is not."""
+    Scale shape: gram frequency is one map-side-combined groupBy on a gram
+    hash (shuffle = one long per gram per map task — the same shuffle
+    budget as minhash_signatures); the position join-back is a semi-join on
+    that hash (bloom-filter prunable); span merging is ONE per-document
+    window. No self-joins, nothing quadratic — the suffix array the paper
+    builds is global sequential state, this is not.
+
+    ``hash_bits`` sizes the gram key, and here the hash IS the verdict:
+    unlike MinHash banding (where a collision only adds a candidate that
+    exact scoring rejects), a colliding gram pair directly inflates
+    ``__c`` and can mark clean text as duplicated. At 32 bits (md5-prefix
+    ``h32``, the DuckDB-reconstructible form the gated queries pin) a
+    ~10^12-gram corpus puts ~250 distinct grams in EVERY bucket —
+    unusable at that scale. The 64-bit default (``F.xxhash64``, JVM
+    codegen) expects only ~n^2/2^65 colliding pairs ≈ 3×10^4 of 10^12
+    grams (~3×10^-8 false-dup rate) — negligible against min_count.
+    Agreement at fixture scale is pinned by
+    test_dedup.py::test_span_hash_width_agreement; the sizing row
+    lives in COVERAGE.md "Scale tuning knobs"."""
+    if hash_bits not in (32, 64):
+        raise ValueError(f"hash_bits must be 32 or 64, got {hash_bits}")
+    gram_hash = h32 if hash_bits == 32 else F.xxhash64
     toks = docs.select(F.col(id_col), tokens(text_col).alias("__tok"))
     arr = F.col("__tok")
     n = F.size(arr)
@@ -261,7 +278,7 @@ def duplicate_spans(
     grams = (
         toks.select(F.col(id_col), F.posexplode_outer(gram_arr).alias("pos", "__g"))
         .filter(F.col("__g").isNotNull())
-        .select(F.col(id_col), F.col("pos"), h32("__g").alias("__h"))
+        .select(F.col(id_col), F.col("pos"), gram_hash("__g").alias("__h"))
     )
     repeated = (
         grams.groupBy("__h")
@@ -300,6 +317,7 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     k: int = 5,
     min_count: int = 2,
+    hash_bits: int = 64,
 ) -> DataFrame:
     """The actionable half of ``duplicate_spans`` (Lee et al. 2022): CUT the
     corpus-repeated spans out of each document instead of dropping the
@@ -311,9 +329,11 @@ def remove_duplicate_spans(
     (collect_list over the span rows — bounded by dup volume, not corpus
     size), broadcast-joinable back to the corpus; the cut itself is a
     per-row ``filter`` higher-order function over token positions — no
-    extra shuffle beyond duplicate_spans' own."""
+    extra shuffle beyond duplicate_spans' own. ``hash_bits`` passes
+    through to duplicate_spans (see its docstring: 64-bit default is the
+    scale path; 32-bit is the oracle-reconstructible pin)."""
     spans = (
-        duplicate_spans(docs, text_col, id_col, k, min_count)
+        duplicate_spans(docs, text_col, id_col, k, min_count, hash_bits)
         .groupBy(id_col)
         .agg(F.collect_list(F.struct("span_start", "span_end")).alias("__spans"))
     )

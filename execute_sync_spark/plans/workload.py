@@ -718,8 +718,10 @@ def dedup_substring_spans(spark, sf_dir):
     """Exact-substring duplicate spans (Lee et al. 2022) — positions whose
     5-word gram repeats anywhere in the corpus, merged into maximal
     per-document spans. See functions/dedupe.py duplicate_spans for the
-    relational (non-suffix-array) 100 TB shape."""
-    return dedupe.duplicate_spans(_docs_wide(spark, sf_dir), k=5)
+    relational (non-suffix-array) 100 TB shape. Pinned to hash_bits=32 —
+    the md5-prefix gram key DuckDB reconstructs; the engine default is the
+    64-bit scale path (agreement-tested in test_round6_ops.py)."""
+    return dedupe.duplicate_spans(_docs_wide(spark, sf_dir), k=5, hash_bits=32)
 
 
 _SPAN_K = 5
@@ -755,8 +757,10 @@ DEDUP_SPANS_SQL = rf"""
 
 def dedup_span_removal(spark, sf_dir):
     """Cut the corpus-repeated spans out of each document (Lee et al. 2022's
-    cleanup step, not just detection) — see dedupe.remove_duplicate_spans."""
-    return dedupe.remove_duplicate_spans(_docs_wide(spark, sf_dir), k=5)
+    cleanup step, not just detection) — see dedupe.remove_duplicate_spans.
+    hash_bits=32 pins the oracle-reconstructible gram key (64 is the
+    engine default / scale path)."""
+    return dedupe.remove_duplicate_spans(_docs_wide(spark, sf_dir), k=5, hash_bits=32)
 
 
 DEDUP_SPAN_REMOVAL_SQL = rf"""

@@ -216,3 +216,31 @@ def test_remove_duplicate_spans_cuts_only_the_shared_words(spark):
     got = {r.doc_id: r for r in dedupe.remove_duplicate_spans(dup_all, k=5).collect()}
     assert got[7].clean_text == "" and got[7].n_tokens_removed == 5
     assert got[8].clean_text == "" and got[8].n_tokens_removed == 5
+
+
+def test_span_hash_width_agreement(spark):
+    """hash_bits=64 (xxhash64, the scale default — the 32-bit md5-prefix
+    key makes the corpus-frequency count itself collide at ~10^12 grams,
+    VERDICT r6 #1) must produce IDENTICAL spans and identical span-removal
+    output to the oracle-pinned 32-bit form on the real documents table,
+    where 32-bit collisions are ~0. Also: the default IS 64-bit."""
+    import inspect
+
+    from tests.conftest import SF_DIR
+
+    from execute_sync_spark.functions import dedupe
+
+    assert inspect.signature(dedupe.duplicate_spans).parameters["hash_bits"].default == 64
+    assert inspect.signature(dedupe.remove_duplicate_spans).parameters["hash_bits"].default == 64
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    s32 = sorted(map(tuple, dedupe.duplicate_spans(docs, k=5, hash_bits=32).collect()))
+    s64 = sorted(map(tuple, dedupe.duplicate_spans(docs, k=5, hash_bits=64).collect()))
+    assert s32 == s64 and len(s64) > 0
+
+    r32 = sorted(map(tuple, dedupe.remove_duplicate_spans(docs, k=5, hash_bits=32).collect()))
+    r64 = sorted(map(tuple, dedupe.remove_duplicate_spans(docs, k=5).collect()))
+    assert r32 == r64
+
+    with pytest.raises(ValueError):
+        dedupe.duplicate_spans(docs, hash_bits=48)
