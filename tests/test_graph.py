@@ -45,3 +45,22 @@ def test_connected_components_long_chain(spark, cc):
     )
     got = {r["id"]: r["cluster_id"] for r in cc(edges).collect()}
     assert got == {i: 0 for i in range(41)}
+
+
+def test_local_finish_hard_cap_fails_loudly(spark):
+    """The single-task union-find finish is the one coalesce(1) step in the
+    dedup pipeline; over the hard cap it must raise IN the worker, naming
+    the knob, instead of silently straggling (VERDICT r6 #5). The same
+    graph under a sufficient cap still resolves exactly."""
+    edges = spark.createDataFrame(EDGES, ["src", "dst"])
+    with pytest.raises(Exception, match="local_edge_hard_cap"):
+        connected_components(
+            edges, local_edge_threshold=10**9, local_edge_hard_cap=2
+        ).collect()
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(
+            edges, local_edge_threshold=10**9, local_edge_hard_cap=10**6
+        ).collect()
+    }
+    assert got == WANT

@@ -170,6 +170,30 @@ def test_ivf_indexed_probe_prunes_partitions(spark, tmp_path):
     assert a == b
 
 
+def test_docs_wide_repartitions_only_when_needed(spark, tmp_path):
+    """_docs_wide exists to spread per-doc compute when the scan yields
+    fewer tasks than cores (bench scale: a couple of row groups). On input
+    that already scans wide — the 100 TB case, where the text IS the
+    dataset — it must NO-OP: an unconditional round-robin there is a
+    full-corpus shuffle before every text operator (VERDICT r6 #2)."""
+    from execute_sync_spark.plans import workload
+
+    par = spark.sparkContext.defaultParallelism
+    # the real bench corpus scans as < cores partitions -> Exchange expected
+    narrow = workload._docs_wide(spark, SF_DIR)
+    assert "Exchange RoundRobinPartitioning" in _plan(narrow)
+
+    # a corpus already split >= cores -> same helper must add NO Exchange
+    wide_dir = tmp_path / "sf_wide"
+    wide_dir.mkdir()
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(par).write.parquet(
+        str(wide_dir / "documents.parquet")
+    )
+    wide = workload._docs_wide(spark, str(wide_dir))
+    assert wide.rdd.getNumPartitions() >= par
+    assert "Exchange" not in _plan(wide)
+
+
 def test_ivfpq_indexed_probe_prunes_partitions(spark, tmp_path):
     """The persisted IVF+PQ code index (build_pq_index: parquet partitioned
     by cell_id, codebook persisted alongside) must turn a probe into a
