@@ -21,6 +21,16 @@ for any incrementally-maintained aggregate); ``compact()`` collapses a
 day's accumulated batch partials into one, the OPTIMIZE analog for
 long-lived rollups. (Contrast ``ParquetSink.refresh_latest``, which must
 re-read the log because D2 latest-version is NOT additive.)
+
+Commit-protocol constraint (ADVICE r6): the swap/manifest protocol uses
+LOCAL-POSIX directory semantics — atomic same-filesystem ``os.rename``,
+``os.listdir``, plain ``open`` — so the table path must be a local (or
+POSIX-rename-capable, e.g. NFS/HDFS-mounted) filesystem. On an object
+store (S3), rename is copy+delete and not atomic: port the directory
+operations to a filesystem abstraction (or run the commit step against
+HDFS/a bucket with atomic-rename semantics) before deploying there. The
+PARTITION LAYOUT and idempotency reasoning are store-agnostic; only the
+commit primitives assume POSIX.
 """
 
 from __future__ import annotations
@@ -99,7 +109,7 @@ class HourlyRollup:
 
     # -- incremental refresh ------------------------------------------------
 
-    def refresh(self, new_batch: DataFrame, batch_id=None) -> list[str]:
+    def refresh(self, new_batch: DataFrame, batch_id) -> list[str]:
         """Fold one batch into the rollup. Writes the batch's partial
         aggregates under (day, batch_id) with DYNAMIC partition overwrite:
         only the partitions this batch produces are replaced, every other
@@ -109,12 +119,24 @@ class HourlyRollup:
         the day entirely (manifest check) — instead of double-counting
         (replay-asserted, incl. the compact-then-replay window).
 
-        ``batch_id`` is the replay-stable identity — foreachBatch's epoch
-        id is exactly right. A None batch_id gets a random one: still
-        correct for a batch that runs once, but replays of it would
-        double-count, so streaming callers must pass the epoch id.
+        ``batch_id`` is the replay-stable identity and is REQUIRED —
+        foreachBatch's epoch id is exactly right, and every caller has
+        one. (A silently-generated random id would be correct for a batch
+        that runs once but double-counts under any at-least-once replay —
+        the exact failure this class exists to prevent — so None raises
+        instead of defaulting unsafely; ADVICE r6.)
         Returns the list of days actually written."""
-        bid = str(batch_id) if batch_id is not None else uuid.uuid4().hex[:12]
+        if batch_id is None:
+            raise ValueError(
+                "refresh() requires a replay-stable batch_id (e.g. the "
+                "foreachBatch epoch id); a generated id would double-count "
+                "under at-least-once replay"
+            )
+        bid = str(batch_id)
+        # a refresh that recreates a stranded day would make sweep() treat
+        # the aside (the day's real history) as reclaimable debris — fail
+        # loudly first (one listdir; see _check_not_stranded)
+        self._check_not_stranded()
         deltas = _hourly(new_batch).withColumn("batch_id", F.lit(bid)).persist()
         try:
             touched = sorted(r.day for r in deltas.select("day").distinct().collect())
@@ -142,9 +164,13 @@ class HourlyRollup:
         on long-lived rollups (the OPTIMIZE analog). Each swapped day dir
         carries an ``_absorbed.json`` manifest of every batch id folded in
         (previous manifest included), so replays of absorbed batches stay
-        idempotent; the per-day ``os.rename`` is the atomic commit point
-        (same pattern as ParquetSink.prune — a crash mid-compact leaves
-        every day either fully old or fully new, both consistent)."""
+        idempotent. Each day commits via a two-rename swap (live → aside,
+        staged → live): a crash OUTSIDE that tiny window leaves the day
+        fully old or fully new, both consistent; a crash INSIDE it leaves
+        the day's data (and manifest) stranded in an ``_old_day_*`` aside
+        dir that reads ignore — run :meth:`sweep` to restore or reclaim
+        stranded asides (build()'s window has the same shape with
+        ``{path}_old_*``, also swept)."""
         if not os.path.isdir(self.path):
             return []
         # only days holding UNCOMPACTED partials need work — periodic
@@ -181,13 +207,140 @@ class HourlyRollup:
             with open(os.path.join(src, _MANIFEST), "w") as f:
                 json.dump({"batches": sorted(absorbed)}, f)
             # recoverable two-rename swap: aside dir is "_"-prefixed, so
-            # Spark's reader ignores it if a crash strands it mid-window
-            aside = os.path.join(self.path, f"_old_day_{day.replace('-', '')}_{os.getpid()}")
+            # Spark's reader ignores it if a crash strands it mid-window;
+            # the day value stays intact in the name so sweep() can map a
+            # stranded aside back to its partition
+            aside = os.path.join(self.path, f"_old_day_{day}_{os.getpid()}")
             os.rename(live, aside)
             os.rename(src, live)
             shutil.rmtree(aside, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
         return days
+
+    # -- crash recovery ------------------------------------------------------
+
+    def _stranded(self) -> list[str]:
+        """Aside dirs from an interrupted two-rename commit whose LIVE
+        counterpart is missing — the states where a read would silently
+        lose a day (or the whole table). Debris whose live dir exists
+        (crash after both renames, before cleanup) is harmless to reads
+        and NOT reported here; sweep() reclaims it."""
+        out: list[str] = []
+        parent = os.path.dirname(self.path) or "."
+        base = os.path.basename(self.path)
+        if not os.path.isdir(self.path):
+            if os.path.isdir(parent):
+                out += [n for n in os.listdir(parent) if n.startswith(base + "_old_")]
+            return out
+        for n in os.listdir(self.path):
+            if n.startswith("_old_day_"):
+                day = n[len("_old_day_"):].rsplit("_", 1)[0]
+                if not os.path.isdir(os.path.join(self.path, f"day={day}")):
+                    out.append(n)
+        return out
+
+    def _check_not_stranded(self) -> None:
+        stranded = self._stranded()
+        if stranded:
+            raise RuntimeError(
+                f"rollup at {self.path} has data stranded by an interrupted "
+                f"commit ({stranded[:3]}{'...' if len(stranded) > 3 else ''}); "
+                "run sweep() to restore or reclaim it before reading/refreshing"
+            )
+
+    def sweep(self, min_age_s: float = 0.0) -> dict[str, list[str]]:
+        """Detect and resolve aside/tmp dirs stranded by a crash inside
+        build()'s or compact()'s two-rename commit windows (ROADMAP /
+        ADVICE r6: previously these needed manual recovery — a stranded
+        ``_old_day_*`` aside silently removed its day from reads and
+        could let an absorbed batch double-count on replay).
+
+        Resolution rules, conservative in both directions:
+
+        * table gone + ``{path}_old_*`` aside present (build's window):
+          promote a COMPLETE staged rebuild (``{path}_<hex>`` carrying
+          ``_SUCCESS``) forward if one exists, else restore the newest
+          aside. Either way the table reappears.
+        * day gone + ``_old_day_<day>_*`` aside present (compact's
+          window): finish the swap forward from the staged
+          ``{path}_compact_*`` output when it still holds the day (the
+          staged dir includes the ``_absorbed.json`` manifest, so
+          replay-idempotency survives), else roll the aside back.
+        * everything else matching the aside/tmp patterns is obsolete
+          debris (the crash happened after both renames, or a staged
+          build never committed) and is reclaimed.
+
+        ``min_age_s`` guards a MULTI-PROCESS deployment: another writer
+        mid-swap has fresh asides, so sweep only touches dirs older than
+        this. Returns {"restored": [...], "reclaimed": [...]} by name."""
+        import time
+
+        restored: list[str] = []
+        reclaimed: list[str] = []
+        now = time.time()
+
+        def _old_enough(p: str) -> bool:
+            try:
+                return now - os.path.getmtime(p) >= min_age_s
+            except OSError:
+                return False
+
+        parent = os.path.dirname(self.path) or "."
+        base = os.path.basename(self.path)
+        asides: list[str] = []
+        tmps_build: list[str] = []
+        tmps_compact: list[str] = []
+        for name in sorted(os.listdir(parent)) if os.path.isdir(parent) else []:
+            p = os.path.join(parent, name)
+            if not name.startswith(base + "_") or not os.path.isdir(p) or not _old_enough(p):
+                continue
+            rest = name[len(base) + 1:]
+            if rest.startswith("old_"):
+                asides.append(p)
+            elif rest.startswith("compact_"):
+                tmps_compact.append(p)
+            elif len(rest) == 8 and all(c in "0123456789abcdef" for c in rest):
+                tmps_build.append(p)
+        if not os.path.isdir(self.path) and asides:
+            complete = [t for t in tmps_build if os.path.exists(os.path.join(t, "_SUCCESS"))]
+            pick_from = complete or asides
+            newest = max(pick_from, key=os.path.getmtime)
+            os.rename(newest, self.path)
+            restored.append(os.path.basename(newest))
+            (tmps_build if complete else asides).remove(newest)
+        for p in asides + tmps_build:
+            shutil.rmtree(p, ignore_errors=True)
+            reclaimed.append(os.path.basename(p))
+
+        if os.path.isdir(self.path):
+            for name in sorted(os.listdir(self.path)):
+                if not name.startswith("_old_day_"):
+                    continue
+                aside = os.path.join(self.path, name)
+                if not os.path.isdir(aside) or not _old_enough(aside):
+                    continue
+                day = name[len("_old_day_"):].rsplit("_", 1)[0]
+                live = os.path.join(self.path, f"day={day}")
+                if os.path.isdir(live):
+                    # both renames completed; only the aside cleanup crashed
+                    shutil.rmtree(aside, ignore_errors=True)
+                    reclaimed.append(name)
+                    continue
+                staged = next(
+                    (os.path.join(t, f"day={day}") for t in tmps_compact
+                     if os.path.isdir(os.path.join(t, f"day={day}"))),
+                    None,
+                )
+                if staged is not None:
+                    os.rename(staged, live)  # finish forward, manifest included
+                    shutil.rmtree(aside, ignore_errors=True)
+                else:
+                    os.rename(aside, live)  # roll back to the pre-compact day
+                restored.append(name)
+        for t in tmps_compact:
+            shutil.rmtree(t, ignore_errors=True)
+            reclaimed.append(os.path.basename(t))
+        return {"restored": restored, "reclaimed": reclaimed}
 
     # -- read ---------------------------------------------------------------
 
@@ -196,7 +349,10 @@ class HourlyRollup:
         a partition column, so day predicates prune to subtrees before the
         fold. A rollup that has never been written reads as EMPTY (a new
         stream whose first batches were all empty is a normal state, not
-        an error)."""
+        an error) — but a rollup with data STRANDED by an interrupted
+        commit raises, pointing at sweep(): silently reading around a
+        vanished day is exactly the failure ADVICE r6 flagged."""
+        self._check_not_stranded()
         if not os.path.isdir(self.path):
             return self.spark.createDataFrame(
                 [],

@@ -965,6 +965,9 @@ def text_bm25_topk(spark, sf_dir):
 
 _BM25_IDF = "ln((s._n_docs - d.df + 0.5) / (d.df + 0.5) + 1)"
 _BM25_NORM = "(t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s._avgdl))"
+# one definition of the query terms for BOTH sides (ADVICE r6: a literal
+# list here would silently desynchronize the oracle from the engine query)
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
 TEXT_BM25_SQL = rf"""
     WITH tok AS (
@@ -974,7 +977,7 @@ TEXT_BM25_SQL = rf"""
     dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY 1),
     stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS _n_docs, AVG(dl) AS _avgdl FROM dl),
     tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok2
-           WHERE token IN ('vector', 'merge', 'filter') GROUP BY 1, 2),
+           WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY 1, 2),
     df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
     scored AS (
         SELECT t.doc_id,

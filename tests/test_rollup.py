@@ -258,3 +258,102 @@ def test_second_compact_is_a_noop(spark, tmp_path):
     r.refresh(_events(spark, [(3, "2024-01-02 01:00:00", 3, "view", 4.0)]), batch_id=3)
     assert r.compact() == ["2024-01-02"]
     assert _rows(r)[("view", "2024-01-02 01:00:00", "2024-01-02")] == (1, 4.0)
+
+
+def test_sweep_recovers_interrupted_compact(spark, tmp_path, monkeypatch):
+    """Crash INSIDE compact()'s two-rename window (live renamed aside,
+    staged not yet renamed in): the day vanishes from reads and its
+    manifest is stranded. sweep() must finish the swap forward from the
+    staged output — manifest included, so a replay of an absorbed batch
+    still skips — and reclaim the staged tmp (ADVICE r6 / ROADMAP item)."""
+    import pytest
+
+    from execute_sync_spark.operators import rollup as rl
+
+    r = rl.HourlyRollup(spark, str(tmp_path / "roll"))
+    r.refresh(_events(spark, [(1, "2024-01-01 00:10:00", 1, "click", 2.0)]), batch_id=1)
+    r.refresh(_events(spark, [(2, "2024-01-01 00:20:00", 2, "click", 3.0)]), batch_id=2)
+    before = _rows(r)
+
+    real_rename = os.rename
+
+    def crash_mid_swap(src, dst):
+        real_rename(src, dst)
+        if "_old_day_" in os.path.basename(dst):
+            raise RuntimeError("simulated crash between the two renames")
+
+    monkeypatch.setattr(rl.os, "rename", crash_mid_swap)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        r.compact()
+    monkeypatch.undo()
+
+    # the stranded state: aside + staged tmp on disk; reads and refreshes
+    # fail LOUDLY (silently losing the day was the ADVICE r6 hazard)
+    assert any(n.startswith("_old_day_") for n in os.listdir(str(tmp_path / "roll")))
+    with pytest.raises(RuntimeError, match="sweep"):
+        r.read()
+    with pytest.raises(RuntimeError, match="sweep"):
+        r.refresh(
+            _events(spark, [(3, "2024-01-01 00:30:00", 3, "click", 1.0)]), batch_id=3
+        )
+
+    rep = r.sweep()
+    assert rep["restored"]
+    assert _rows(r) == before
+    # manifest survived the forward-finish: absorbed batch replay skips
+    assert r.refresh(
+        _events(spark, [(1, "2024-01-01 00:10:00", 1, "click", 2.0)]), batch_id=1
+    ) == []
+    # nothing left to sweep, and the staged tmp is gone
+    assert r.sweep() == {"restored": [], "reclaimed": []}
+    assert not any("compact" in n for n in os.listdir(str(tmp_path)))
+
+
+def test_sweep_recovers_interrupted_build_and_respects_age(spark, tmp_path, monkeypatch):
+    """Crash INSIDE build()'s window (old table renamed aside, staged
+    rebuild not renamed in): the table path is gone. sweep() promotes the
+    COMPLETE staged rebuild forward; a min_age_s above the aside's age
+    leaves everything untouched (multi-process guard)."""
+    import pytest
+
+    from execute_sync_spark.operators import rollup as rl
+
+    r = rl.HourlyRollup(spark, str(tmp_path / "roll"))
+    r.refresh(_events(spark, [(1, "2024-01-01 00:10:00", 1, "click", 2.0)]), batch_id=1)
+
+    real_rename = os.rename
+
+    def crash_mid_swap(src, dst):
+        if os.path.basename(dst) == "roll" and "_old_" in os.path.basename(src):
+            raise AssertionError("unexpected")
+        real_rename(src, dst)
+        if "_old_" in os.path.basename(dst):
+            raise RuntimeError("simulated crash between the two renames")
+
+    monkeypatch.setattr(rl.os, "rename", crash_mid_swap)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        r.build(_events(spark, [(9, "2024-02-02 01:00:00", 9, "view", 5.0)]))
+    monkeypatch.undo()
+    assert not os.path.isdir(str(tmp_path / "roll"))
+
+    # fresh asides are protected by the age guard
+    assert r.sweep(min_age_s=3600) == {"restored": [], "reclaimed": []}
+    assert not os.path.isdir(str(tmp_path / "roll"))
+
+    rep = r.sweep()
+    assert rep["restored"] and rep["reclaimed"]  # staged promoted, old aside reclaimed
+    # the promoted table is the NEW build (forward-finish, not rollback)
+    assert _rows(r) == {("view", "2024-02-02 01:00:00", "2024-02-02"): (1, 5.0)}
+    assert r.sweep() == {"restored": [], "reclaimed": []}
+
+
+def test_refresh_requires_batch_id(spark, tmp_path):
+    """A generated batch id would double-count under at-least-once replay,
+    so refresh(None) must fail loudly (ADVICE r6)."""
+    import pytest
+
+    from execute_sync_spark.operators.rollup import HourlyRollup
+
+    r = HourlyRollup(spark, str(tmp_path / "roll"))
+    with pytest.raises(ValueError, match="batch_id"):
+        r.refresh(_events(spark, [(1, "2024-01-01 00:10:00", 1, "click", 2.0)]), batch_id=None)
