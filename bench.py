@@ -2,13 +2,28 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
+  {"metric": "...", "value": <total sec>, "unit": "sec", "runs": N,
    "queries": {alias: sec, ...}, "sf": <sf>}
 
 The harness that records this line keeps only the last ~2000 bytes of
-output, so the printed line uses short query aliases to stay well under
-that; the full-name per-query timings AND the alias map are written to
-BENCH_DETAIL.json next to this script.
+output, so the printed line uses short query aliases — STABLE ones, frozen
+in the committed registry ``tools/bench_aliases.json`` (VERDICT r6 #5: the
+per-run adaptive truncation made round-over-round comparison possible on
+only 22 of 120 keys; a frozen registry makes every future round comparable
+on every key). New queries get appended to the registry, existing aliases
+never change. Full-name per-query timings AND the alias map are always
+written to BENCH_DETAIL.json next to this script.
+
+Sequential times are the per-query MEDIAN of ``$SPARK_GRAFT_BENCH_RUNS``
+passes (default 3) — single-pass numbers are ±15% on a shared host (the
+uniform 13% r5→r6 drift), and the median cancels both cold-cache first
+runs and load spikes.
+
+Scale harness: ``--scale10`` re-times the workload on the committed 10x
+synthesis and records wall ratios vs the base pass (ratio ≈ factor =
+linear). ``--scale30 --only spans,semantic,...`` does the same at 30x for
+a named subset — the heavy hitters that prove the linear story holds
+another 3x out without paying 30x on the deliberately-exact pair finders.
 """
 
 from __future__ import annotations
@@ -16,6 +31,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -24,55 +40,75 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from execute_sync_spark.session import get_spark
 from execute_sync_spark.plans import workload
 
+REPO = os.path.dirname(os.path.abspath(__file__))
 MAX_LINE = 1900  # keep the printed JSON line inside the 2000-byte tail window
+ALIAS_REGISTRY = os.path.join(REPO, "tools", "bench_aliases.json")
 
 
-def _aliases(names: list[str], cap: int = 10) -> dict[str, str]:
-    """Deterministic short aliases, collision-free, readable (q1, q12, d2_ver,
-    minhash, st_sess_fl, ...). ``cap`` bounds alias length so a growing
-    workload can trade readability for fitting the 2000-byte tail window."""
-    out: dict[str, str] = {}
-    used: set[str] = set()
+def _gen_alias(name: str, used: set[str], cap: int = 5) -> str:
+    """Deterministic short alias for one new name, collision-free against
+    ``used`` (q1, dd_ja, st_se, ...)."""
     short_prefix = {
         "q_": "", "dedup_": "dd_", "curate_": "cu_", "stream_": "st_",
         "text_": "tx_", "sim_": "sm_", "mm_": "mm_", "v_": "v_", "d": "d",
     }
-    for name in names:
-        m = re.match(r"^q(\d+)_", name)
-        if m:
-            cand = f"q{m.group(1)}"
-        else:
-            cand = name
-            for pre, rep in short_prefix.items():
-                if name.startswith(pre):
-                    cand = rep + name[len(pre):]
-                    break
-            # keep the first ``cap`` chars; extend on collision
-            cand = cand[:cap]
-        n = cap
-        while cand in used and n < len(name):
-            n += 2
-            cand = name[:n]
-        i = 2
-        base = cand
-        while cand in used:
-            cand = f"{base}{i}"
-            i += 1
-        used.add(cand)
-        out[name] = cand
-    return out
+    m = re.match(r"^q(\d+)_", name)
+    if m:
+        cand = f"q{m.group(1)}"
+    else:
+        cand = name
+        for pre, rep in short_prefix.items():
+            if name.startswith(pre):
+                cand = rep + name[len(pre):]
+                break
+        cand = cand[:cap]
+    n = cap
+    while cand in used and n < len(name):
+        n += 2
+        cand = name[:n]
+    i = 2
+    base = cand
+    while cand in used:
+        cand = f"{base}{i}"
+        i += 1
+    return cand
 
 
-def _timed_pass(spark, sf_dir: str, warm: bool = False) -> dict[str, float]:
-    """One sequential timing pass over every declared query.
+def _aliases(names: list[str]) -> dict[str, str]:
+    """STABLE aliases from the committed registry: existing entries are
+    never changed (so BENCH_r{N}.json keys compare across rounds); unseen
+    names get a fresh non-colliding alias, appended and persisted."""
+    try:
+        with open(ALIAS_REGISTRY) as f:
+            registry: dict[str, str] = json.load(f)
+    except (OSError, ValueError):
+        registry = {}
+    used = set(registry.values())
+    new = False
+    for name in sorted(names):  # sorted: assignment independent of QUERIES order
+        if name not in registry:
+            registry[name] = _gen_alias(name, used)
+            used.add(registry[name])
+            new = True
+    if new:
+        with open(ALIAS_REGISTRY, "w") as f:
+            json.dump(registry, f, indent=1, sort_keys=True)
+    return {n: registry[n] for n in names}
+
+
+def _timed_pass(spark, sf_dir: str, warm: bool = False, only: list[str] | None = None) -> dict[str, float]:
+    """One sequential timing pass over every declared query (or the ``only``
+    subset).
 
     ``warm`` (bench --warm) times the SECOND run of each query — page cache
     and codegen warm — measuring plan cost rather than cold I/O. Use it to
-    triage scale10 ratio outliers: the sequential 10x pass evicts the page
+    triage scale ratio outliers: the sequential 10x pass evicts the page
     cache between string-heavy scans, inflating in-bench ratios 2-5x vs
     isolated re-measures (ROADMAP "10x scale validation", round 6)."""
     times: dict[str, float] = {}
     for name, fn in workload.QUERIES.items():
+        if only is not None and name not in only:
+            continue
         if warm:
             fn(spark, sf_dir).collect()
         t0 = time.perf_counter()
@@ -81,41 +117,57 @@ def _timed_pass(spark, sf_dir: str, warm: bool = False) -> dict[str, float]:
     return times
 
 
-def _scale10_pass(spark, detail: dict) -> None:
-    """--scale10: re-time the workload on the committed 10x synthesis
-    (tools/make_scale10.py; built on first use) and record per-query wall
-    ratios vs the base pass — the harness that catches superlinear plan
-    regressions instead of ad-hoc 10x checks. Ratio reading: ~10x = linear
-    in data (good); >>10x = superlinear SUSPECT — profile before blaming
-    the plan (driver-side result collection and the deliberately-exact
-    pair finders are the known benign/declared cases, see ROADMAP)."""
+def _median_passes(spark, sf_dir: str, runs: int, warm: bool) -> tuple[dict[str, float], list[float]]:
+    """Per-query MEDIAN over ``runs`` sequential passes (VERDICT r6 #5:
+    single-pass numbers are ±15% on a shared host). Returns (median times,
+    per-run totals)."""
+    all_runs = [_timed_pass(spark, sf_dir, warm=warm) for _ in range(runs)]
+    med = {
+        name: round(statistics.median(r[name] for r in all_runs), 3)
+        for name in all_runs[0]
+    }
+    return med, [round(sum(r.values()), 3) for r in all_runs]
+
+
+def _scale_pass(spark, detail: dict, factor: int, only: list[str] | None = None) -> None:
+    """--scale10 / --scale30: re-time the workload (or an --only subset) on
+    the committed ``factor``x synthesis (tools/make_scale10.py; built on
+    first use) and record per-query wall ratios vs the base pass — the
+    harness that catches superlinear plan regressions instead of ad-hoc
+    checks. Ratio reading: ~factor = linear in data (good); >>factor =
+    superlinear SUSPECT — profile before blaming the plan (driver-side
+    result collection and the deliberately-exact pair finders are the
+    known benign/declared cases, see ROADMAP)."""
     from tools.make_scale10 import build, is_current
 
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    dst = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale10", "sf1.0")
+    base_sf = float(src.rstrip("/").split("sf")[-1])
+    dst = os.path.join(REPO, f".scale{factor}", f"sf{base_sf * factor:g}")
     # Rebuild unless the dst's build-complete fingerprint (written LAST by
     # build()) matches this source — testdata regenerates between harness
     # rounds, and a stale or partially-built synthesis would silently produce
     # meaningless (or crashing) ratio_vs_base numbers.
-    if not is_current(spark, src, dst, 10):
-        build(spark, src, dst, 10)
+    if not is_current(spark, src, dst, factor):
+        build(spark, src, dst, factor)
     warm = "--warm" in sys.argv
-    times10 = _timed_pass(spark, dst, warm=warm)
+    times_n = _timed_pass(spark, dst, warm=warm, only=only)
     base = detail["queries"]
     # warm ratios live under their own key: they measure plan scaling with
     # page cache warm, not the cold-I/O methodology rounds compare against
-    detail["scale10_warm" if warm else "scale10"] = {
+    detail[f"scale{factor}_warm" if warm else f"scale{factor}"] = {
         "sf_dir": dst,
+        "factor": factor,
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
-        "seq_total_sec": round(sum(times10.values()), 3),
-        "queries": times10,
+        "seq_total_sec": round(sum(times_n.values()), 3),
+        "only": sorted(only) if only else None,
+        "queries": times_n,
         "ratio_vs_base": {
-            k: round(times10[k] / base[k], 1) for k in times10 if base.get(k)
+            k: round(times_n[k] / base[k], 1) for k in times_n if base.get(k)
         },
     }
 
 
-def _carry_scale10(detail: dict, detail_path: str) -> None:
+def _carry_scale_blocks(detail: dict, detail_path: str) -> None:
     """A bench run must not DESTROY previously measured scale ratio blocks
     (round-5 postmortem: the final bench run overwrote the committed
     artifact and ROADMAP's pointer dangled). Any scale block the current
@@ -126,9 +178,8 @@ def _carry_scale10(detail: dict, detail_path: str) -> None:
             prev_all = json.load(f)
     except (OSError, ValueError):
         return
-    for key in ("scale10", "scale10_warm"):
-        prev = prev_all.get(key)
-        if prev and key not in detail:
+    for key, prev in prev_all.items():
+        if key.startswith("scale") and isinstance(prev, dict) and key not in detail:
             prev["stale"] = True  # measured against an EARLIER base pass
             detail[key] = prev
 
@@ -145,12 +196,11 @@ def main() -> None:
     try:
         workload.q6_forecast_revenue(spark, sf_dir).collect()
         spark.createDataFrame([(1,)], "x int").mapInPandas(lambda it: it, "x int").collect()
-        # corpus-path warmup: the extension block (dedup/text) leads the
-        # declared order since round 4, so without this the FIRST documents
-        # query absorbs the one-time costs of the text pipeline (documents
-        # scan, explode/md5 codegen, 32-thread shuffle spin-up) — measured
-        # 9s-vs-1s attribution noise on dedup_minhash_sig. The warmup runs
-        # the same machinery on a non-declared expression.
+        # corpus-path warmup: without this the FIRST documents query absorbs
+        # the one-time costs of the text pipeline (documents scan,
+        # explode/md5 codegen, 32-thread shuffle spin-up) — measured 9s-vs-1s
+        # attribution noise on dedup_minhash_sig. The warmup runs the same
+        # machinery on a non-declared expression.
         from pyspark.sql import functions as F
 
         from execute_sync_spark.functions import dedupe
@@ -175,7 +225,8 @@ def main() -> None:
         pass  # warmup only — never fail the bench for it
 
     warm = "--warm" in sys.argv
-    times = _timed_pass(spark, sf_dir, warm=warm)
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    times, run_totals = _median_passes(spark, sf_dir, runs=runs, warm=warm)
     seq_total = round(sum(times.values()), 3)
 
     # Throughput pass (TPC-H-style multi-stream run): the same workload with
@@ -202,32 +253,38 @@ def main() -> None:
     wall = round(time.perf_counter() - t0, 3)
 
     total = min(seq_total, wall)
-    # pick the longest alias cap whose printed line still fits the tail
-    # window — per-query data in the driver record beats pretty aliases
-    for cap in (10, 7, 5, 4):
-        alias = _aliases(list(times), cap=cap)
-        probe = json.dumps(
-            {alias[k]: round(v, 2) for k, v in times.items()}, separators=(",", ":")
-        )
-        if len(probe) <= MAX_LINE - 120:  # headroom for the envelope fields
-            break
+    alias = _aliases(list(times))
     detail = {
         "metric": "workload_total_runtime",
         "value": total,
         "unit": "sec",
         "sf": float(sf),
         "n_queries": len(times),
+        "runs": runs,
         "seq_total_sec": seq_total,
+        "seq_run_totals": run_totals,
         "concurrent_wall_sec": wall,
         "concurrent_streams": streams,
         "queries": times,
         "aliases": alias,
         "warm": warm,
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+
+    def _only_arg() -> list[str] | None:
+        if "--only" not in sys.argv:
+            return None
+        names = sys.argv[sys.argv.index("--only") + 1].split(",")
+        unknown = [n for n in names if n not in workload.QUERIES]
+        if unknown:
+            raise SystemExit(f"--only names not in the workload: {unknown}")
+        return names
+
     if "--scale10" in sys.argv:
-        _scale10_pass(spark, detail)
-    _carry_scale10(detail, detail_path)  # carries whichever blocks this run did not measure
+        _scale_pass(spark, detail, 10, only=_only_arg())
+    if "--scale30" in sys.argv:
+        _scale_pass(spark, detail, 30, only=_only_arg())
+    _carry_scale_blocks(detail, detail_path)  # carries blocks this run did not measure
 
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
@@ -237,6 +294,7 @@ def main() -> None:
         "metric": "workload_total_runtime",
         "value": total,
         "unit": "sec",
+        "runs": runs,
         "seq": seq_total,
         "conc": wall,
         "queries": compact,
@@ -244,9 +302,9 @@ def main() -> None:
     }
     s = json.dumps(line, separators=(",", ":"))
     if len(s) > MAX_LINE:
-        # last-resort fallback (even 4-char aliases overflowed): drop
-        # per-query detail rather than emit an unparseable (truncated)
-        # line; BENCH_DETAIL.json still has it all
+        # last-resort fallback (the registry aliases overflowed the tail
+        # window): drop per-query detail rather than emit an unparseable
+        # (truncated) line; BENCH_DETAIL.json still has it all
         line["queries"] = {"see": "BENCH_DETAIL.json"}
         s = json.dumps(line, separators=(",", ":"))
     print(s)
