@@ -22,7 +22,7 @@ runs and load spikes.
 Scale harness: ``--scale10`` re-times the workload on the committed 10x
 synthesis and records wall ratios vs the base pass (ratio ≈ factor =
 linear). ``--scale30 --only spans,semantic,...`` does the same at 30x for
-a named subset — the heavy hitters that prove the linear story holds
+a named subset (--only scopes only the 30x pass; scale10 stays full) — the heavy hitters that prove the linear story holds
 another 3x out without paying 30x on the deliberately-exact pair finders.
 """
 
@@ -280,8 +280,10 @@ def main() -> None:
             raise SystemExit(f"--only names not in the workload: {unknown}")
         return names
 
+    # --only scopes the EXPENSIVE 30x pass; scale10 always covers the
+    # full workload so its block stays comparable round over round
     if "--scale10" in sys.argv:
-        _scale_pass(spark, detail, 10, only=_only_arg())
+        _scale_pass(spark, detail, 10)
     if "--scale30" in sys.argv:
         _scale_pass(spark, detail, 30, only=_only_arg())
     _carry_scale_blocks(detail, detail_path)  # carries blocks this run did not measure
