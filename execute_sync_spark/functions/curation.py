@@ -80,3 +80,112 @@ def balanced_sample(
 def hash_bucket_sql(expr: str, salt: int = 0) -> str:
     """DuckDB expression computing the same bucket."""
     return f"({h32_salted_sql(f'CAST({expr} AS VARCHAR)', salt)}) % {_BUCKETS}"
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023, DSIR):
+    score every raw document by how much more likely its tokens are under
+    the TARGET distribution (a small high-quality corpus) than under the
+    raw-source distribution — the standard way to pick pretraining data
+    that "looks like" a quality target without training a classifier.
+    Per-doc weight = mean over tokens of
+    ``log(p_target(tok) / p_source(tok))`` with add-one smoothing over the
+    SOURCE vocabulary (the union vocab at deployment; source suffices here
+    because target ⊆ source). Resample/threshold on the weight downstream
+    (``hash_split``-style determinism keeps that reproducible).
+
+    Scale shape: the token→count tables are the tf-idf dataflow —
+    vocabulary-sized, NEVER broadcast; the doc-token frequencies join the
+    two frequency tables on token (one shuffle each, map-side combined),
+    and the scalar totals (token counts + vocab size) arrive as ONE
+    broadcast 1-row cross-join. The paper's hashed-n-gram trick (bucket
+    tokens into 10k hash buckets so the frequency table is O(1)) drops in
+    by replacing ``token`` with ``h32(token) % n_buckets`` on BOTH
+    branches — same plan, bounded state; the unhashed form is declared
+    for oracle fidelity."""
+    from execute_sync_spark.functions.text import tokens
+
+    def _tok(df):
+        return (
+            df.select(F.col(id_col), F.explode_outer(tokens(text_col)).alias("token"))
+            .filter(F.col("token").isNotNull() & (F.col("token") != ""))
+        )
+
+    tf = _tok(docs).groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    src_freq = tf.groupBy("token").agg(F.sum("tf").alias("sc"))
+    tgt_freq = _tok(target).groupBy("token").agg(F.count("*").alias("tc"))
+    totals = src_freq.agg(
+        F.sum("sc").cast("double").alias("_ns"),
+        F.count("*").cast("double").alias("_v"),
+    ).crossJoin(
+        # coalesce: an EMPTY target (sum over zero rows -> NULL) must yield
+        # pure negative-evidence weights, not NULL weights for every doc
+        tgt_freq.agg(F.coalesce(F.sum("tc"), F.lit(0)).cast("double").alias("_nt"))
+    )
+    joined = (
+        tf.join(src_freq, "token")
+        .join(tgt_freq, "token", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("tc", F.coalesce(F.col("tc"), F.lit(0)))
+    )
+    logratio = F.log(
+        ((F.col("tc") + 1) / (F.col("_nt") + F.col("_v")))
+        / ((F.col("sc") + 1) / (F.col("_ns") + F.col("_v")))
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("tf") * logratio) / F.sum("tf"), 6).alias("dsir_weight"),
+        )
+    )
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Greedy quality-first selection under a per-group token budget — the
+    mixture-application step of a pretraining pipeline: each source/domain
+    contributes at most ``budget`` tokens, filled by the highest-quality
+    documents first (quality = alpha ratio, the cheap per-row Gopher-style
+    signal; swap in any score column at deployment). A document is kept
+    while the group's RUNNING token total stays within budget — the
+    deterministic relational form of "take docs until the budget is full"
+    (ordering ties break on id, so the kept set is reproducible across
+    engines and reruns, unlike sample-until-full).
+
+    Scale shape: the quality signal is a narrow per-row expression; the
+    running total is ONE cumulative-sum window per group (single shuffle
+    on the group key). Budgets per group are how 100 TB mixtures are
+    actually applied — no global coordination, each group's window is
+    independent."""
+    from execute_sync_spark.functions.text import tokens as _tokens
+
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    scored = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(_tokens(text_col)).cast("long").alias("n_tokens"),
+        F.round(n_alpha / F.length(F.col(text_col)), 6).alias("quality"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc("quality"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return scored.select(
+        id_col,
+        group_col,
+        "n_tokens",
+        "quality",
+        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+    ).withColumn("kept", F.col("cum_tokens") <= F.lit(budget))

@@ -258,3 +258,40 @@ def bm25_topk(
     return scored.withColumn("rank", F.row_number().over(w)).select(
         id_col, "rank", "score", "n_terms_hit"
     )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    rank every document by its corpus-self LM score WITHIN its language and
+    split each language into equal-depth head / middle / tail thirds —
+    the standard pretraining-corpus triage (train on head+middle, sample
+    or drop tail). The score is ``unigram_logprob``'s mean token log-prob
+    (already rounded to 6 dp, so the ordering key is engine-portable);
+    ties break on id, making the tiling fully deterministic.
+
+    Scale shape: scoring is the tf-idf dataflow (vocabulary never
+    broadcast); the tiling is ONE window per language — an exact
+    equal-depth NTILE needs a per-language sort, which at 100 TB is a
+    range-partitioned sort per language (Spark's window machinery does
+    exactly this). If exactness is not required at that scale, swap the
+    window for approx_percentile score thresholds computed in one pass
+    and bucket by comparison — same output contract; the exact form is
+    declared for the oracle."""
+    scored = unigram_logprob(docs, text_col, id_col).join(
+        docs.select(F.col(id_col), F.col(lang_col)), id_col
+    )
+    w = Window.partitionBy(lang_col).orderBy(F.desc("avg_logprob"), F.asc(id_col))
+    tile = F.ntile(3).over(w)
+    return scored.select(
+        F.col(id_col),
+        F.col(lang_col),
+        "n_tokens",
+        "avg_logprob",
+        F.element_at(F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tile).alias("bucket"),
+    )

@@ -952,6 +952,111 @@ TEXT_UNIGRAM_SQL = r"""
 """
 
 
+def text_ccnet_buckets(spark, sf_dir):
+    """CCNet-style per-language quality triage (Wenzek et al. 2020): rank
+    docs by corpus-self LM score within each language, equal-depth NTILE(3)
+    into head/middle/tail — the standard pretraining corpus split (keep
+    head+middle, sample/drop tail). Ordering key is the 6-dp-rounded
+    avg_logprob with id tie-break, so the tiling is engine-portable; see
+    functions/text.py ccnet_buckets for the approx-percentile swap at
+    100 TB."""
+    return text.ccnet_buckets(_docs_wide(spark, sf_dir))
+
+
+TEXT_CCNET_SQL = r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+    tok2 AS (SELECT * FROM tok WHERE token != ''),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok2 GROUP BY 1, 2),
+    freq AS (SELECT token, SUM(tf) AS cnt FROM tf GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM freq),
+    scored AS (
+        SELECT doc_id,
+               CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               ROUND(SUM(tf * ln(cnt / total)) / SUM(tf), 6) AS avg_logprob
+        FROM tf JOIN freq USING (token) CROSS JOIN tot
+        GROUP BY doc_id),
+    tiled AS (
+        SELECT s.doc_id, d.lang, s.n_tokens, s.avg_logprob,
+               NTILE(3) OVER (PARTITION BY d.lang
+                              ORDER BY s.avg_logprob DESC, s.doc_id) AS tile
+        FROM scored s JOIN documents d USING (doc_id))
+    SELECT doc_id, lang, n_tokens, avg_logprob,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM tiled
+"""
+
+
+def curate_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): every document scored by
+    mean log(p_target/p_source) of its tokens, target = the English slice
+    of the corpus — the data-selection signal for 'pick raw data that
+    looks like the quality target'. functions/curation.py dsir_weights
+    documents the hashed-n-gram bounded-state variant for 100 TB; the
+    unhashed form is declared for oracle fidelity."""
+    docs = _docs_wide(spark, sf_dir)
+    return curation.dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+
+
+CURATE_DSIR_SQL = r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+    tok2 AS (SELECT * FROM tok WHERE token != ''),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok2 GROUP BY 1, 2),
+    srcf AS (SELECT token, SUM(tf) AS sc FROM tf GROUP BY 1),
+    tgtf AS (
+        SELECT t.token, COUNT(*) AS tc
+        FROM tok2 t JOIN documents d USING (doc_id)
+        WHERE d.lang = 'en'
+        GROUP BY 1),
+    tot AS (SELECT (SELECT CAST(SUM(sc) AS DOUBLE) FROM srcf) AS ns,
+                   (SELECT CAST(COUNT(*) AS DOUBLE) FROM srcf) AS v,
+                   (SELECT CAST(SUM(tc) AS DOUBLE) FROM tgtf) AS nt)
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+           ROUND(SUM(tf.tf * ln(((COALESCE(g.tc, 0) + 1) / (t.nt + t.v))
+                               / ((s.sc + 1) / (t.ns + t.v)))) / SUM(tf.tf), 6) AS dsir_weight
+    FROM tf JOIN srcf s USING (token)
+    LEFT JOIN tgtf g USING (token)
+    CROSS JOIN tot t
+    GROUP BY tf.doc_id
+"""
+
+
+_TOKEN_BUDGET = 800
+
+
+def curate_token_budget(spark, sf_dir):
+    """Greedy quality-first selection under a per-source token budget —
+    mixture application: each source contributes its highest-alpha-ratio
+    docs until the running token total passes the budget (one cumulative
+    window per source; deterministic, unlike sample-until-full). See
+    functions/curation.py token_budget_select."""
+    return curation.token_budget_select(_docs(spark, sf_dir), budget=_TOKEN_BUDGET)
+
+
+CURATE_BUDGET_SQL = rf"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+               ROUND(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                     / CAST(LENGTH(text) AS DOUBLE), 6) AS quality
+        FROM documents),
+    c AS (
+        SELECT *,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                        ORDER BY quality DESC, doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        FROM t)
+    SELECT doc_id, source, n_tokens, quality, cum_tokens,
+           cum_tokens <= {_TOKEN_BUDGET} AS kept
+    FROM c
+"""
+
+
 _BM25_TERMS = ["vector", "merge", "filter"]
 
 def text_bm25_topk(spark, sf_dir):
@@ -4073,31 +4178,34 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Slots 1-50: the driver's CORRECTNESS gate covers the first 50
     # entries of this dict. Round-7 rotation (VERDICT r6 task 1 — pay
     # down gate staleness): 51 rows' latest driver green dated from
-    # r02/r04 on since-regenerated testdata. This window re-gates 49 of
+    # r02/r04 on since-regenerated testdata. This window re-gates 46 of
     # them (all 39 r02 rows — the TPC-H core + window/pivot/grouping-
-    # sets/percentile rows — plus 10 of the 12 r04 rows) and the one
-    # new op of the round, sim_ivfpq_indexed (persisted IVF+PQ code
-    # index — new ops always enter the gate immediately, VERDICT r4/r5
-    # rule). The remaining two r04 rows (curate_chunk_windows,
-    # d_version_churn — every gated family stays represented, so mm_
-    # keeps mm_frame_sample in the window) lead the 51+ block and rotate in next round; the
-    # 50 displaced rows are ALL r6-green and stay pytest-oracled every
-    # run. The permanent-core re-gate slots (q1/d1/d3/v_shred_props)
-    # are suspended for one round — all four are r6-green, and the
+    # sets/percentile rows — plus 7 of the 12 r04 rows) and the round's
+    # FOUR new ops (persisted IVF+PQ index probe, CCNet buckets, DSIR
+    # weights, token-budget selection — new ops always enter the gate
+    # immediately, VERDICT r4/r5 rule). The remaining five r04 rows
+    # (curate_chunk_windows, d_version_churn, text_repetition,
+    # sim_range_search, stream_sliding_counts) lead the 51+ block and
+    # rotate in next round; every gated family stays represented
+    # (mm_frame_sample holds the mm_ slot). The 50+ displaced rows are
+    # ALL r5/r6-green and stay pytest-oracled every run. The
+    # permanent-core re-gate slots (q1/d1/d3/v_shred_props) are
+    # suspended for one round — all four are r6-green, and the
     # staleness debt has strict priority for the 50 slots.
-    # the round's new op
+    # the round's new ops (new ops always gate immediately)
     "sim_ivfpq_indexed": sim_ivfpq_indexed,
-    # r04-stale rows (latest driver green = r04)
+    "text_ccnet_buckets": text_ccnet_buckets,
+    "curate_dsir_weights": curate_dsir_weights,
+    "curate_token_budget": curate_token_budget,
+    # r04-stale rows (latest driver green = r04; 7 of 12 fit after the
+    # new ops take their 4 slots — the other 5 lead slots 51+ for r8)
     "dedup_jaccard_pairs_scaled": dedup_jaccard_pairs_scaled,
     "text_bigram_top": text_bigram_top,
-    "text_repetition": text_repetition,
     "curate_weighted_sample": curate_weighted_sample,
     "curate_pack_sequences": curate_pack_sequences,
     "mm_frame_sample": mm_frame_sample,
     "sim_cosine_topk_vec": sim_cosine_topk_vec,
-    "sim_range_search": sim_range_search,
     "stream_dedup": stream_dedup,
-    "stream_sliding_counts": stream_sliding_counts_q,
     # r02-stale rows (latest driver green = r02): TPC-H core
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q3_top_orders": q3_top_orders,
@@ -4145,6 +4253,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # still pytest-oracled on every run.
     "curate_chunk_windows": curate_chunk_windows,
     "d_version_churn": d_version_churn,
+    "text_repetition": text_repetition,
+    "sim_range_search": sim_range_search,
+    "stream_sliding_counts": stream_sliding_counts_q,
     # dedup family (r6-green)
     "dedup_exact": dedup_exact,
     "dedup_minhash_sig": dedup_minhash_sig,
@@ -4318,6 +4429,9 @@ ORACLES: dict[str, Optional[str]] = {
     # indexed probe == in-flight IVF+PQ semantics (nprobe=2); the shared
     # oracle makes the driver an agreement check between the two paths
     "sim_ivfpq_indexed": SIM_IVFPQ_SQL,
+    "text_ccnet_buckets": TEXT_CCNET_SQL,
+    "curate_dsir_weights": CURATE_DSIR_SQL,
+    "curate_token_budget": CURATE_BUDGET_SQL,
     "q_gapfill_timeseries": Q_GAPFILL_SQL,
     "q_cohort_retention": Q_COHORT_SQL,
     "mm_binary_meta": MM_META_SQL,

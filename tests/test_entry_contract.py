@@ -33,13 +33,13 @@ def test_oracles_subset_of_queries():
     must_gate = {
         # the round-7 new op gates immediately (never declare a new op
         # outside the window)
-        "sim_ivfpq_indexed",
-        # r04-stale greens re-gated on current testdata (10 of 12; the
-        # deferred two lead slots 51+ for round 8)
-        "dedup_jaccard_pairs_scaled", "text_bigram_top", "text_repetition",
+        "sim_ivfpq_indexed", "text_ccnet_buckets", "curate_dsir_weights",
+        "curate_token_budget",
+        # r04-stale greens re-gated on current testdata (7 of 12; the
+        # deferred five lead slots 51+ for round 8)
+        "dedup_jaccard_pairs_scaled", "text_bigram_top",
         "curate_weighted_sample", "curate_pack_sequences",
-        "mm_frame_sample", "sim_cosine_topk_vec", "sim_range_search",
-        "stream_dedup", "stream_sliding_counts",
+        "mm_frame_sample", "sim_cosine_topk_vec", "stream_dedup",
         # r02-stale greens: the TPC-H core + window/pivot/grouping-sets/
         # percentile surface (spot-check the corners; the full 39 are in
         # the window per the registry comment)

@@ -1,0 +1,110 @@
+"""Behavioral tests for the round-7 operators: CCNet per-language quality
+buckets, DSIR importance weights, and per-source token-budget selection.
+(Driver-gate oracle equivalence is covered by tests/test_workload.py; these
+pin the semantics on hand-built inputs.)"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+# ---------------------------------------------------------------------------
+# CCNet buckets
+
+
+def test_ccnet_buckets_rank_by_fluency_within_lang(spark):
+    """Docs made of corpus-common tokens score higher (less surprising)
+    and land in 'head'; rare-token docs land in 'tail'; the tiling is
+    PER LANGUAGE (each 3-doc language gets exactly one of each bucket)."""
+    from execute_sync_spark.functions import text
+
+    common = "the the the and and of"      # tokens repeated corpus-wide
+    mid = "the and mixed rare1"
+    rare = "zq1 zq2 zq3 zq4"               # singletons -> most surprising
+    rows = [
+        (1, common, "en", "s"), (2, mid, "en", "s"), (3, rare, "en", "s"),
+        (4, common, "de", "s"), (5, mid, "de", "s"), (6, rare, "de", "s"),
+    ]
+    out = {r.doc_id: r for r in text.ccnet_buckets(_docs(spark, rows)).collect()}
+    assert {d: out[d].bucket for d in out} == {
+        1: "head", 2: "middle", 3: "tail", 4: "head", 5: "middle", 6: "tail",
+    }
+    # scores really order head > middle > tail within each language
+    assert out[1].avg_logprob > out[2].avg_logprob > out[3].avg_logprob
+
+
+def test_ccnet_buckets_equal_depth(spark):
+    """NTILE(3) equal depth: 7 same-language docs split 3/2/2 with the
+    remainder going to the earliest bucket (head)."""
+    from execute_sync_spark.functions import text
+
+    rows = [(i, f"tok{i} common common", "en", "s") for i in range(7)]
+    out = text.ccnet_buckets(_docs(spark, rows)).groupBy("bucket").count().collect()
+    assert {r.bucket: r["count"] for r in out} == {"head": 3, "middle": 2, "tail": 2}
+
+
+# ---------------------------------------------------------------------------
+# DSIR weights
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """A doc written in target-distribution tokens must outweigh a doc of
+    source-only tokens; weights are finite for tokens the target never
+    saw (add-one smoothing)."""
+    from execute_sync_spark.functions import curation
+
+    rows = [
+        (1, "alpha alpha beta", "en", "s"),   # target-like (en is the target)
+        (2, "gamma gamma delta", "fr", "s"),  # source-only tokens
+        (3, "alpha gamma", "fr", "s"),        # mixed
+    ]
+    docs = _docs(spark, rows)
+    out = {
+        r.doc_id: r.dsir_weight
+        for r in curation.dsir_weights(docs, docs.filter(F.col("lang") == "en")).collect()
+    }
+    assert out[1] > out[3] > out[2]
+    assert all(w is not None for w in out.values())
+
+
+def test_dsir_weights_empty_target_is_uniform_target(spark):
+    """An empty target corpus degrades to a UNIFORM target under add-one
+    smoothing: weights stay finite (never NULL — the coalesce guard), and
+    a doc of corpus-common tokens scores BELOW a doc with rare tokens
+    (uniform target prefers what the source over-represents least)."""
+    from execute_sync_spark.functions import curation
+
+    docs = _docs(spark, [(1, "a b c", "en", "s"), (2, "a a a", "en", "s")])
+    out = {
+        r.doc_id: r.dsir_weight
+        for r in curation.dsir_weights(docs, docs.filter(F.lit(False))).collect()
+    }
+    assert all(w is not None for w in out.values())
+    assert out[1] > out[2]  # diverse doc beats the all-common-token doc
+
+
+# ---------------------------------------------------------------------------
+# token-budget selection
+
+
+def test_token_budget_select_greedy_quality_first(spark):
+    """Within a source, the highest-alpha-ratio docs fill the budget first;
+    a doc is kept iff the RUNNING total stays within budget; other sources
+    have independent budgets."""
+    from execute_sync_spark.functions import curation
+
+    rows = [
+        (1, "aaaa bbbb", "en", "s1"),        # quality 8/9, 2 tokens
+        (2, "cc dd 1234", "en", "s1"),       # digits lower quality, 3 tokens
+        (3, "ee ff 99 88 77", "en", "s1"),   # lowest quality, 5 tokens
+        (4, "gg hh", "en", "s2"),            # other source: own budget
+    ]
+    out = {r.doc_id: r for r in
+           curation.token_budget_select(_docs(spark, rows), budget=5).collect()}
+    # s1 fill order: doc1 (cum 2) -> doc2 (cum 5) -> doc3 (cum 10, over)
+    assert (out[1].kept, out[2].kept, out[3].kept) == (True, True, False)
+    assert out[4].kept  # s2's budget is its own
+    assert out[2].cum_tokens == 5 and out[3].cum_tokens == 10
