@@ -60,6 +60,22 @@ ANNOTATED = {
     "curate_chunk_windows": "round-5 rework: per-window structs built "
     "row-local (sequence+transform) — zero shuffles, no O(n^2/stride) row "
     "payload explosion",
+    "sim_ivfpq_indexed": "probe against the PERSISTED cell-partitioned "
+    "IVF+PQ CODE index (build_pq_index): cell_id IN (...) resolves as "
+    "PartitionFilters, and the ReadSchema is (vec_id, codes) — m-byte "
+    "codes only, the float vectors are never read at query time",
+    "text_ccnet_buckets": "CCNet triage: the LM score reuses the tf-idf "
+    "dataflow (vocabulary-sized token map, never broadcast; 1-row "
+    "broadcast total), then ONE window per language for the equal-depth "
+    "NTILE — a range-partitioned per-language sort, no other exchange",
+    "curate_dsir_weights": "DSIR: doc-token frequencies join the source "
+    "and target frequency maps on token (map-side-combined aggregations; "
+    "frequency tables are vocabulary-sized, never broadcast) and the 3 "
+    "scalar totals arrive as ONE broadcast 1-row cross-join",
+    "curate_token_budget": "budget application: quality is a narrow "
+    "per-row expression on the scan; the running token total is ONE "
+    "cumulative window per source — single hash exchange on the group "
+    "key, nothing else moves",
 }
 
 
