@@ -597,14 +597,68 @@ def build_cell_index(
     vec_col: str = "embedding",
 ) -> str:
     """Materialize the IVF index: ``assign_cells`` output written as parquet
-    PARTITIONED BY cell_id — the persisted form of the coarse quantizer that
-    turns every probe into a partition-pruned scan. At 100 TB this is the
-    deployment shape: assignment cost is paid once at ingest (or on
-    centroid refresh), and a query touching nprobe cells reads exactly
-    nprobe/cells of the corpus from disk, no shuffle, no full scan."""
+    PARTITIONED BY (cell_id, batch_id) — the persisted form of the coarse
+    quantizer that turns every probe into a partition-pruned scan. At
+    100 TB this is the deployment shape: assignment cost is paid once at
+    ingest (or on centroid refresh), and a query touching nprobe cells
+    reads exactly nprobe/cells of the corpus from disk, no shuffle, no
+    full scan. The batch_id sub-partition (``__full__`` for the bootstrap
+    build) exists so ``append_cell_index`` can fold NEW vectors in
+    replay-idempotently — probes prune on cell_id alone and transparently
+    read the union of batches."""
     cells = assign_cells(corpus, centroids, id_col, vec_col)
-    cells.write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    (
+        cells.withColumn("batch_id", F.lit("__full__"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("cell_id", "batch_id")
+        .parquet(path)
+    )
     return path
+
+
+def append_cell_index(
+    new_batch: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    batch_id,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[int]:
+    """Incremental IVF index maintenance: assign ONLY the new batch to
+    cells (broadcast argmax — the corpus index is never read, never
+    reshuffled) and land it under this batch's (cell_id, batch_id)
+    partitions with DYNAMIC partition overwrite. A replay of the same
+    batch_id overwrites its own partitions instead of duplicating vectors
+    — the ``HourlyRollup.refresh`` idempotency idiom, which is why
+    batch_id is REQUIRED (a foreachBatch epoch id is exactly right). At
+    100 TB a streaming embedding feed keeps the ANN index fresh at the
+    cost of one small partition write per batch; compaction, when partial
+    files accumulate, is a per-cell rewrite (the rollup ``compact``
+    pattern). Returns the cell ids the batch touched."""
+    if batch_id is None:
+        raise ValueError(
+            "append_cell_index requires a replay-stable batch_id (e.g. the "
+            "foreachBatch epoch id); without one a replayed batch would "
+            "insert duplicate vectors"
+        )
+    cells = assign_cells(new_batch, centroids, id_col, vec_col).withColumn(
+        "batch_id", F.lit(str(batch_id))
+    )
+    cells.persist()
+    try:
+        touched = sorted(r.cell_id for r in cells.select("cell_id").distinct().collect())
+        if not touched:
+            return []
+        (
+            cells.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell_id", "batch_id")
+            .parquet(path)
+        )
+    finally:
+        cells.unpersist()
+    return touched
 
 
 def ivf_topk_indexed(
@@ -1205,9 +1259,58 @@ def build_pq_index(
 
     cells = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
     codes = pq_encode(cells, codebook, id_col=id_col, vec_col="v", carry_cols=["cell_id"])
-    codes.write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    (
+        codes.withColumn("batch_id", F.lit("__full__"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("cell_id", "batch_id")
+        .parquet(path)
+    )
     np.save(os.path.join(path, "_codebook.npy"), codebook)
     return path
+
+
+def append_pq_index(
+    new_batch: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    batch_id,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[int]:
+    """Incremental IVF+PQ index maintenance: assign + PQ-encode ONLY the
+    new batch (with the codebook persisted in the index — new vectors are
+    coded against the SAME codebook the queries' ADC tables use, so a
+    session can't mix codebooks) and land it under (cell_id, batch_id)
+    with dynamic partition overwrite — replay-idempotent per batch_id,
+    exactly like ``append_cell_index``. Codebook/centroid DRIFT is the
+    deployment caveat: after enough distribution shift, retrain + a full
+    ``build_pq_index`` rebuild (the IVF-family refresh story). Returns
+    the touched cell ids."""
+    if batch_id is None:
+        raise ValueError(
+            "append_pq_index requires a replay-stable batch_id (e.g. the "
+            "foreachBatch epoch id); without one a replayed batch would "
+            "insert duplicate codes"
+        )
+    codebook = load_pq_codebook(path)
+    cells = assign_cells(new_batch, centroids, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(cells, codebook, id_col=id_col, vec_col="v", carry_cols=["cell_id"])
+    codes = codes.withColumn("batch_id", F.lit(str(batch_id)))
+    codes.persist()
+    try:
+        touched = sorted(r.cell_id for r in codes.select("cell_id").distinct().collect())
+        if not touched:
+            return []
+        (
+            codes.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell_id", "batch_id")
+            .parquet(path)
+        )
+    finally:
+        codes.unpersist()
+    return touched
 
 
 def load_pq_codebook(path: str):

@@ -108,3 +108,70 @@ def test_token_budget_select_greedy_quality_first(spark):
     assert (out[1].kept, out[2].kept, out[3].kept) == (True, True, False)
     assert out[4].kept  # s2's budget is its own
     assert out[2].cum_tokens == 5 and out[3].cum_tokens == 10
+
+
+# ---------------------------------------------------------------------------
+# incremental ANN index maintenance
+
+
+def test_append_cell_index_equals_rebuild_and_replays_idempotently(spark, tmp_path):
+    """Folding a new batch into the persisted IVF index must give probes
+    the SAME results as a full rebuild over old+new, and replaying the
+    same batch_id must overwrite itself (HourlyRollup idiom), never
+    duplicate vectors. batch_id is required."""
+    from tests.conftest import SF_DIR
+
+    from execute_sync_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    q = emb.filter(F.col("vec_id") < 2)
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+
+    idx = similarity.build_cell_index(old, centroids, str(tmp_path / "ivf"))
+    touched = similarity.append_cell_index(new, centroids, idx, batch_id=7)
+    assert touched  # the batch landed somewhere
+
+    probe = lambda: sorted(map(tuple, similarity.ivf_topk_indexed(  # noqa: E731
+        spark, idx, q, centroids, k=3, nprobe=2).collect()))
+    full = similarity.build_cell_index(emb, centroids, str(tmp_path / "ivf_full"))
+    want = sorted(map(tuple, similarity.ivf_topk_indexed(
+        spark, full, q, centroids, k=3, nprobe=2).collect()))
+    assert probe() == want
+
+    # replay: same batch folds into the same partitions, results unchanged
+    assert similarity.append_cell_index(new, centroids, idx, batch_id=7) == touched
+    assert probe() == want
+
+    import pytest
+
+    with pytest.raises(ValueError, match="batch_id"):
+        similarity.append_cell_index(new, centroids, idx, batch_id=None)
+
+
+def test_append_pq_index_equals_rebuild(spark, tmp_path):
+    """Same contract for the IVF+PQ code index: appended batches encode
+    against the codebook PERSISTED IN the index, and probes agree exactly
+    with a full rebuild; replay is idempotent."""
+    from tests.conftest import SF_DIR
+
+    from execute_sync_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    q = emb.filter(F.col("vec_id") < 2)
+    cb = similarity.pq_codebook(emb.filter(F.col("vec_id") < 16))
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+
+    idx = similarity.build_pq_index(old, centroids, cb, str(tmp_path / "pq"))
+    similarity.append_pq_index(new, centroids, idx, batch_id="b1")
+    similarity.append_pq_index(new, centroids, idx, batch_id="b1")  # replay
+
+    full = similarity.build_pq_index(emb, centroids, cb, str(tmp_path / "pq_full"))
+    got = sorted(map(tuple, similarity.ivfpq_topk_indexed(
+        spark, idx, q, centroids, k=3, nprobe=2).collect()))
+    want = sorted(map(tuple, similarity.ivfpq_topk_indexed(
+        spark, full, q, centroids, k=3, nprobe=2).collect()))
+    assert got == want
