@@ -230,3 +230,70 @@ def test_duplicate_span_invariants(spark, corpus, data):
         assert 0 <= r.n_tokens_removed <= r.n_tokens
         expect_removed = sum(e - s + 1 for s, e in by_doc.get(r.doc_id, []))
         assert r.n_tokens_removed == expect_removed
+
+
+budget_rows = st.lists(
+    st.tuples(
+        st.text(alphabet="abc123 ", min_size=1, max_size=12).filter(str.strip),
+        st.sampled_from(["s1", "s2"]),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(rows=budget_rows, budget=st.integers(min_value=0, max_value=12))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_token_budget_invariants(spark, rows, budget):
+    """Structural invariants of budget selection on random corpora: kept
+    docs' running totals never exceed the budget, the kept set is a PREFIX
+    of each group's (quality desc, id) order (greedy — no doc is kept
+    after the first dropped one), and every doc appears exactly once."""
+    from execute_sync_spark.functions import curation
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", src) for i, (t, src) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = curation.token_budget_select(docs, budget=budget).collect()
+    assert len(out) == len(rows)
+    by_src: dict[str, list] = {}
+    for r in out:
+        if r.kept:
+            assert r.cum_tokens <= budget
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: (-r.quality, r.doc_id))
+        flags = [r.kept for r in rs]
+        # prefix property: once False, never True again
+        assert flags == sorted(flags, reverse=True), (src, flags)
+        # cum_tokens really is the running sum in that order
+        run = 0
+        for r in rs:
+            run += r.n_tokens
+            assert r.cum_tokens == run
+
+
+@given(rows=st.lists(st.sampled_from(["en", "de"]), min_size=1, max_size=12))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ccnet_bucket_depth_invariants(spark, rows):
+    """Equal-depth tiling on random language mixes: every doc is bucketed
+    exactly once, and within each language the three bucket sizes differ
+    by at most one with head >= middle >= tail (NTILE remainder rule)."""
+    from execute_sync_spark.functions import text
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} shared shared", lang, "s") for i, lang in enumerate(rows)],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = text.ccnet_buckets(docs).collect()
+    assert len(out) == len(rows)
+    for lang in set(rows):
+        sizes = {"head": 0, "middle": 0, "tail": 0}
+        for r in out:
+            if r.lang == lang:
+                sizes[r.bucket] += 1
+        n = sum(sizes.values())
+        assert n == rows.count(lang)
+        assert sizes["head"] >= sizes["middle"] >= sizes["tail"]
+        assert sizes["head"] - sizes["tail"] <= 1

@@ -175,3 +175,61 @@ def test_append_pq_index_equals_rebuild(spark, tmp_path):
     want = sorted(map(tuple, similarity.ivfpq_topk_indexed(
         spark, full, q, centroids, k=3, nprobe=2).collect()))
     assert got == want
+
+
+def test_streaming_embedding_feed_maintains_index(spark, tmp_path):
+    """A streaming embedding feed wired into append_cell_index via
+    foreachBatch (epoch id = batch_id) keeps the persisted IVF index
+    identical to a full rebuild over everything seen — the live-index
+    deployment shape: assignment per micro-batch, probes always
+    partition-pruned, restarts safe because epoch replay overwrites
+    itself."""
+    import os
+
+    from tests.conftest import SF_DIR
+
+    from execute_sync_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    q = emb.filter(F.col("vec_id") < 2)
+
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    for i, pred in enumerate((F.col("vec_id") % 3 == 0, F.col("vec_id") % 3 == 1)):
+        emb.filter(pred).coalesce(1).write.parquet(src + f"/b{i}")
+    files = []
+    for d in sorted(os.listdir(src)):
+        for f in os.listdir(os.path.join(src, d)):
+            if f.endswith(".parquet"):
+                dst = os.path.join(src, f"{d}.parquet")
+                os.rename(os.path.join(src, d, f), dst)
+                files.append(dst)
+    schema = spark.read.parquet(files[0]).schema
+
+    idx = similarity.build_cell_index(
+        emb.filter(F.col("vec_id") % 3 == 2), centroids, str(tmp_path / "ivf")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*.parquet")
+    )
+    sq = (
+        stream.writeStream.foreachBatch(
+            lambda df, epoch: similarity.append_cell_index(
+                df, centroids, idx, batch_id=epoch
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(120)
+
+    full = similarity.build_cell_index(emb, centroids, str(tmp_path / "ivf_full"))
+    got = sorted(map(tuple, similarity.ivf_topk_indexed(
+        spark, idx, q, centroids, k=3, nprobe=2).collect()))
+    want = sorted(map(tuple, similarity.ivf_topk_indexed(
+        spark, full, q, centroids, k=3, nprobe=2).collect()))
+    assert got == want
