@@ -617,6 +617,99 @@ def build_cell_index(
     return path
 
 
+_INDEX_MANIFEST = "_absorbed.json"
+
+
+def _index_absorbed(path: str) -> set[str]:
+    """Batch ids already folded into compacted cell partitions anywhere in
+    the index (union over per-cell manifests). Cell assignment is a pure
+    function of (vector, centroids), so a batch id found in ANY manifest
+    means that whole batch was fully written before compaction — a replay
+    of it must be skipped entirely."""
+    import json
+    import os
+
+    out: set[str] = set()
+    if not os.path.isdir(path):
+        return out
+    for cell in os.listdir(path):
+        p = os.path.join(path, cell, _INDEX_MANIFEST)
+        if cell.startswith("cell_id=") and os.path.isfile(p):
+            try:
+                with open(p) as f:
+                    out |= set(json.load(f).get("batches", []))
+            except (OSError, ValueError):
+                continue
+    return out
+
+
+def compact_index(spark, path: str) -> list[int]:
+    """Collapse each cell's accumulated batch partitions into a single
+    ``batch_id=__compacted__`` partition — bounds small-file growth on a
+    live (streaming-maintained) ANN index, exactly the
+    ``HourlyRollup.compact`` pattern: only cells holding uncompacted
+    batches are rewritten (O(dirty cells), not O(index)); each swapped
+    cell dir carries an ``_absorbed.json`` manifest of every batch id
+    folded in, so a REPLAY of an absorbed batch is skipped by the append
+    paths instead of re-inserting duplicate vectors; the per-cell commit
+    is the recoverable two-rename swap (aside dir is ``_``-prefixed, so a
+    crash inside the window never corrupts reads — restore or reclaim the
+    aside as with the rollup's sweep). Works on both index kinds (IVF
+    vectors and IVF+PQ codes — the rewrite is schema-agnostic).
+    Returns the compacted cell ids."""
+    import json
+    import os
+    import shutil
+
+    if not os.path.isdir(path):
+        return []
+    dirty: list[str] = []
+    for cell in sorted(os.listdir(path)):
+        p = os.path.join(path, cell)
+        if not cell.startswith("cell_id=") or not os.path.isdir(p):
+            continue
+        if any(
+            b.startswith("batch_id=") and b != "batch_id=__compacted__"
+            for b in os.listdir(p)
+        ):
+            dirty.append(cell[len("cell_id="):])
+    if not dirty:
+        return []
+    dirty_longs = [int(c) for c in dirty]
+    merged = (
+        spark.read.parquet(path)
+        .filter(F.col("cell_id").isin(dirty_longs))  # partition-pruned read
+        .drop("batch_id")
+        .withColumn("batch_id", F.lit("__compacted__"))
+    )
+    tmp = f"{path}_compact_{os.getpid()}"
+    merged.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("cell_id", "batch_id").parquet(tmp)
+    for cell in dirty:
+        live = os.path.join(path, f"cell_id={cell}")
+        absorbed = {
+            b[len("batch_id="):]
+            for b in os.listdir(live)
+            if b.startswith("batch_id=") and b != "batch_id=__compacted__"
+        }
+        mpath = os.path.join(live, _INDEX_MANIFEST)
+        try:
+            with open(mpath) as f:
+                absorbed |= set(json.load(f).get("batches", []))
+        except (OSError, ValueError):
+            pass
+        src = os.path.join(tmp, f"cell_id={cell}")
+        with open(os.path.join(src, _INDEX_MANIFEST), "w") as f:
+            json.dump({"batches": sorted(absorbed)}, f)
+        aside = os.path.join(path, f"_old_cell_{cell}_{os.getpid()}")
+        os.rename(live, aside)
+        os.rename(src, live)
+        shutil.rmtree(aside, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return dirty_longs
+
+
 def append_cell_index(
     new_batch: DataFrame,
     centroids: DataFrame,
@@ -642,6 +735,10 @@ def append_cell_index(
             "foreachBatch epoch id); without one a replayed batch would "
             "insert duplicate vectors"
         )
+    if str(batch_id) in _index_absorbed(path):
+        # compact-then-replay: this batch was already folded into compacted
+        # cell partitions — re-writing it would duplicate its vectors
+        return []
     cells = assign_cells(new_batch, centroids, id_col, vec_col).withColumn(
         "batch_id", F.lit(str(batch_id))
     )
@@ -1293,6 +1390,9 @@ def append_pq_index(
             "foreachBatch epoch id); without one a replayed batch would "
             "insert duplicate codes"
         )
+    if str(batch_id) in _index_absorbed(path):
+        # compact-then-replay guard — see append_cell_index
+        return []
     codebook = load_pq_codebook(path)
     cells = assign_cells(new_batch, centroids, id_col=id_col, vec_col=vec_col)
     codes = pq_encode(cells, codebook, id_col=id_col, vec_col="v", carry_cols=["cell_id"])

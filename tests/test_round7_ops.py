@@ -233,3 +233,76 @@ def test_streaming_embedding_feed_maintains_index(spark, tmp_path):
     want = sorted(map(tuple, similarity.ivf_topk_indexed(
         spark, full, q, centroids, k=3, nprobe=2).collect()))
     assert got == want
+
+
+def test_compact_index_preserves_probes_and_replay_idempotency(spark, tmp_path):
+    """Compacting the live IVF index collapses each cell's batch partials
+    into one __compacted__ partition WITHOUT changing probe results; a
+    replay of an absorbed batch is skipped via the per-cell manifest
+    (re-inserting would duplicate neighbors in top-k); fresh batches
+    still fold in afterwards. Second compact is a no-op."""
+    import os
+
+    from tests.conftest import SF_DIR
+
+    from execute_sync_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    q = emb.filter(F.col("vec_id") < 2)
+    p0, p1, p2 = (emb.filter(F.col("vec_id") % 3 == i) for i in range(3))
+
+    idx = similarity.build_cell_index(p0, centroids, str(tmp_path / "ivf"))
+    assert similarity.append_cell_index(p1, centroids, idx, batch_id=1)
+
+    probe = lambda path: sorted(map(tuple, similarity.ivf_topk_indexed(  # noqa: E731
+        spark, path, q, centroids, k=3, nprobe=2).collect()))
+    before = probe(idx)
+
+    compacted = similarity.compact_index(spark, idx)
+    assert compacted
+    assert probe(idx) == before
+    # physically: every cell dir now holds ONLY the compacted partition
+    for cell in os.listdir(idx):
+        if cell.startswith("cell_id="):
+            batches = [b for b in os.listdir(os.path.join(idx, cell))
+                       if b.startswith("batch_id=")]
+            assert batches == ["batch_id=__compacted__"], (cell, batches)
+    assert similarity.compact_index(spark, idx) == []
+
+    # compact-then-replay: the absorbed batch is skipped, results stable
+    assert similarity.append_cell_index(p1, centroids, idx, batch_id=1) == []
+    assert probe(idx) == before
+
+    # a genuinely new batch still folds in; matches the full rebuild
+    assert similarity.append_cell_index(p2, centroids, idx, batch_id=2)
+    full = similarity.build_cell_index(emb, centroids, str(tmp_path / "ivf_full"))
+    assert probe(idx) == probe(full)
+
+
+def test_compact_pq_index_keeps_codebook_and_probes(spark, tmp_path):
+    """compact_index is schema-agnostic: on the IVF+PQ code index it
+    preserves the persisted codebook and probe results, and the absorbed
+    replay guard holds."""
+    from tests.conftest import SF_DIR
+
+    from execute_sync_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    q = emb.filter(F.col("vec_id") < 2)
+    cb = similarity.pq_codebook(emb.filter(F.col("vec_id") < 16))
+
+    idx = similarity.build_pq_index(
+        emb.filter(F.col("vec_id") % 2 == 0), centroids, cb, str(tmp_path / "pq")
+    )
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    similarity.append_pq_index(new, centroids, idx, batch_id="b1")
+
+    probe = lambda: sorted(map(tuple, similarity.ivfpq_topk_indexed(  # noqa: E731
+        spark, idx, q, centroids, k=3, nprobe=2).collect()))
+    before = probe()
+    assert similarity.compact_index(spark, idx)
+    assert probe() == before  # codebook still loads from the index
+    assert similarity.append_pq_index(new, centroids, idx, batch_id="b1") == []
+    assert probe() == before
