@@ -295,3 +295,40 @@ def ccnet_buckets(
         "avg_logprob",
         F.element_at(F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tile).alias("bucket"),
     )
+
+
+def corpus_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_cols: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """The dataset-card query: per (lang, source) corpus statistics a
+    pretraining pipeline reports before/after each curation stage — doc
+    and token volumes, average length, EXACT-duplicate rate (distinct
+    text digests vs docs), and the mean alpha-ratio quality signal. One
+    map-side-combined aggregation; the dup rate rides as
+    approx-free COUNT(DISTINCT md5) inside the same groupBy (Spark plans
+    distinct-agg via expand — still a single shuffle on the group key)."""
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    base = docs.select(
+        *[F.col(c) for c in group_cols],
+        F.col(id_col),
+        F.size(tokens(text_col)).cast("long").alias("__nt"),
+        F.length(F.col(text_col)).cast("long").alias("__nc"),
+        (n_alpha / F.length(F.col(text_col))).alias("__q"),
+        F.md5(F.col(text_col)).alias("__digest"),
+    )
+    return (
+        base.groupBy(*group_cols)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__nt").cast("long").alias("n_tokens"),
+            F.round(F.avg("__nc"), 4).alias("avg_chars"),
+            F.countDistinct("__digest").cast("long").alias("n_unique_texts"),
+            F.round(
+                (F.count("*") - F.countDistinct("__digest")) / F.count("*"), 6
+            ).alias("dup_ratio"),
+            F.round(F.avg("__q"), 6).alias("avg_alpha_ratio"),
+        )
+    )

@@ -988,6 +988,33 @@ TEXT_CCNET_SQL = r"""
 """
 
 
+def text_corpus_stats(spark, sf_dir):
+    """Dataset-card statistics per (lang, source): volumes, average length,
+    exact-duplicate rate, mean quality signal — the before/after report
+    every curation stage emits. One map-side-combined groupBy."""
+    return text.corpus_stats(_docs(spark, sf_dir))
+
+
+TEXT_CORPUS_STATS_SQL = r"""
+    WITH t AS (
+        SELECT lang, source, doc_id,
+               CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS nt,
+               CAST(LENGTH(text) AS BIGINT) AS nc,
+               LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   / CAST(LENGTH(text) AS DOUBLE) AS q,
+               md5(text) AS digest
+        FROM documents)
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           ROUND(AVG(nc), 4) AS avg_chars,
+           CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_unique_texts,
+           ROUND((COUNT(*) - COUNT(DISTINCT digest)) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio,
+           ROUND(AVG(q), 6) AS avg_alpha_ratio
+    FROM t GROUP BY lang, source
+"""
+
+
 def curate_dsir_weights(spark, sf_dir):
     """DSIR importance weights (Xie et al. 2023): every document scored by
     mean log(p_target/p_source) of its tokens, target = the English slice
@@ -4197,10 +4224,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_ccnet_buckets": text_ccnet_buckets,
     "curate_dsir_weights": curate_dsir_weights,
     "curate_token_budget": curate_token_budget,
-    # r04-stale rows (latest driver green = r04; 7 of 12 fit after the
-    # new ops take their 4 slots — the other 5 lead slots 51+ for r8)
+    "text_corpus_stats": text_corpus_stats,
+    # r04-stale rows (latest driver green = r04; 6 of 12 fit after the
+    # new ops take their 5 slots — the other 6 lead slots 51+ for r8)
     "dedup_jaccard_pairs_scaled": dedup_jaccard_pairs_scaled,
-    "text_bigram_top": text_bigram_top,
     "curate_weighted_sample": curate_weighted_sample,
     "curate_pack_sequences": curate_pack_sequences,
     "mm_frame_sample": mm_frame_sample,
@@ -4256,6 +4283,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": text_repetition,
     "sim_range_search": sim_range_search,
     "stream_sliding_counts": stream_sliding_counts_q,
+    "text_bigram_top": text_bigram_top,
     # dedup family (r6-green)
     "dedup_exact": dedup_exact,
     "dedup_minhash_sig": dedup_minhash_sig,
@@ -4432,6 +4460,7 @@ ORACLES: dict[str, Optional[str]] = {
     "text_ccnet_buckets": TEXT_CCNET_SQL,
     "curate_dsir_weights": CURATE_DSIR_SQL,
     "curate_token_budget": CURATE_BUDGET_SQL,
+    "text_corpus_stats": TEXT_CORPUS_STATS_SQL,
     "q_gapfill_timeseries": Q_GAPFILL_SQL,
     "q_cohort_retention": Q_COHORT_SQL,
     "mm_binary_meta": MM_META_SQL,

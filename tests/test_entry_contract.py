@@ -34,10 +34,10 @@ def test_oracles_subset_of_queries():
         # the round-7 new op gates immediately (never declare a new op
         # outside the window)
         "sim_ivfpq_indexed", "text_ccnet_buckets", "curate_dsir_weights",
-        "curate_token_budget",
-        # r04-stale greens re-gated on current testdata (7 of 12; the
-        # deferred five lead slots 51+ for round 8)
-        "dedup_jaccard_pairs_scaled", "text_bigram_top",
+        "curate_token_budget", "text_corpus_stats",
+        # r04-stale greens re-gated on current testdata (6 of 12; the
+        # deferred six lead slots 51+ for round 8)
+        "dedup_jaccard_pairs_scaled",
         "curate_weighted_sample", "curate_pack_sequences",
         "mm_frame_sample", "sim_cosine_topk_vec", "stream_dedup",
         # r02-stale greens: the TPC-H core + window/pivot/grouping-sets/

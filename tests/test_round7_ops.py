@@ -306,3 +306,22 @@ def test_compact_pq_index_keeps_codebook_and_probes(spark, tmp_path):
     assert probe() == before  # codebook still loads from the index
     assert similarity.append_pq_index(new, centroids, idx, batch_id="b1") == []
     assert probe() == before
+
+
+def test_corpus_stats_dup_ratio_and_volumes(spark):
+    """Dataset-card stats: exact-dup ratio counts repeated text digests
+    within the group; volumes and averages are per (lang, source)."""
+    from execute_sync_spark.functions import text
+
+    rows = [
+        (1, "aa bb", "en", "s1"),
+        (2, "aa bb", "en", "s1"),   # exact dup of doc 1
+        (3, "cc dd ee", "en", "s1"),
+        (4, "ff", "de", "s2"),
+    ]
+    out = {(r.lang, r.source): r for r in text.corpus_stats(_docs(spark, rows)).collect()}
+    en = out[("en", "s1")]
+    assert (en.n_docs, en.n_tokens, en.n_unique_texts) == (3, 7, 2)
+    assert en.dup_ratio == pytest.approx(1 / 3, abs=1e-6)
+    de = out[("de", "s2")]
+    assert (de.n_docs, de.n_tokens, de.dup_ratio) == (1, 1, 0.0)
