@@ -577,3 +577,53 @@ def cross_contamination(
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Broder CONTAINMENT for all pairs where either direction clears
+    ``threshold``: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| — the asymmetric
+    companion to Jaccard that catches a document EMBEDDED in a larger one
+    (quotes, page-in-crawl, prepended boilerplate), which symmetric
+    Jaccard misses whenever the container is much bigger than the
+    contained. Same inverted-index dataflow and ``max_df`` valve as
+    ``ngram_jaccard_pairs`` (a shingle in d docs contributes d² join
+    rows; dropping df>max_df shingles bounds the blowup at corpus scale,
+    COVERAGE.md knob table); the only change is the two per-direction
+    ratios replacing the one symmetric one."""
+    sh = word_shingles(docs, text_col, id_col, k=shingle_k)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("containment_a", F.round(F.col("n_inter") / F.col("n_a"), 4))
+        .withColumn("containment_b", F.round(F.col("n_inter") / F.col("n_b"), 4))
+        .filter(
+            (F.col("containment_a") >= threshold) | (F.col("containment_b") >= threshold)
+        )
+        .select("id_a", "id_b", "n_inter", "containment_a", "containment_b")
+    )

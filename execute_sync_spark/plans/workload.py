@@ -357,6 +357,43 @@ Q_WINDOW_SQL = """
 """
 
 
+def q_rolling_revenue(spark, sf_dir):
+    """Time-INTERVAL rolling window (RANGE frame): each order's trailing
+    30-day revenue and order count for its customer — the frame is "last
+    30 DAYS", not "last N rows", so gaps and same-day bursts are handled
+    correctly (a rows-frame is wrong on irregular time series). Ordering
+    key is integer days-since-epoch-date, making the range arithmetic
+    engine-portable; revenue sums integer cents inside the frame so the
+    result is order-independent (the _cents_sum rule). One window = one
+    hash exchange on the customer key."""
+    orders = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1992-01-01")))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (F.sum(cents).over(w) / 100.0).alias("rev_30d"),
+        F.count("*").over(w).cast("long").alias("n_orders_30d"),
+    )
+
+
+Q_ROLLING_SQL = """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w / 100.0 AS rev_30d,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_orders_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                 RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_window_funcs(spark, sf_dir):
     """Window-function breadth: lag, rank, dense_rank, ntile, running sum —
     one pass per customer ordered by date (deterministic via unique key)."""
@@ -660,6 +697,34 @@ DEDUP_JACCARD_SQL = f"""
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.05
 """
+
+def dedup_containment_pairs(spark, sf_dir):
+    """Broder containment pairs (asymmetric near-dup): catches a document
+    EMBEDDED in a larger one — quotes, page-in-crawl, boilerplate wraps —
+    where symmetric Jaccard stays low because the container dwarfs the
+    contained. Either direction >= 0.5 emits the pair; same inverted-index
+    shape and max_df valve as the Jaccard family."""
+    return dedupe.containment_pairs(_docs_wide(spark, sf_dir), threshold=0.5)
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b, n_inter,
+           ROUND(n_inter / CAST(sa.n_sh AS DOUBLE), 4) AS containment_a,
+           ROUND(n_inter / CAST(sb.n_sh AS DOUBLE), 4) AS containment_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(n_inter / CAST(sa.n_sh AS DOUBLE), 4) >= 0.5
+       OR ROUND(n_inter / CAST(sb.n_sh AS DOUBLE), 4) >= 0.5
+"""
+
 
 def dedup_jaccard_pairs_scaled(spark, sf_dir):
     """Exact n-gram Jaccard with the document-frequency valve ON — the
@@ -4225,13 +4290,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_dsir_weights": curate_dsir_weights,
     "curate_token_budget": curate_token_budget,
     "text_corpus_stats": text_corpus_stats,
-    # r04-stale rows (latest driver green = r04; 6 of 12 fit after the
-    # new ops take their 5 slots — the other 6 lead slots 51+ for r8)
+    "dedup_containment_pairs": dedup_containment_pairs,
+    "q_rolling_revenue": q_rolling_revenue,
+    # r04-stale rows (latest driver green = r04; 4 of 12 fit after the
+    # new ops take their 7 slots — the other 8 lead slots 51+ for r8;
+    # the 39-row r02 block below keeps the re-gate count at 43 >= 40,
+    # the VERDICT r6 floor)
     "dedup_jaccard_pairs_scaled": dedup_jaccard_pairs_scaled,
     "curate_weighted_sample": curate_weighted_sample,
-    "curate_pack_sequences": curate_pack_sequences,
     "mm_frame_sample": mm_frame_sample,
-    "sim_cosine_topk_vec": sim_cosine_topk_vec,
     "stream_dedup": stream_dedup,
     # r02-stale rows (latest driver green = r02): TPC-H core
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -4284,6 +4351,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_range_search": sim_range_search,
     "stream_sliding_counts": stream_sliding_counts_q,
     "text_bigram_top": text_bigram_top,
+    "curate_pack_sequences": curate_pack_sequences,
+    "sim_cosine_topk_vec": sim_cosine_topk_vec,
     # dedup family (r6-green)
     "dedup_exact": dedup_exact,
     "dedup_minhash_sig": dedup_minhash_sig,
@@ -4461,6 +4530,8 @@ ORACLES: dict[str, Optional[str]] = {
     "curate_dsir_weights": CURATE_DSIR_SQL,
     "curate_token_budget": CURATE_BUDGET_SQL,
     "text_corpus_stats": TEXT_CORPUS_STATS_SQL,
+    "dedup_containment_pairs": DEDUP_CONTAINMENT_SQL,
+    "q_rolling_revenue": Q_ROLLING_SQL,
     "q_gapfill_timeseries": Q_GAPFILL_SQL,
     "q_cohort_retention": Q_COHORT_SQL,
     "mm_binary_meta": MM_META_SQL,

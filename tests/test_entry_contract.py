@@ -35,11 +35,12 @@ def test_oracles_subset_of_queries():
         # outside the window)
         "sim_ivfpq_indexed", "text_ccnet_buckets", "curate_dsir_weights",
         "curate_token_budget", "text_corpus_stats",
-        # r04-stale greens re-gated on current testdata (6 of 12; the
-        # deferred six lead slots 51+ for round 8)
+        "dedup_containment_pairs", "q_rolling_revenue",
+        # r04-stale greens re-gated on current testdata (4 of 12; the
+        # deferred eight lead slots 51+ for round 8)
         "dedup_jaccard_pairs_scaled",
-        "curate_weighted_sample", "curate_pack_sequences",
-        "mm_frame_sample", "sim_cosine_topk_vec", "stream_dedup",
+        "curate_weighted_sample",
+        "mm_frame_sample", "stream_dedup",
         # r02-stale greens: the TPC-H core + window/pivot/grouping-sets/
         # percentile surface (spot-check the corners; the full 39 are in
         # the window per the registry comment)

@@ -325,3 +325,64 @@ def test_corpus_stats_dup_ratio_and_volumes(spark):
     assert en.dup_ratio == pytest.approx(1 / 3, abs=1e-6)
     de = out[("de", "s2")]
     assert (de.n_docs, de.n_tokens, de.dup_ratio) == (1, 1, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# containment pairs + time-interval rolling window
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    """A short doc fully quoted inside a much larger one: containment of
+    the small side is 1.0 while Jaccard stays under the same threshold —
+    the asymmetric case this operator exists for. Unrelated docs emit no
+    pair."""
+    from execute_sync_spark.functions import dedupe
+
+    quote = "alpha beta gamma delta epsilon"           # 3 shingles (k=3)
+    filler = " ".join(f"w{i}" for i in range(40))      # 38 novel shingles
+    rows = [
+        (1, quote, "en", "s"),
+        (2, f"{filler} {quote}", "en", "s"),
+        (3, "totally different text with nothing shared here", "en", "s"),
+    ]
+    docs = _docs(spark, rows)
+    pairs = {(r.id_a, r.id_b): r for r in
+             dedupe.containment_pairs(docs, threshold=0.5).collect()}
+    assert set(pairs) == {(1, 2)}
+    p = pairs[(1, 2)]
+    assert p.containment_a == 1.0          # all of doc 1 is inside doc 2
+    assert p.containment_b < 0.5           # doc 2 barely contains doc 1
+    jac = {(r.id_a, r.id_b): r.jaccard for r in
+           dedupe.ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+    assert jac[(1, 2)] < 0.5               # symmetric Jaccard under-reports
+
+
+def test_rolling_revenue_time_frame(spark):
+    """RANGE frame semantics: the 30-day trailing window includes same-day
+    orders of the SAME day on both rows (range, not rows), drops orders
+    older than 29 days, and customers don't leak into each other."""
+    from execute_sync_spark.plans import workload
+
+    rows = [
+        (1, 100, "1995-01-01 00:00:00", 10.0),
+        (2, 100, "1995-01-01 00:00:00", 5.0),    # same day, same cust
+        (3, 100, "1995-01-30 00:00:00", 1.0),    # day 29: inside frame
+        (4, 100, "1995-02-01 00:00:00", 2.0),    # day 31: first two expire
+        (5, 200, "1995-01-01 00:00:00", 7.0),    # other customer
+    ]
+    orders = spark.createDataFrame(
+        [(k, c, t, p) for k, c, t, p in rows],
+        "o_orderkey long, o_custkey long, o_orderdate string, o_totalprice double",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    orders.write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    out = {r.o_orderkey: r for r in workload.q_rolling_revenue(spark, d).collect()}
+    assert (out[1].rev_30d, out[1].n_orders_30d) == (15.0, 2)  # RANGE: both same-day rows
+    assert (out[2].rev_30d, out[2].n_orders_30d) == (15.0, 2)
+    assert (out[3].rev_30d, out[3].n_orders_30d) == (16.0, 3)
+    assert (out[4].rev_30d, out[4].n_orders_30d) == (3.0, 2)   # day-1 orders expired
+    assert (out[5].rev_30d, out[5].n_orders_30d) == (7.0, 1)
