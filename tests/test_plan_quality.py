@@ -228,6 +228,29 @@ def test_ivfpq_indexed_probe_prunes_partitions(spark, tmp_path):
     assert a == b
 
 
+def test_rolling_revenue_single_exchange_range_frame(spark):
+    """The 30-day rolling window must compile to ONE hash exchange on the
+    customer key feeding a RANGE-frame Window — no extra shuffle, no
+    rows-frame fallback (a rows frame would be semantically wrong on
+    irregular dates)."""
+    from execute_sync_spark.plans import workload
+
+    plan = _plan(workload.q_rolling_revenue(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:600]
+    assert "specifiedwindowframe(RangeFrame, -29, currentrow" in plan, plan[:600]
+
+
+def test_corpus_stats_single_aggregation_pass(spark):
+    """The dataset-card query is one groupBy over one scan: a single
+    hash exchange on the group key (the distinct-digest count plans via
+    Expand inside the same aggregation, not a second shuffle tree over a
+    second scan of the corpus)."""
+    from execute_sync_spark.plans import workload
+
+    plan = _plan(workload.text_corpus_stats(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1, plan[:600]
+
+
 def test_bm25_reuses_postings_exchange(spark):
     """The df branch must derive from the SAME postings aggregation as the
     scoring branch (dl rides as a group key so column pruning can't
