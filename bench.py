@@ -141,8 +141,14 @@ def _scale_pass(spark, detail: dict, factor: int, only: list[str] | None = None)
     from tools.make_scale10 import build, is_current
 
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    base_sf = float(src.rstrip("/").split("sf")[-1])
-    dst = os.path.join(REPO, f".scale{factor}", f"sf{base_sf * factor:g}")
+    try:
+        base_sf = float(src.rstrip("/").split("sf")[-1])
+        sub = f"sf{base_sf * factor:g}"
+    except ValueError:
+        # SPARK_GRAFT_SF_DIR need not end in 'sf<number>' — fall back to a
+        # factor-keyed dir name instead of aborting after the base pass
+        sub = f"x{factor}"
+    dst = os.path.join(REPO, f".scale{factor}", sub)
     # Rebuild unless the dst's build-complete fingerprint (written LAST by
     # build()) matches this source — testdata regenerates between harness
     # rounds, and a stale or partially-built synthesis would silently produce
@@ -184,7 +190,26 @@ def _carry_scale_blocks(detail: dict, detail_path: str) -> None:
             detail[key] = prev
 
 
+def _parse_only() -> list[str] | None:
+    """Validate --only BEFORE any expensive pass runs: a malformed or
+    misplaced flag must fail in the first second, not after the 3-run
+    base pass."""
+    if "--only" not in sys.argv:
+        return None
+    i = sys.argv.index("--only")
+    if i + 1 >= len(sys.argv) or sys.argv[i + 1].startswith("--"):
+        raise SystemExit("--only requires a comma-separated query list")
+    names = sys.argv[i + 1].split(",")
+    unknown = [n for n in names if n not in workload.QUERIES]
+    if unknown:
+        raise SystemExit(f"--only names not in the workload: {unknown}")
+    if "--scale30" not in sys.argv:
+        raise SystemExit("--only scopes the 30x pass; pass --scale30 with it")
+    return names
+
+
 def main() -> None:
+    only30 = _parse_only()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
@@ -271,21 +296,13 @@ def main() -> None:
     }
     detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
 
-    def _only_arg() -> list[str] | None:
-        if "--only" not in sys.argv:
-            return None
-        names = sys.argv[sys.argv.index("--only") + 1].split(",")
-        unknown = [n for n in names if n not in workload.QUERIES]
-        if unknown:
-            raise SystemExit(f"--only names not in the workload: {unknown}")
-        return names
-
     # --only scopes the EXPENSIVE 30x pass; scale10 always covers the
     # full workload so its block stays comparable round over round
+    # (validated up front in _parse_only)
     if "--scale10" in sys.argv:
         _scale_pass(spark, detail, 10)
     if "--scale30" in sys.argv:
-        _scale_pass(spark, detail, 30, only=_only_arg())
+        _scale_pass(spark, detail, 30, only=only30)
     _carry_scale_blocks(detail, detail_path)  # carries blocks this run did not measure
 
     with open(detail_path, "w") as f:

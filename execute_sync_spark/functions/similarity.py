@@ -622,16 +622,30 @@ _INDEX_MANIFEST = "_absorbed.json"
 
 def _index_absorbed(path: str) -> set[str]:
     """Batch ids already folded into compacted cell partitions anywhere in
-    the index (union over per-cell manifests). Cell assignment is a pure
-    function of (vector, centroids), so a batch id found in ANY manifest
-    means that whole batch was fully written before compaction — a replay
-    of it must be skipped entirely."""
+    the index. Cell assignment is a pure function of (vector, centroids),
+    so a batch id found in ANY manifest means that whole batch was fully
+    written before compaction — a replay of it must be skipped entirely.
+
+    The O(1) fast path reads the root summary manifest ``compact_index``
+    writes LAST (and deletes FIRST), so its presence implies completeness;
+    without it — never compacted, or a compact crashed mid-way — fall back
+    to the per-cell walk. The fallback is what makes the per-append replay
+    guard safe; the fast path is what keeps a streaming feed into a
+    many-thousand-cell index from paying O(cells) metadata reads per
+    micro-batch (on NFS/HDFS mounts those are RPCs)."""
     import json
     import os
 
     out: set[str] = set()
     if not os.path.isdir(path):
         return out
+    root = os.path.join(path, _INDEX_MANIFEST)
+    if os.path.isfile(root):
+        try:
+            with open(root) as f:
+                return set(json.load(f).get("batches", []))
+        except (OSError, ValueError):
+            pass  # unreadable summary -> the per-cell walk below
     for cell in os.listdir(path):
         p = os.path.join(path, cell, _INDEX_MANIFEST)
         if cell.startswith("cell_id=") and os.path.isfile(p):
@@ -643,6 +657,81 @@ def _index_absorbed(path: str) -> set[str]:
     return out
 
 
+def _index_stranded(path: str) -> list[str]:
+    """``_old_cell_*`` aside dirs whose live ``cell_id=`` counterpart is
+    missing — a crash inside compact_index's two-rename window. Probing
+    around such a cell silently returns WRONG top-k (the cell's vectors
+    vanish from candidates) and its manifest is unreachable (absorbed
+    replays would re-insert duplicates), so the read/append paths fail
+    loudly instead (mirrors HourlyRollup._check_not_stranded)."""
+    import os
+
+    out: list[str] = []
+    if not os.path.isdir(path):
+        return out
+    for n in os.listdir(path):
+        if n.startswith("_old_cell_"):
+            cell = n[len("_old_cell_"):].rsplit("_", 1)[0]
+            if not os.path.isdir(os.path.join(path, f"cell_id={cell}")):
+                out.append(n)
+    return out
+
+
+def _index_check_not_stranded(path: str) -> None:
+    stranded = _index_stranded(path)
+    if stranded:
+        raise RuntimeError(
+            f"ANN index at {path} has cells stranded by an interrupted "
+            f"compaction ({stranded[:3]}{'...' if len(stranded) > 3 else ''}); "
+            "run sweep_index() to restore or reclaim them before probing or "
+            "appending"
+        )
+
+
+def sweep_index(path: str) -> dict[str, list[str]]:
+    """Restore or reclaim dirs stranded by a crash inside
+    ``compact_index``'s two-rename window (the HourlyRollup.sweep rules):
+    a cell whose live dir vanished is forward-finished ONLY from the
+    SAME compact run's staging dir (pid in the aside name matches the
+    ``{path}_compact_<pid>`` suffix) and only if that staged cell already
+    carries its manifest — any other staging dir is a stale snapshot from
+    an earlier crashed run and restoring it would silently drop appended
+    batches; otherwise the aside rolls back. Leftover asides and staging
+    tmps are reclaimed."""
+    import os
+    import shutil
+
+    restored: list[str] = []
+    reclaimed: list[str] = []
+    if not os.path.isdir(path):
+        return {"restored": restored, "reclaimed": reclaimed}
+    for n in sorted(os.listdir(path)):
+        if not n.startswith("_old_cell_"):
+            continue
+        aside = os.path.join(path, n)
+        cell = n[len("_old_cell_"):].rsplit("_", 1)[0]
+        pid = n.rsplit("_", 1)[1]
+        live = os.path.join(path, f"cell_id={cell}")
+        if os.path.isdir(live):
+            shutil.rmtree(aside, ignore_errors=True)
+            reclaimed.append(n)
+            continue
+        staged = os.path.join(f"{path}_compact_{pid}", f"cell_id={cell}")
+        if os.path.isdir(staged) and os.path.isfile(os.path.join(staged, _INDEX_MANIFEST)):
+            os.rename(staged, live)
+            shutil.rmtree(aside, ignore_errors=True)
+        else:
+            os.rename(aside, live)
+        restored.append(n)
+    parent = os.path.dirname(path) or "."
+    base = os.path.basename(path)
+    for n in sorted(os.listdir(parent)):
+        if n.startswith(base + "_compact_") and os.path.isdir(os.path.join(parent, n)):
+            shutil.rmtree(os.path.join(parent, n), ignore_errors=True)
+            reclaimed.append(n)
+    return {"restored": restored, "reclaimed": reclaimed}
+
+
 def compact_index(spark, path: str) -> list[int]:
     """Collapse each cell's accumulated batch partitions into a single
     ``batch_id=__compacted__`` partition — bounds small-file growth on a
@@ -652,17 +741,20 @@ def compact_index(spark, path: str) -> list[int]:
     cell dir carries an ``_absorbed.json`` manifest of every batch id
     folded in, so a REPLAY of an absorbed batch is skipped by the append
     paths instead of re-inserting duplicate vectors; the per-cell commit
-    is the recoverable two-rename swap (aside dir is ``_``-prefixed, so a
-    crash inside the window never corrupts reads — restore or reclaim the
-    aside as with the rollup's sweep). Works on both index kinds (IVF
-    vectors and IVF+PQ codes — the rewrite is schema-agnostic).
-    Returns the compacted cell ids."""
+    is the recoverable two-rename swap. A crash INSIDE the tiny
+    two-rename window strands the cell in a ``_``-prefixed aside the
+    reader ignores — the probe/append paths DETECT that state and raise
+    (silently probing around a vanished cell would return wrong top-k),
+    and ``sweep_index`` restores or reclaims it. Works on both index
+    kinds (IVF vectors and IVF+PQ codes — the rewrite is
+    schema-agnostic). Returns the compacted cell ids."""
     import json
     import os
     import shutil
 
     if not os.path.isdir(path):
         return []
+    _index_check_not_stranded(path)
     dirty: list[str] = []
     for cell in sorted(os.listdir(path)):
         p = os.path.join(path, cell)
@@ -675,6 +767,14 @@ def compact_index(spark, path: str) -> list[int]:
             dirty.append(cell[len("cell_id="):])
     if not dirty:
         return []
+    # the root summary manifest is about to go stale: remove it FIRST so a
+    # crash mid-compact degrades _index_absorbed to the (correct) per-cell
+    # walk instead of serving a stale O(1) answer that lets replays through
+    root_manifest = os.path.join(path, _INDEX_MANIFEST)
+    try:
+        os.remove(root_manifest)
+    except OSError:
+        pass
     dirty_longs = [int(c) for c in dirty]
     merged = (
         spark.read.parquet(path)
@@ -707,6 +807,20 @@ def compact_index(spark, path: str) -> list[int]:
         os.rename(src, live)
         shutil.rmtree(aside, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
+    # root summary manifest LAST (union over every cell) — the O(1) answer
+    # for the per-append replay guard; written only after every swap
+    # committed, so its presence implies it is complete
+    union: set[str] = set()
+    for cell in os.listdir(path):
+        p = os.path.join(path, cell, _INDEX_MANIFEST)
+        if cell.startswith("cell_id=") and os.path.isfile(p):
+            try:
+                with open(p) as f:
+                    union |= set(json.load(f).get("batches", []))
+            except (OSError, ValueError):
+                continue
+    with open(root_manifest, "w") as f:
+        json.dump({"batches": sorted(union)}, f)
     return dirty_longs
 
 
@@ -735,6 +849,7 @@ def append_cell_index(
             "foreachBatch epoch id); without one a replayed batch would "
             "insert duplicate vectors"
         )
+    _index_check_not_stranded(path)
     if str(batch_id) in _index_absorbed(path):
         # compact-then-replay: this batch was already folded into compacted
         # cell partitions — re-writing it would duplicate its vectors
@@ -834,6 +949,7 @@ def ivf_topk_indexed(
                     )
 
     probed = sorted({int(c) for c in probe_cells.ravel()})
+    _index_check_not_stranded(index_path)
     scan = spark.read.parquet(index_path).filter(F.col("cell_id").isin(probed))
     local = scan.select(id_col, F.col("cell_id").cast("long").alias("cell_id"), "v").mapInPandas(
         topk_per_batch, schema=out_schema
@@ -1390,6 +1506,7 @@ def append_pq_index(
             "foreachBatch epoch id); without one a replayed batch would "
             "insert duplicate codes"
         )
+    _index_check_not_stranded(path)
     if str(batch_id) in _index_absorbed(path):
         # compact-then-replay guard — see append_cell_index
         return []
@@ -1461,6 +1578,7 @@ def ivfpq_topk_indexed(
         probes[int(qid)] = set(int(c) for c in cids[order[:nprobe]])
     all_probed = sorted(set().union(*probes.values()))
 
+    _index_check_not_stranded(index_path)
     scan = spark.read.parquet(index_path).filter(F.col("cell_id").isin(all_probed))
     codes = scan.select(id_col, "codes", F.col("cell_id").cast("long").alias("cell_id"))
     return _pq_adc_search(codes, qids, _adc_lut(Q, codebook), k, id_col, probes=probes)

@@ -320,18 +320,28 @@ class HourlyRollup:
                 if not os.path.isdir(aside) or not _old_enough(aside):
                     continue
                 day = name[len("_old_day_"):].rsplit("_", 1)[0]
+                pid = name.rsplit("_", 1)[1]
                 live = os.path.join(self.path, f"day={day}")
                 if os.path.isdir(live):
                     # both renames completed; only the aside cleanup crashed
                     shutil.rmtree(aside, ignore_errors=True)
                     reclaimed.append(name)
                     continue
-                staged = next(
-                    (os.path.join(t, f"day={day}") for t in tmps_compact
-                     if os.path.isdir(os.path.join(t, f"day={day}"))),
-                    None,
-                )
-                if staged is not None:
+                # Forward-finish ONLY from the staging dir of the SAME
+                # compact run (pid in the aside name matches the tmp
+                # suffix) AND only if that staged day already carries its
+                # manifest (written just before the renames). Any other
+                # compact tmp is a stale snapshot from an EARLIER crashed
+                # run — restoring it would silently drop every batch
+                # refreshed since, and its missing manifest would let
+                # absorbed batches double-count on replay. Those tmps are
+                # reclaimed below; the aside (the day's real current
+                # data) rolls back instead.
+                staged = os.path.join(f"{self.path}_compact_{pid}", f"day={day}")
+                if (
+                    os.path.isdir(staged)
+                    and os.path.isfile(os.path.join(staged, _MANIFEST))
+                ):
                     os.rename(staged, live)  # finish forward, manifest included
                     shutil.rmtree(aside, ignore_errors=True)
                 else:

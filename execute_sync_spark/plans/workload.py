@@ -1829,7 +1829,10 @@ def sim_ivfpq_indexed(spark, sf_dir):
     centroids = emb.filter(F.col("vec_id") < 8)
     queries = emb.filter(F.col("vec_id") < 10)
     path = _ivfpq_index_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    # gate on the codebook, the LAST artifact build_pq_index writes — a
+    # crash between the parquet commit (_SUCCESS) and the np.save would
+    # otherwise poison the cache with a codebook-less index forever
+    if not os.path.exists(os.path.join(path, "_codebook.npy")):
         cb = similarity.pq_codebook(emb.filter(F.col("vec_id") < 16))
         similarity.build_pq_index(emb, centroids, cb, path)
     return similarity.ivfpq_topk_indexed(spark, path, queries, centroids, k=3, nprobe=2)
@@ -4270,20 +4273,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Slots 1-50: the driver's CORRECTNESS gate covers the first 50
     # entries of this dict. Round-7 rotation (VERDICT r6 task 1 — pay
     # down gate staleness): 51 rows' latest driver green dated from
-    # r02/r04 on since-regenerated testdata. This window re-gates 46 of
+    # r02/r04 on since-regenerated testdata. This window re-gates 43 of
     # them (all 39 r02 rows — the TPC-H core + window/pivot/grouping-
-    # sets/percentile rows — plus 7 of the 12 r04 rows) and the round's
-    # FOUR new ops (persisted IVF+PQ index probe, CCNet buckets, DSIR
-    # weights, token-budget selection — new ops always enter the gate
-    # immediately, VERDICT r4/r5 rule). The remaining five r04 rows
-    # (curate_chunk_windows, d_version_churn, text_repetition,
-    # sim_range_search, stream_sliding_counts) lead the 51+ block and
-    # rotate in next round; every gated family stays represented
-    # (mm_frame_sample holds the mm_ slot). The 50+ displaced rows are
-    # ALL r5/r6-green and stay pytest-oracled every run. The
-    # permanent-core re-gate slots (q1/d1/d3/v_shred_props) are
-    # suspended for one round — all four are r6-green, and the
-    # staleness debt has strict priority for the 50 slots.
+    # sets/percentile rows — plus 4 of the 12 r04 rows; 43 >= the
+    # VERDICT floor of 40) and the round's SEVEN new ops (persisted
+    # IVF+PQ index probe, CCNet buckets, DSIR weights, token-budget
+    # selection, corpus stats, containment pairs, rolling range-frame
+    # window — new ops always enter the gate immediately, VERDICT r4/r5
+    # rule). The remaining eight r04 rows (curate_chunk_windows,
+    # d_version_churn, text_repetition, sim_range_search,
+    # stream_sliding_counts, text_bigram_top, curate_pack_sequences,
+    # sim_cosine_topk_vec) lead the 51+ block and rotate in next round;
+    # every gated family stays represented (mm_frame_sample holds the
+    # mm_ slot). The displaced rows are ALL r5/r6-green and stay
+    # pytest-oracled every run. The permanent-core re-gate slots
+    # (q1/d1/d3/v_shred_props) are suspended for one round — all four
+    # are r6-green, and the staleness debt has strict priority.
     # the round's new ops (new ops always gate immediately)
     "sim_ivfpq_indexed": sim_ivfpq_indexed,
     "text_ccnet_buckets": text_ccnet_buckets,

@@ -357,3 +357,41 @@ def test_refresh_requires_batch_id(spark, tmp_path):
     r = HourlyRollup(spark, str(tmp_path / "roll"))
     with pytest.raises(ValueError, match="batch_id"):
         r.refresh(_events(spark, [(1, "2024-01-01 00:10:00", 1, "click", 2.0)]), batch_id=None)
+
+
+def test_sweep_ignores_stale_staging_from_earlier_crash(spark, tmp_path):
+    """A manifest-less staging dir left by an EARLIER crashed compact (a
+    different pid) must never be forward-finished: it is a stale snapshot
+    missing batches refreshed since, and without a manifest a replay of
+    absorbed batches would double-count. sweep() rolls the aside (the
+    day's real current data) back instead and reclaims the stale tmp."""
+    import shutil
+
+    from execute_sync_spark.operators.rollup import HourlyRollup
+
+    path = str(tmp_path / "roll")
+    r = HourlyRollup(spark, path)
+    r.refresh(_events(spark, [(1, "2024-01-01 00:10:00", 1, "click", 2.0)]), batch_id=1)
+    r.refresh(_events(spark, [(2, "2024-01-01 00:20:00", 2, "click", 3.0)]), batch_id=2)
+    before = _rows(r)
+
+    # stale tmp from a crashed earlier compact (other pid, NO manifest):
+    # an old snapshot of the day holding only batch 1
+    stale = str(tmp_path / "roll_compact_77777")
+    os.makedirs(stale)
+    shutil.copytree(
+        os.path.join(path, "day=2024-01-01"), os.path.join(stale, "day=2024-01-01")
+    )
+    shutil.rmtree(os.path.join(stale, "day=2024-01-01", "batch_id=2"))
+
+    # crash state from a LATER interrupted commit: live day renamed aside
+    os.rename(
+        os.path.join(path, "day=2024-01-01"),
+        os.path.join(path, "_old_day_2024-01-01_88888"),
+    )
+
+    rep = r.sweep()
+    assert "_old_day_2024-01-01_88888" in rep["restored"]
+    assert "roll_compact_77777" in rep["reclaimed"]
+    assert _rows(r) == before  # rolled BACK, batch 2 intact
+    assert not os.path.isdir(stale)

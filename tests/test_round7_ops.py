@@ -386,3 +386,95 @@ def test_rolling_revenue_time_frame(spark):
     assert (out[3].rev_30d, out[3].n_orders_30d) == (16.0, 3)
     assert (out[4].rev_30d, out[4].n_orders_30d) == (3.0, 2)   # day-1 orders expired
     assert (out[5].rev_30d, out[5].n_orders_30d) == (7.0, 1)
+
+
+def test_index_stranded_cell_fails_loudly_and_sweep_recovers(spark, tmp_path, monkeypatch):
+    """Crash inside compact_index's two-rename window: the cell vanishes
+    from the live layout. Probes and appends must RAISE (silently probing
+    around the cell returns wrong top-k) and sweep_index must
+    forward-finish from the SAME run's staged output (manifest included)
+    — after which probes agree with the pre-compact state and a replay of
+    the absorbed batch is still skipped."""
+    import os
+
+    from tests.conftest import SF_DIR
+
+    from execute_sync_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    q = emb.filter(F.col("vec_id") < 2)
+    idx = similarity.build_cell_index(
+        emb.filter(F.col("vec_id") % 2 == 0), centroids, str(tmp_path / "ivf")
+    )
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    similarity.append_cell_index(new, centroids, idx, batch_id=1)
+    before = sorted(map(tuple, similarity.ivf_topk_indexed(
+        spark, idx, q, centroids, k=3, nprobe=2).collect()))
+
+    real_rename = os.rename
+    state = {"crashed": False}
+
+    def crash_mid_swap(src, dst):
+        real_rename(src, dst)
+        if "_old_cell_" in os.path.basename(dst) and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("simulated crash between the two renames")
+
+    import execute_sync_spark.functions.similarity as sim_mod
+
+    monkeypatch.setattr("os.rename", crash_mid_swap)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        similarity.compact_index(spark, idx)
+    monkeypatch.undo()
+
+    with pytest.raises(RuntimeError, match="sweep_index"):
+        similarity.ivf_topk_indexed(spark, idx, q, centroids, k=3, nprobe=2).collect()
+    with pytest.raises(RuntimeError, match="sweep_index"):
+        similarity.append_cell_index(new, centroids, idx, batch_id=2)
+    with pytest.raises(RuntimeError, match="sweep_index"):
+        similarity.compact_index(spark, idx)
+
+    rep = similarity.sweep_index(idx)
+    assert rep["restored"]
+    got = sorted(map(tuple, similarity.ivf_topk_indexed(
+        spark, idx, q, centroids, k=3, nprobe=2).collect()))
+    assert got == before
+    # the forward-finished cell carries its manifest: absorbed replay skips
+    assert "1" in sim_mod._index_absorbed(idx)
+    assert similarity.sweep_index(idx) == {"restored": [], "reclaimed": []}
+
+
+def test_index_root_manifest_fast_path(spark, tmp_path):
+    """After a completed compaction the replay guard answers from the ONE
+    root summary manifest (O(1), not O(cells)); the root is deleted first
+    on the next compact so a crash degrades to the per-cell walk, never a
+    stale fast answer."""
+    import json
+    import os
+
+    from tests.conftest import SF_DIR
+
+    import execute_sync_spark.functions.similarity as sim_mod
+    from execute_sync_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    idx = similarity.build_cell_index(
+        emb.filter(F.col("vec_id") % 2 == 0), centroids, str(tmp_path / "ivf")
+    )
+    similarity.append_cell_index(
+        emb.filter(F.col("vec_id") % 2 == 1), centroids, idx, batch_id=9
+    )
+    similarity.compact_index(spark, idx)
+    root = os.path.join(idx, "_absorbed.json")
+    assert os.path.isfile(root)
+    assert "9" in json.load(open(root))["batches"]
+    assert "9" in sim_mod._index_absorbed(idx)
+    # fast path really is the root file: poison it and watch the answer
+    with open(root, "w") as f:
+        json.dump({"batches": ["poisoned"]}, f)
+    assert sim_mod._index_absorbed(idx) == {"poisoned"}
+    # without the root the per-cell walk still finds the truth
+    os.remove(root)
+    assert "9" in sim_mod._index_absorbed(idx)
