@@ -1610,6 +1610,86 @@ def sim_ivf_indexed(spark, sf_dir):
     return similarity.ivf_topk_indexed(spark, path, queries, centroids, k=3, nprobe=2)
 
 
+def sim_recall_at_k(spark, sf_dir):
+    """In-engine ANN quality evaluation — recall@k of the IVF nprobe=2
+    probe against the exact brute-force top-k, per query: the measurement
+    loop every ANN deployment runs when tuning nprobe/cells, expressed as
+    a set intersection of the two result frames (left-semi join on
+    (query, neighbor) + one small aggregate). At 100 TB the exact side
+    runs over a SAMPLE of queries — recall estimation never needs the
+    full query log — and both inputs are the already-declared operators,
+    so this adds no new scan shape."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter(F.col("vec_id") < 10)
+    ann = similarity.ivf_topk_vectorized(emb, queries, centroids, k=3, nprobe=2).select(
+        "query_id", "neighbor_id"
+    )
+    exact = similarity.cosine_topk(emb, queries, k=3).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_true"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_true",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.col("n_true"), 4).alias("recall"),
+        )
+    )
+
+
+SIM_RECALL_SQL = f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+    assign AS (
+        SELECT vec_id, v, cell_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY {_COS_RAW.format(a='v', b='cv')} DESC, cell_id) AS rn
+        FROM c, cent),
+    cells AS (SELECT vec_id, v, cell_id FROM assign WHERE rn = 1),
+    qprobe AS (
+        SELECT vec_id AS query_id, v AS qv, cell_id
+        FROM assign WHERE vec_id < 10 AND rn <= 2),
+    ann_scored AS (
+        SELECT qp.query_id, c2.vec_id AS neighbor_id,
+               ROUND({_COS_RAW.format(a='qp.qv', b='c2.v')}, 4) AS cos_sim
+        FROM qprobe qp JOIN cells c2 USING (cell_id)
+        WHERE c2.vec_id != qp.query_id),
+    ann AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, neighbor_id) AS rnk
+            FROM ann_scored) WHERE rnk <= 3),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+    ex_scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROUND({_COS_RAW.format(a='q.qv', b='c.v')}, 4) AS cos_sim
+        FROM c, q WHERE c.vec_id != q.query_id),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, neighbor_id) AS rnk
+            FROM ex_scored) WHERE rnk <= 3),
+    hits AS (
+        SELECT e.query_id, COUNT(*) AS n_hits
+        FROM exact e JOIN ann a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY 1)
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(COALESCE(MAX(h.n_hits), 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(MAX(h.n_hits), 0) / CAST(COUNT(*) AS DOUBLE), 4) AS recall
+    FROM exact e LEFT JOIN hits h USING (query_id)
+    GROUP BY e.query_id
+"""
+
+
 def dedup_embedding_pairs(spark, sf_dir):
     """Embedding-cosine near-dup candidates, blocked by label (at scale the
     block key is an LSH bucket / IVF cell — same plan shape: one shuffle on
@@ -4273,17 +4353,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Slots 1-50: the driver's CORRECTNESS gate covers the first 50
     # entries of this dict. Round-7 rotation (VERDICT r6 task 1 — pay
     # down gate staleness): 51 rows' latest driver green dated from
-    # r02/r04 on since-regenerated testdata. This window re-gates 43 of
+    # r02/r04 on since-regenerated testdata. This window re-gates 42 of
     # them (all 39 r02 rows — the TPC-H core + window/pivot/grouping-
-    # sets/percentile rows — plus 4 of the 12 r04 rows; 43 >= the
-    # VERDICT floor of 40) and the round's SEVEN new ops (persisted
+    # sets/percentile rows — plus 3 of the 12 r04 rows; 42 >= the
+    # VERDICT floor of 40) and the round's EIGHT new ops (persisted
     # IVF+PQ index probe, CCNet buckets, DSIR weights, token-budget
     # selection, corpus stats, containment pairs, rolling range-frame
-    # window — new ops always enter the gate immediately, VERDICT r4/r5
-    # rule). The remaining eight r04 rows (curate_chunk_windows,
-    # d_version_churn, text_repetition, sim_range_search,
-    # stream_sliding_counts, text_bigram_top, curate_pack_sequences,
-    # sim_cosine_topk_vec) lead the 51+ block and rotate in next round;
+    # window, ANN recall@k evaluation — new ops always enter the gate
+    # immediately, VERDICT r4/r5 rule). The remaining nine r04 rows
+    # (curate_chunk_windows, d_version_churn, text_repetition,
+    # sim_range_search, stream_sliding_counts, text_bigram_top,
+    # curate_pack_sequences, sim_cosine_topk_vec,
+    # curate_weighted_sample) lead the 51+ block and rotate in next round;
     # every gated family stays represented (mm_frame_sample holds the
     # mm_ slot). The displaced rows are ALL r5/r6-green and stay
     # pytest-oracled every run. The permanent-core re-gate slots
@@ -4297,12 +4378,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_corpus_stats": text_corpus_stats,
     "dedup_containment_pairs": dedup_containment_pairs,
     "q_rolling_revenue": q_rolling_revenue,
-    # r04-stale rows (latest driver green = r04; 4 of 12 fit after the
+    "sim_recall_at_k": sim_recall_at_k,
+    # r04-stale rows (latest driver green = r04; 3 of 12 fit after the
     # new ops take their 7 slots — the other 8 lead slots 51+ for r8;
     # the 39-row r02 block below keeps the re-gate count at 43 >= 40,
     # the VERDICT r6 floor)
     "dedup_jaccard_pairs_scaled": dedup_jaccard_pairs_scaled,
-    "curate_weighted_sample": curate_weighted_sample,
     "mm_frame_sample": mm_frame_sample,
     "stream_dedup": stream_dedup,
     # r02-stale rows (latest driver green = r02): TPC-H core
@@ -4358,6 +4439,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bigram_top": text_bigram_top,
     "curate_pack_sequences": curate_pack_sequences,
     "sim_cosine_topk_vec": sim_cosine_topk_vec,
+    "curate_weighted_sample": curate_weighted_sample,
     # dedup family (r6-green)
     "dedup_exact": dedup_exact,
     "dedup_minhash_sig": dedup_minhash_sig,
@@ -4537,6 +4619,7 @@ ORACLES: dict[str, Optional[str]] = {
     "text_corpus_stats": TEXT_CORPUS_STATS_SQL,
     "dedup_containment_pairs": DEDUP_CONTAINMENT_SQL,
     "q_rolling_revenue": Q_ROLLING_SQL,
+    "sim_recall_at_k": SIM_RECALL_SQL,
     "q_gapfill_timeseries": Q_GAPFILL_SQL,
     "q_cohort_retention": Q_COHORT_SQL,
     "mm_binary_meta": MM_META_SQL,

@@ -35,11 +35,10 @@ def test_oracles_subset_of_queries():
         # outside the window)
         "sim_ivfpq_indexed", "text_ccnet_buckets", "curate_dsir_weights",
         "curate_token_budget", "text_corpus_stats",
-        "dedup_containment_pairs", "q_rolling_revenue",
-        # r04-stale greens re-gated on current testdata (4 of 12; the
-        # deferred eight lead slots 51+ for round 8)
+        "dedup_containment_pairs", "q_rolling_revenue", "sim_recall_at_k",
+        # r04-stale greens re-gated on current testdata (3 of 12; the
+        # deferred nine lead slots 51+ for round 8)
         "dedup_jaccard_pairs_scaled",
-        "curate_weighted_sample",
         "mm_frame_sample", "stream_dedup",
         # r02-stale greens: the TPC-H core + window/pivot/grouping-sets/
         # percentile surface (spot-check the corners; the full 39 are in

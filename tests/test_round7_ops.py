@@ -478,3 +478,26 @@ def test_index_root_manifest_fast_path(spark, tmp_path):
     # without the root the per-cell walk still finds the truth
     os.remove(root)
     assert "9" in sim_mod._index_absorbed(idx)
+
+
+def test_recall_at_k_bounds_and_exhaustive_probe_is_perfect(spark):
+    """recall@k ∈ [0,1] per query against the exact top-k; probing EVERY
+    cell (nprobe = |cells|) must reach recall 1.0 for all queries (the
+    ANN candidate set then equals the exact candidate set)."""
+    from tests.conftest import SF_DIR
+
+    from execute_sync_spark.functions import similarity
+    from execute_sync_spark.plans import workload
+
+    rows = workload.sim_recall_at_k(spark, SF_DIR).collect()
+    assert rows and all(0.0 <= r.recall <= 1.0 and r.n_hits <= r.n_true for r in rows)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    q = emb.filter(F.col("vec_id") < 10)
+    ann = similarity.ivf_topk_vectorized(emb, q, centroids, k=3, nprobe=8).select(
+        "query_id", "neighbor_id"
+    )
+    exact = similarity.cosine_topk(emb, q, k=3).select("query_id", "neighbor_id")
+    missed = exact.join(ann, ["query_id", "neighbor_id"], "left_anti").count()
+    assert missed == 0  # exhaustive probe == exact
