@@ -657,6 +657,39 @@ def _index_absorbed(path: str) -> set[str]:
     return out
 
 
+def _index_check_layout(path: str) -> None:
+    """Refuse to append into a LEGACY single-level index layout. Early
+    ``build_cell_index`` versions (and any still-fingerprint-valid cached
+    tempdir built by them) wrote ``cell_id=`` partitions with data files
+    directly inside; today's appends write two-level
+    ``cell_id=/batch_id=`` partitions. Mixing the two in one tree makes
+    Spark's partition discovery reject the whole index on the NEXT read
+    ("Conflicting partition schemas") — long after the append succeeded —
+    so fail loudly at append time instead (ADVICE r7)."""
+    import os
+
+    if not os.path.isdir(path):
+        return
+    for cell in os.listdir(path):
+        p = os.path.join(path, cell)
+        if not cell.startswith("cell_id=") or not os.path.isdir(p):
+            continue
+        entries = os.listdir(p)
+        has_batch = any(e.startswith("batch_id=") for e in entries)
+        has_flat_data = any(e.endswith(".parquet") and not e.startswith(".") for e in entries)
+        if has_flat_data and not has_batch:
+            raise ValueError(
+                f"ANN index at {path} uses the legacy single-level "
+                "cell_id= layout (no batch_id= sub-partitions); appending "
+                "would create a mixed layout that Spark's partition "
+                "discovery rejects on the next read. Rebuild the index "
+                "with build_cell_index/build_pq_index first."
+            )
+        # one cell is representative: builds are all-or-nothing
+        if has_batch or has_flat_data:
+            return
+
+
 def _index_stranded(path: str) -> list[str]:
     """``_old_cell_*`` aside dirs whose live ``cell_id=`` counterpart is
     missing — a crash inside compact_index's two-rename window. Probing
@@ -688,7 +721,7 @@ def _index_check_not_stranded(path: str) -> None:
         )
 
 
-def sweep_index(path: str) -> dict[str, list[str]]:
+def sweep_index(path: str, min_age_s: float = 0.0) -> dict[str, list[str]]:
     """Restore or reclaim dirs stranded by a crash inside
     ``compact_index``'s two-rename window (the HourlyRollup.sweep rules):
     a cell whose live dir vanished is forward-finished ONLY from the
@@ -697,18 +730,50 @@ def sweep_index(path: str) -> dict[str, list[str]]:
     carries its manifest — any other staging dir is a stale snapshot from
     an earlier crashed run and restoring it would silently drop appended
     batches; otherwise the aside rolls back. Leftover asides and staging
-    tmps are reclaimed."""
+    tmps are reclaimed.
+
+    ``min_age_s`` guards a MULTI-PROCESS deployment (mirrors
+    HourlyRollup.sweep): another process mid-compact has FRESH asides and
+    a fresh staging dir — sweeping those deletes the live run's staged
+    output and strands its cell when the subsequent rename finds ``live``
+    already restored. Sweep therefore only touches dirs older than this;
+    set it above a compact's expected duration when sweeping a shared
+    index."""
     import os
     import shutil
+    import time
 
     restored: list[str] = []
     reclaimed: list[str] = []
     if not os.path.isdir(path):
         return {"restored": restored, "reclaimed": reclaimed}
+    now = time.time()
+
+    def _old_enough(p: str) -> bool:
+        try:
+            return now - os.path.getmtime(p) >= min_age_s
+        except OSError:
+            return False
+
+    # evaluate staging-dir eligibility BEFORE the aside loop: a
+    # forward-finish rename out of a staging dir bumps its mtime past
+    # ``now``, which would wrongly exempt it from the cleanup below
+    parent = os.path.dirname(path) or "."
+    base = os.path.basename(path)
+    old_stagings = [
+        n
+        for n in sorted(os.listdir(parent))
+        if n.startswith(base + "_compact_")
+        and os.path.isdir(os.path.join(parent, n))
+        and _old_enough(os.path.join(parent, n))
+    ]
+
     for n in sorted(os.listdir(path)):
         if not n.startswith("_old_cell_"):
             continue
         aside = os.path.join(path, n)
+        if not _old_enough(aside):
+            continue
         cell = n[len("_old_cell_"):].rsplit("_", 1)[0]
         pid = n.rsplit("_", 1)[1]
         live = os.path.join(path, f"cell_id={cell}")
@@ -723,11 +788,10 @@ def sweep_index(path: str) -> dict[str, list[str]]:
         else:
             os.rename(aside, live)
         restored.append(n)
-    parent = os.path.dirname(path) or "."
-    base = os.path.basename(path)
-    for n in sorted(os.listdir(parent)):
-        if n.startswith(base + "_compact_") and os.path.isdir(os.path.join(parent, n)):
-            shutil.rmtree(os.path.join(parent, n), ignore_errors=True)
+    for n in old_stagings:
+        p = os.path.join(parent, n)
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
             reclaimed.append(n)
     return {"restored": restored, "reclaimed": reclaimed}
 
@@ -850,6 +914,7 @@ def append_cell_index(
             "insert duplicate vectors"
         )
     _index_check_not_stranded(path)
+    _index_check_layout(path)
     if str(batch_id) in _index_absorbed(path):
         # compact-then-replay: this batch was already folded into compacted
         # cell partitions — re-writing it would duplicate its vectors
@@ -1507,6 +1572,7 @@ def append_pq_index(
             "insert duplicate codes"
         )
     _index_check_not_stranded(path)
+    _index_check_layout(path)
     if str(batch_id) in _index_absorbed(path):
         # compact-then-replay guard — see append_cell_index
         return []

@@ -1105,7 +1105,11 @@ CURATE_DSIR_SQL = r"""
         GROUP BY 1),
     tot AS (SELECT (SELECT CAST(SUM(sc) AS DOUBLE) FROM srcf) AS ns,
                    (SELECT CAST(COUNT(*) AS DOUBLE) FROM srcf) AS v,
-                   (SELECT CAST(SUM(tc) AS DOUBLE) FROM tgtf) AS nt)
+                   -- COALESCE matches the engine's empty-target semantics
+                   -- (curation.py dsir_weights coalesces the target total
+                   -- to 0 so weights stay defined when the target slice is
+                   -- empty; SUM over zero rows is NULL in SQL)
+                   (SELECT COALESCE(CAST(SUM(tc) AS DOUBLE), 0) FROM tgtf) AS nt)
     SELECT tf.doc_id,
            CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
            ROUND(SUM(tf.tf * ln(((COALESCE(g.tc, 0) + 1) / (t.nt + t.v))
