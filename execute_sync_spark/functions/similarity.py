@@ -685,9 +685,11 @@ def _index_check_layout(path: str) -> None:
                 "discovery rejects on the next read. Rebuild the index "
                 "with build_cell_index/build_pq_index first."
             )
-        # one cell is representative: builds are all-or-nothing
-        if has_batch or has_flat_data:
-            return
+        # scan ALL cells: an index that is ALREADY mixed (flat legacy
+        # cells plus two-level cells appended by a pre-check version) must
+        # not pass just because a two-level cell happened to list first
+        # (ADVICE r8) — short-circuiting is only safe on finding a flat
+        # cell (handled by the raise above)
 
 
 def _index_stranded(path: str) -> list[str]:
@@ -750,10 +752,24 @@ def sweep_index(path: str, min_age_s: float = 0.0) -> dict[str, list[str]]:
     now = time.time()
 
     def _old_enough(p: str) -> bool:
+        # the default (min_age_s=0) sweep must process every dir
+        # unconditionally — a transient stat failure (NFS hiccup) must not
+        # silently skip an aside and leave its cell stranded (ADVICE r8)
+        if min_age_s <= 0:
+            return True
         try:
-            return now - os.path.getmtime(p) >= min_age_s
+            st = os.stat(p)
         except OSError:
-            return False
+            # downstream renames/rmtrees tolerate a vanished dir; treating
+            # a stat race as "old enough" keeps the sweep complete
+            return True
+        # os.rename(live, aside) in compact_index PRESERVES the dir's
+        # mtime, so a concurrent compact's freshly-created aside can carry
+        # an hours-old mtime and wrongly pass the freshness guard; POSIX
+        # rename DOES update ctime, so gate on the newer of the two
+        # (compact_index also utime()s the aside as a belt-and-braces for
+        # filesystems with coarse ctime semantics) (ADVICE r8)
+        return now - max(st.st_mtime, st.st_ctime) >= min_age_s
 
     # evaluate staging-dir eligibility BEFORE the aside loop: a
     # forward-finish rename out of a staging dir bumps its mtime past
@@ -868,6 +884,13 @@ def compact_index(spark, path: str) -> list[int]:
             json.dump({"batches": sorted(absorbed)}, f)
         aside = os.path.join(path, f"_old_cell_{cell}_{os.getpid()}")
         os.rename(live, aside)
+        try:
+            # rename preserves mtime — stamp the aside NOW so a concurrent
+            # sweep_index(min_age_s>0) in another process sees it as fresh
+            # (its _old_enough gate reads max(mtime, ctime)) (ADVICE r8)
+            os.utime(aside)
+        except OSError:
+            pass
         os.rename(src, live)
         shutil.rmtree(aside, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
