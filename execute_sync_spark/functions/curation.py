@@ -146,6 +146,71 @@ def dsir_weights(
     )
 
 
+def dsir_weights_hashed(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10000,
+) -> DataFrame:
+    """``dsir_weights`` with the paper's hashed-n-gram state bound (Xie et
+    al. 2023 §2.2), now implemented (VERDICT r8 task 8): every token maps
+    to ``h32(token) % n_buckets`` BEFORE any frequency counting, so both
+    frequency tables — the only state the operator carries — are bounded
+    at ``n_buckets`` rows regardless of corpus size. At 100 TB the
+    unhashed form's source-frequency table is the open-vocabulary web
+    (billions of rows, one vocabulary-sized shuffle); the hashed form's
+    is 10k rows — small enough to BROADCAST, collapsing the two
+    frequency joins into map-side lookups. The log-ratio math is
+    unchanged, applied to bucket counts; smoothing's V term becomes the
+    occupied-bucket count (≤ n_buckets).
+
+    Collision error: hashing merges tokens that share a bucket, so each
+    per-token log-ratio is replaced by its bucket's mass-weighted
+    blend. With V distinct tokens uniformly hashed into B buckets, a
+    given token shares its bucket with ~(V-1)/B others; the perturbation
+    of a document's mean weight is bounded by the colliding probability
+    mass (~V/B of the distribution blended per bucket in expectation).
+    The paper's finding — 10k buckets preserve selection quality — is
+    why B=10k is the default; the md5-prefix hash keeps the bucketing
+    engine-portable for the oracle (COVERAGE.md knob table)."""
+    from execute_sync_spark.functions.hashing import h32
+    from execute_sync_spark.functions.text import tokens
+
+    def _tok(df):
+        return (
+            df.select(F.col(id_col), F.explode_outer(tokens(text_col)).alias("token"))
+            .filter(F.col("token").isNotNull() & (F.col("token") != ""))
+            .select(F.col(id_col), (h32(F.col("token")) % n_buckets).alias("bucket"))
+        )
+
+    tf = _tok(docs).groupBy(id_col, "bucket").agg(F.count("*").alias("tf"))
+    src_freq = tf.groupBy("bucket").agg(F.sum("tf").alias("sc"))
+    tgt_freq = _tok(target).groupBy("bucket").agg(F.count("*").alias("tc"))
+    totals = src_freq.agg(
+        F.sum("sc").cast("double").alias("_ns"),
+        F.count("*").cast("double").alias("_v"),
+    ).crossJoin(
+        tgt_freq.agg(F.coalesce(F.sum("tc"), F.lit(0)).cast("double").alias("_nt"))
+    )
+    # bounded state is what buys the broadcast: both frequency sides are
+    # ≤ n_buckets rows, so neither join shuffles the doc-token stream
+    joined = (
+        tf.join(F.broadcast(src_freq), "bucket")
+        .join(F.broadcast(tgt_freq), "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("tc", F.coalesce(F.col("tc"), F.lit(0)))
+    )
+    logratio = F.log(
+        ((F.col("tc") + 1) / (F.col("_nt") + F.col("_v")))
+        / ((F.col("sc") + 1) / (F.col("_ns") + F.col("_v")))
+    )
+    return joined.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.round(F.sum(F.col("tf") * logratio) / F.sum("tf"), 6).alias("dsir_weight"),
+    )
+
+
 def token_budget_select(
     docs: DataFrame,
     budget: int,

@@ -297,6 +297,48 @@ def ccnet_buckets(
     )
 
 
+def ccnet_buckets_approx(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The 100 TB form of ``ccnet_buckets`` (the swap that function's
+    docstring declares, now implemented — VERDICT r8 task 7): instead of
+    an exact equal-depth NTILE(3) — a range-partitioned global sort per
+    language — compute each language's two score thresholds with
+    ``percentile_approx`` (Greenwald-Khanna sketch, one aggregation pass,
+    rank error ≤ n/accuracy) and bucket every document by COMPARISON
+    against its language's broadcast thresholds. No sort anywhere: the
+    cost is one partial-aggregated groupBy over languages (tiny) plus a
+    broadcast join, which is what survives at corpus scale. Output
+    contract matches ccnet_buckets; placement can differ from the exact
+    tiling only for documents at the tile boundaries (sketch rank error +
+    NTILE's remainder handling), which is the accepted trade of the
+    approx form."""
+    scored = unigram_logprob(docs, text_col, id_col).join(
+        docs.select(F.col(id_col), F.col(lang_col)), id_col
+    )
+    # ranking is score-DESC, so the head/middle cut sits at the ascending
+    # 2/3 quantile and the middle/tail cut at the ascending 1/3 quantile
+    thresholds = scored.groupBy(lang_col).agg(
+        F.percentile_approx("avg_logprob", [2.0 / 3.0, 1.0 / 3.0], accuracy).alias("__t")
+    )
+    bucket = (
+        F.when(F.col("avg_logprob") >= F.element_at("__t", 1), "head")
+        .when(F.col("avg_logprob") >= F.element_at("__t", 2), "middle")
+        .otherwise("tail")
+    )
+    return scored.join(F.broadcast(thresholds), lang_col).select(
+        F.col(id_col),
+        F.col(lang_col),
+        "n_tokens",
+        "avg_logprob",
+        bucket.alias("bucket"),
+    )
+
+
 def corpus_stats(
     docs: DataFrame,
     text_col: str = "text",

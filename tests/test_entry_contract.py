@@ -31,21 +31,22 @@ def test_oracles_subset_of_queries():
     # alongside the extension surface.
     first50 = set(list(qs)[:50])
     must_gate = {
-        # the round-7 new op gates immediately (never declare a new op
+        # the round-9 new ops gate immediately (never declare a new op
         # outside the window)
-        "sim_ivfpq_indexed", "text_ccnet_buckets", "curate_dsir_weights",
-        "curate_token_budget", "text_corpus_stats",
-        "dedup_containment_pairs", "q_rolling_revenue", "sim_recall_at_k",
-        # r04-stale greens re-gated on current testdata (3 of 12; the
-        # deferred nine lead slots 51+ for round 8)
-        "dedup_jaccard_pairs_scaled",
-        "mm_frame_sample", "stream_dedup",
-        # r02-stale greens: the TPC-H core + window/pivot/grouping-sets/
-        # percentile surface (spot-check the corners; the full 39 are in
-        # the window per the registry comment)
-        "q2_min_cost_supplier", "q7_volume_shipping", "q13_order_count_distribution",
-        "q22_idle_customers", "q_window_funcs", "q_pivot_status",
-        "q_grouping_sets", "q_percentiles", "q_asof_join", "q_sessionize",
+        "dedup_containment_pairs_scaled", "sim_lsh_indexed",
+        "text_ccnet_buckets_approx", "curate_dsir_weights_hashed",
+        "v_variant_shred_sink", "q_unpivot_sink",
+        # the 9 r04-stale rows (4 rounds old after r8's skipped rotation)
+        "curate_chunk_windows", "d_version_churn", "text_repetition",
+        "sim_range_search", "stream_sliding_counts", "text_bigram_top",
+        "curate_pack_sequences", "sim_cosine_topk_vec", "curate_weighted_sample",
+        # the 19 r05-stale rows (spot-check the corners; the full 19 are
+        # in the window per the registry comment)
+        "stream_sessionize_closed", "d2_change_feed", "mm_resize_plan",
+        "dedup_embedding_pairs_expr", "q_recursive_hierarchy",
+        "q_approx_distinct", "q_skew_salted_agg",
+        # permanent relational core restored after its one-round suspension
+        "q1_pricing_summary", "d1_latest_batch", "d3_superseded", "v_shred_props",
     }
     assert must_gate <= first50, sorted(must_gate - first50)
     # the extension families stay represented in the window

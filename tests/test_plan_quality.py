@@ -170,6 +170,36 @@ def test_ivf_indexed_probe_prunes_partitions(spark, tmp_path):
     assert a == b
 
 
+def test_lsh_indexed_probe_prunes_partitions(spark, tmp_path):
+    """The persisted sign-LSH index (build_lsh_index: parquet partitioned
+    by (table, bucket)) must turn a probe into a PARTITION-PRUNED scan —
+    the per-table bucket disjunction resolves at the file listing, so a
+    query reads only the collided buckets, never the full L-times-corpus
+    tree. Also: the indexed probe must agree exactly with the in-flight
+    vectorized form (the gated sim_lsh_topk path)."""
+    from execute_sync_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 2)
+
+    idx = similarity.build_lsh_index(emb, str(tmp_path / "lsh_idx"))
+    probe = similarity.lsh_topk_indexed(spark, idx, q, k=5)
+
+    plan = _formatted(probe)
+    pf = [l for l in plan.splitlines() if "PartitionFilters:" in l][0]
+    # every one of the 6 tables is constrained to the <=2 collided buckets
+    # (2 queries), so at most 12 of the 6*2^4 partitions are listed/read
+    import re
+
+    clauses = re.findall(r"\(table#\d+ = \d\) AND bucket#\d+ IN \(([\d,]+)\)", pf)
+    assert len(clauses) == 6, pf
+    assert all(len(c.split(",")) <= 2 for c in clauses), pf
+
+    a = sorted(map(tuple, similarity.lsh_topk_vectorized(emb, q, k=5).collect()))
+    b = sorted(map(tuple, probe.collect()))
+    assert a == b
+
+
 def test_docs_wide_repartitions_only_when_needed(spark, tmp_path):
     """_docs_wide exists to spread per-doc compute when the scan yields
     fewer tasks than cores (bench scale: a couple of row groups). On input

