@@ -106,7 +106,8 @@ def _timed_pass(spark, sf_dir: str, warm: bool = False, only: list[str] | None =
     cache between string-heavy scans, inflating in-bench ratios 2-5x vs
     isolated re-measures (ROADMAP "10x scale validation", round 6)."""
     times: dict[str, float] = {}
-    for name, fn in workload.QUERIES.items():
+    bench_set = {**workload.QUERIES, **getattr(workload, "BENCH_EXTRA_QUERIES", {})}
+    for name, fn in bench_set.items():
         if only is not None and name not in only:
             continue
         if warm:
@@ -200,7 +201,8 @@ def _parse_only() -> list[str] | None:
     if i + 1 >= len(sys.argv) or sys.argv[i + 1].startswith("--"):
         raise SystemExit("--only requires a comma-separated query list")
     names = sys.argv[i + 1].split(",")
-    unknown = [n for n in names if n not in workload.QUERIES]
+    known = set(workload.QUERIES) | set(getattr(workload, "BENCH_EXTRA_QUERIES", {}))
+    unknown = [n for n in names if n not in known]
     if unknown:
         raise SystemExit(f"--only names not in the workload: {unknown}")
     if "--scale30" not in sys.argv:

@@ -431,6 +431,110 @@ def ivf_topk(
     )
 
 
+def assign_cells_vectorized(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``assign_cells``, the BLAS scale path: one ``Vn @ CentN.T`` matrix
+    product per Arrow batch instead of N x k interpreted HOF dot products
+    — the form that survives k ≈ sqrt(N) cells (the SemDeDup/IVF
+    deployment shape), where the expression path's N*k interpreted dots
+    dominate the whole pipeline. Same output contract and tie-breaks as
+    assign_cells: nearest centroid by cosine, ties to the LOWEST cell_id
+    (centroid ids are scored in ascending order and argmax takes the
+    first maximum; all-NaN zero-vector rows also fall to the lowest cell,
+    matching Spark's NaN-first descending sort). Centroids are a bounded
+    broadcast; the corpus never shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    cent_ids, Cent = _collect_vecs(centroids, id_col, vec_col)
+    spark = corpus.sparkSession
+    if Cent is None:
+        return spark.createDataFrame(
+            [], schema=f"{id_col} long, v array<double>, cell_id long"
+        )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        CentN = Cent / np.linalg.norm(Cent, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((np.asarray(cent_ids), CentN))
+
+    def assign_batch(batches):
+        b_ids, b_CentN = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+                S = Vn @ b_CentN.T
+            # argmax returns the FIRST max -> lowest cell_id on ties (ids
+            # ascend); all-NaN rows return 0 -> lowest cell, like the
+            # expression form's NaN-first descending sort
+            nearest = b_ids[np.nanargmax(np.nan_to_num(S, nan=-np.inf), axis=1)]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "v": pdf["v"], "cell_id": nearest}
+            )
+
+    return corpus.select(F.col(id_col), _as_double(vec_col).alias("v")).mapInPandas(
+        assign_batch, schema=f"{id_col} long, v array<double>, cell_id long"
+    )
+
+
+def kmeans_fit_sample(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int | None = None,
+) -> DataFrame:
+    """The deployment form of the coarse-quantizer fit (the FAISS `train`
+    idiom): Lloyd's k-means runs driver-side in numpy over a BOUNDED
+    deterministic sample of the corpus — ``sample_cap`` (default 50*k)
+    vectors chosen by portable-hash order, so the fit costs O(cap * k)
+    BLAS per iteration regardless of corpus size, and only the assignment
+    of the full corpus is distributed (``assign_cells_vectorized``). This
+    is how k ≈ sqrt(N) quantizers are actually trained at 100 TB — a
+    distributed Lloyd's over the full corpus (``kmeans_fit``) pays an
+    N x k assignment per iteration for centroids a 50*k sample estimates
+    just as well. Deterministic: hash-ordered sample, lowest-id init,
+    fixed iteration count; empty cells keep their previous centroid.
+    Returns (id_col = cell_id 1..k, vec_col) like kmeans_fit."""
+    import numpy as np
+
+    from execute_sync_spark.functions.hashing import h32
+
+    cap = sample_cap or 50 * k
+    # TakeOrderedAndProject: per-partition heap of cap rows, no full sort
+    sample = (
+        corpus.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+        .orderBy(h32(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(cap)
+    )
+    ids, V = _collect_vecs(sample.select(id_col, F.col("__v").alias("v")), id_col, "v")
+    spark = corpus.sparkSession
+    if V is None or len(V) == 0:
+        return spark.createDataFrame([], schema=f"{id_col} long, {vec_col} array<double>")
+    k = min(k, len(V))
+    Cent = V[:k].copy()  # ids are ascending from _collect_vecs: lowest-id init
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        Vn = np.nan_to_num(Vn, nan=0.0)
+    for _ in range(iters):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            CentN = Cent / np.linalg.norm(Cent, axis=1, keepdims=True)
+        S = Vn @ np.nan_to_num(CentN, nan=0.0).T
+        nearest = np.argmax(S, axis=1)  # first max -> lowest cell on ties
+        for c in range(k):
+            mask = nearest == c
+            if mask.any():
+                Cent[c] = V[mask].mean(axis=0)
+    rows = [(int(c + 1), [float(x) for x in Cent[c]]) for c in range(k)]
+    return spark.createDataFrame(rows, schema=f"{id_col} long, {vec_col} array<double>")
+
+
 def range_search_vectorized(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1387,6 +1491,7 @@ def semantic_dedup(
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized_assign: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): coarse-cluster the corpus, then within
     each cluster drop every vector that has a LOWER-ID cluster-mate with
@@ -1410,7 +1515,10 @@ def semantic_dedup(
     # agreement (a NULL score means no lower-id mate, or only NaN
     # zero-vector similarities — kept either way, matching the oracle's
     # NULL-compare semantics)
-    scores = semantic_dedup_scores(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    scores = semantic_dedup_scores(
+        corpus, centroids, id_col=id_col, vec_col=vec_col,
+        vectorized_assign=vectorized_assign,
+    )
     return scores.select(
         id_col,
         "cell_id",
@@ -1845,6 +1953,7 @@ def semantic_dedup_scores(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized_assign: bool = False,
 ) -> DataFrame:
     """The threshold-free half of ``semantic_dedup``: per vector, the MAX
     (rounded) cosine to any LOWER-ID cluster-mate (NULL when it has none,
@@ -1856,7 +1965,11 @@ def semantic_dedup_scores(
     import numpy as np
     import pandas as pd
 
-    cells = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    # vectorized_assign: the BLAS batch argmax — REQUIRED once cells grow
+    # toward sqrt(N) (the deployment shape), where the expression form's
+    # N x k interpreted dot products dominate the whole pipeline
+    assign = assign_cells_vectorized if vectorized_assign else assign_cells
+    cells = assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
 
     def scores_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col)

@@ -1941,6 +1941,35 @@ DEDUP_SEMANTIC_SQL = f"""
 """
 
 
+def dedup_semantic_sqrt(spark, sf_dir):
+    """SemDeDup, the DEPLOYMENT form (VERDICT r8 task 2): centroids from
+    ``kmeans_fit_sample`` with k ≈ sqrt(N) (bounded driver-side Lloyd's on
+    a 50k-vector hash sample — the FAISS `train` idiom), assignment via
+    the BLAS batch argmax, per-cell gram matrices. With k ≈ sqrt(N) the
+    quadratic in-cell work totals ~N^1.5/... bounded at (N/k)^2 * k =
+    N^1.5 gram entries vs the fixed-8-cell gated form's N^2/8 — the
+    difference between 1-2x and 40-60x wall at 10-30x data (BENCH_DETAIL
+    scale blocks measure both). BENCH-ONLY, not driver-gated: k-means
+    centroids are not oracle-reproducible in DuckDB; correctness is
+    pinned instead by tests/test_round9_ops.py's independent brute-force
+    verdict re-verification on the fixture corpus (every drop has an
+    in-cell lower-id mate >= threshold; every keep has none)."""
+    import math
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = max(8, math.isqrt(n))
+    cents = similarity.kmeans_fit_sample(emb, k=k, iters=10)
+    return similarity.semantic_dedup(emb, cents, threshold=0.35, vectorized_assign=True)
+
+
+# Bench-measured but NOT driver-gated (no DuckDB-expressible oracle; see
+# each entry's docstring for the substitute verification). These are
+# separate from QUERIES so the entry contract (every declared query has an
+# oracle) stays strict.
+BENCH_EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+
 def sim_pq_topk(spark, sf_dir):
     """Product-quantization ANN (Jégou et al. 2011): the corpus is encoded
     once to 4 sub-codebook ids (4 bytes/vector vs 256 for float32 — the
@@ -4740,6 +4769,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_string_agg": q_string_agg,
     "q_sessionize": q_sessionize,
 }
+
+BENCH_EXTRA_QUERIES["dedup_semantic_sqrt"] = dedup_semantic_sqrt
 
 ORACLES: dict[str, Optional[str]] = {
     # round-9 new ops
