@@ -19,6 +19,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from execute_sync_spark import storage
+
 
 def _np_round_half_up(x, decimals: int = 4):
     """HALF_UP rounding for numpy arrays, matching Spark F.round and DuckDB
@@ -740,22 +742,21 @@ def _index_absorbed(path: str) -> set[str]:
     import json
     import os
 
+    fs = storage.STORE
     out: set[str] = set()
-    if not os.path.isdir(path):
+    if not fs.isdir(path):
         return out
     root = os.path.join(path, _INDEX_MANIFEST)
-    if os.path.isfile(root):
+    if fs.isfile(root):
         try:
-            with open(root) as f:
-                return set(json.load(f).get("batches", []))
+            return set(json.loads(fs.read_text(root)).get("batches", []))
         except (OSError, ValueError):
             pass  # unreadable summary -> the per-cell walk below
-    for cell in os.listdir(path):
+    for cell in fs.listdir(path):
         p = os.path.join(path, cell, _INDEX_MANIFEST)
-        if cell.startswith("cell_id=") and os.path.isfile(p):
+        if cell.startswith("cell_id=") and fs.isfile(p):
             try:
-                with open(p) as f:
-                    out |= set(json.load(f).get("batches", []))
+                out |= set(json.loads(fs.read_text(p)).get("batches", []))
             except (OSError, ValueError):
                 continue
     return out
@@ -772,13 +773,14 @@ def _index_check_layout(path: str) -> None:
     so fail loudly at append time instead (ADVICE r7)."""
     import os
 
-    if not os.path.isdir(path):
+    fs = storage.STORE
+    if not fs.isdir(path):
         return
-    for cell in os.listdir(path):
+    for cell in fs.listdir(path):
         p = os.path.join(path, cell)
-        if not cell.startswith("cell_id=") or not os.path.isdir(p):
+        if not cell.startswith("cell_id=") or not fs.isdir(p):
             continue
-        entries = os.listdir(p)
+        entries = fs.listdir(p)
         has_batch = any(e.startswith("batch_id=") for e in entries)
         has_flat_data = any(e.endswith(".parquet") and not e.startswith(".") for e in entries)
         if has_flat_data and not has_batch:
@@ -805,13 +807,14 @@ def _index_stranded(path: str) -> list[str]:
     loudly instead (mirrors HourlyRollup._check_not_stranded)."""
     import os
 
+    fs = storage.STORE
     out: list[str] = []
-    if not os.path.isdir(path):
+    if not fs.isdir(path):
         return out
-    for n in os.listdir(path):
+    for n in fs.listdir(path):
         if n.startswith("_old_cell_"):
             cell = n[len("_old_cell_"):].rsplit("_", 1)[0]
-            if not os.path.isdir(os.path.join(path, f"cell_id={cell}")):
+            if not fs.isdir(os.path.join(path, f"cell_id={cell}")):
                 out.append(n)
     return out
 
@@ -846,12 +849,12 @@ def sweep_index(path: str, min_age_s: float = 0.0) -> dict[str, list[str]]:
     set it above a compact's expected duration when sweeping a shared
     index."""
     import os
-    import shutil
     import time
 
+    fs = storage.STORE
     restored: list[str] = []
     reclaimed: list[str] = []
-    if not os.path.isdir(path):
+    if not fs.isdir(path):
         return {"restored": restored, "reclaimed": reclaimed}
     now = time.time()
 
@@ -862,18 +865,18 @@ def sweep_index(path: str, min_age_s: float = 0.0) -> dict[str, list[str]]:
         if min_age_s <= 0:
             return True
         try:
-            st = os.stat(p)
+            fresh = fs.freshness(p)
         except OSError:
             # downstream renames/rmtrees tolerate a vanished dir; treating
             # a stat race as "old enough" keeps the sweep complete
             return True
-        # os.rename(live, aside) in compact_index PRESERVES the dir's
-        # mtime, so a concurrent compact's freshly-created aside can carry
-        # an hours-old mtime and wrongly pass the freshness guard; POSIX
-        # rename DOES update ctime, so gate on the newer of the two
-        # (compact_index also utime()s the aside as a belt-and-braces for
-        # filesystems with coarse ctime semantics) (ADVICE r8)
-        return now - max(st.st_mtime, st.st_ctime) >= min_age_s
+        # rename(live, aside) in compact_index PRESERVES the dir's mtime,
+        # so a concurrent compact's freshly-created aside can carry an
+        # hours-old mtime and wrongly pass the freshness guard; the
+        # store's freshness() reads the newer of mtime/ctime (POSIX
+        # rename bumps ctime; compact_index also utime()s the aside as a
+        # belt-and-braces for coarse-ctime filesystems) (ADVICE r8)
+        return now - fresh >= min_age_s
 
     # evaluate staging-dir eligibility BEFORE the aside loop: a
     # forward-finish rename out of a staging dir bumps its mtime past
@@ -882,13 +885,13 @@ def sweep_index(path: str, min_age_s: float = 0.0) -> dict[str, list[str]]:
     base = os.path.basename(path)
     old_stagings = [
         n
-        for n in sorted(os.listdir(parent))
+        for n in sorted(fs.listdir(parent))
         if n.startswith(base + "_compact_")
-        and os.path.isdir(os.path.join(parent, n))
+        and fs.isdir(os.path.join(parent, n))
         and _old_enough(os.path.join(parent, n))
     ]
 
-    for n in sorted(os.listdir(path)):
+    for n in sorted(fs.listdir(path)):
         if not n.startswith("_old_cell_"):
             continue
         aside = os.path.join(path, n)
@@ -897,21 +900,21 @@ def sweep_index(path: str, min_age_s: float = 0.0) -> dict[str, list[str]]:
         cell = n[len("_old_cell_"):].rsplit("_", 1)[0]
         pid = n.rsplit("_", 1)[1]
         live = os.path.join(path, f"cell_id={cell}")
-        if os.path.isdir(live):
-            shutil.rmtree(aside, ignore_errors=True)
+        if fs.isdir(live):
+            fs.rmtree(aside)
             reclaimed.append(n)
             continue
         staged = os.path.join(f"{path}_compact_{pid}", f"cell_id={cell}")
-        if os.path.isdir(staged) and os.path.isfile(os.path.join(staged, _INDEX_MANIFEST)):
-            os.rename(staged, live)
-            shutil.rmtree(aside, ignore_errors=True)
+        if fs.isdir(staged) and fs.isfile(os.path.join(staged, _INDEX_MANIFEST)):
+            fs.rename(staged, live)
+            fs.rmtree(aside)
         else:
-            os.rename(aside, live)
+            fs.rename(aside, live)
         restored.append(n)
     for n in old_stagings:
         p = os.path.join(parent, n)
-        if os.path.isdir(p):
-            shutil.rmtree(p, ignore_errors=True)
+        if fs.isdir(p):
+            fs.rmtree(p)
             reclaimed.append(n)
     return {"restored": restored, "reclaimed": reclaimed}
 
@@ -934,19 +937,19 @@ def compact_index(spark, path: str) -> list[int]:
     schema-agnostic). Returns the compacted cell ids."""
     import json
     import os
-    import shutil
 
-    if not os.path.isdir(path):
+    fs = storage.STORE
+    if not fs.isdir(path):
         return []
     _index_check_not_stranded(path)
     dirty: list[str] = []
-    for cell in sorted(os.listdir(path)):
+    for cell in sorted(fs.listdir(path)):
         p = os.path.join(path, cell)
-        if not cell.startswith("cell_id=") or not os.path.isdir(p):
+        if not cell.startswith("cell_id=") or not fs.isdir(p):
             continue
         if any(
             b.startswith("batch_id=") and b != "batch_id=__compacted__"
-            for b in os.listdir(p)
+            for b in fs.listdir(p)
         ):
             dirty.append(cell[len("cell_id="):])
     if not dirty:
@@ -956,7 +959,7 @@ def compact_index(spark, path: str) -> list[int]:
     # walk instead of serving a stale O(1) answer that lets replays through
     root_manifest = os.path.join(path, _INDEX_MANIFEST)
     try:
-        os.remove(root_manifest)
+        fs.remove(root_manifest)
     except OSError:
         pass
     dirty_longs = [int(c) for c in dirty]
@@ -974,44 +977,44 @@ def compact_index(spark, path: str) -> list[int]:
         live = os.path.join(path, f"cell_id={cell}")
         absorbed = {
             b[len("batch_id="):]
-            for b in os.listdir(live)
+            for b in fs.listdir(live)
             if b.startswith("batch_id=") and b != "batch_id=__compacted__"
         }
         mpath = os.path.join(live, _INDEX_MANIFEST)
         try:
-            with open(mpath) as f:
-                absorbed |= set(json.load(f).get("batches", []))
+            absorbed |= set(json.loads(fs.read_text(mpath)).get("batches", []))
         except (OSError, ValueError):
             pass
         src = os.path.join(tmp, f"cell_id={cell}")
-        with open(os.path.join(src, _INDEX_MANIFEST), "w") as f:
-            json.dump({"batches": sorted(absorbed)}, f)
+        fs.write_text(
+            os.path.join(src, _INDEX_MANIFEST),
+            json.dumps({"batches": sorted(absorbed)}),
+        )
         aside = os.path.join(path, f"_old_cell_{cell}_{os.getpid()}")
-        os.rename(live, aside)
+        fs.rename(live, aside)
         try:
             # rename preserves mtime — stamp the aside NOW so a concurrent
             # sweep_index(min_age_s>0) in another process sees it as fresh
-            # (its _old_enough gate reads max(mtime, ctime)) (ADVICE r8)
-            os.utime(aside)
+            # (its _old_enough gate reads the store's freshness clock)
+            # (ADVICE r8)
+            fs.utime(aside)
         except OSError:
             pass
-        os.rename(src, live)
-        shutil.rmtree(aside, ignore_errors=True)
-    shutil.rmtree(tmp, ignore_errors=True)
+        fs.rename(src, live)
+        fs.rmtree(aside)
+    fs.rmtree(tmp)
     # root summary manifest LAST (union over every cell) — the O(1) answer
     # for the per-append replay guard; written only after every swap
     # committed, so its presence implies it is complete
     union: set[str] = set()
-    for cell in os.listdir(path):
+    for cell in fs.listdir(path):
         p = os.path.join(path, cell, _INDEX_MANIFEST)
-        if cell.startswith("cell_id=") and os.path.isfile(p):
+        if cell.startswith("cell_id=") and fs.isfile(p):
             try:
-                with open(p) as f:
-                    union |= set(json.load(f).get("batches", []))
+                union |= set(json.loads(fs.read_text(p)).get("batches", []))
             except (OSError, ValueError):
                 continue
-    with open(root_manifest, "w") as f:
-        json.dump({"batches": sorted(union)}, f)
+    fs.write_text(root_manifest, json.dumps({"batches": sorted(union)}))
     return dirty_longs
 
 

@@ -1,0 +1,111 @@
+"""Commit-protocol storage interface (VERDICT r8 task 9).
+
+The recoverable-commit protocols in this repo — ``operators/rollup.py``
+(HourlyRollup refresh/compact/sweep) and the persisted-ANN index
+maintenance in ``functions/similarity.py`` (append/compact/sweep) — do two
+kinds of I/O:
+
+1. **Bulk data** (parquet partitions): always read/written THROUGH SPARK,
+   which already speaks every Hadoop-compatible filesystem (local, HDFS,
+   s3a, gs, abfs). Nothing here intercepts that.
+2. **Commit metadata** (directory swaps, aside/staging dirs, manifest
+   files, freshness stats): previously raw ``os``/``shutil`` calls —
+   local-POSIX only. This module routes those through ONE small store
+   interface so a deployment can swap the commit layer without touching
+   protocol logic.
+
+Store contract (what the protocols actually rely on):
+
+- ``rename(src, dst)`` is ATOMIC within the store and fails if ``dst``
+  exists as a non-empty target on POSIX semantics. Every protocol commit
+  point is one rename (manifest-last ordering does the rest).
+- ``listdir`` is list-after-write consistent: a completed rename is
+  visible to the next listing (true of POSIX, HDFS, and modern S3/GCS).
+- ``freshness(path)`` returns a monotonic-enough timestamp for the
+  multi-process sweep guard: max(mtime, ctime) locally, last-modified on
+  object stores.
+
+Object stores without native atomic directory rename (S3) implement
+``rename`` as one of:
+
+- a **manifest-pointer swap**: the Delta/Iceberg idiom — directories are
+  immutable once written and "rename" is a conditional PUT of a pointer
+  object naming the current live prefix (S3 now supports If-None-Match /
+  If-Match conditional writes). The two-rename swap becomes two pointer
+  updates; asides are just previous pointer values, so sweep's
+  restore/rollback rules carry over unchanged.
+- **server-side copy + delete** under a single-writer lock (the lease the
+  sweep ``min_age_s`` guard approximates): correct because every protocol
+  here tolerates a crash BETWEEN the copy and the delete — the sweep
+  rules classify the duplicate as a reclaimable aside.
+
+HDFS/ABFS/GCS expose atomic rename directly; ``LocalPosixStore`` is the
+default and the only implementation shipped (no object-store SDKs in this
+environment). ``set_store`` injects another implementation process-wide;
+tests inject a delegating store to prove the protocols run entirely
+through the interface.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+
+class LocalPosixStore:
+    """Commit-metadata store over local-POSIX directory semantics —
+    atomic same-filesystem rename, plain listdir/stat/open."""
+
+    def isdir(self, p: str) -> bool:
+        return os.path.isdir(p)
+
+    def isfile(self, p: str) -> bool:
+        return os.path.isfile(p)
+
+    def exists(self, p: str) -> bool:
+        return os.path.exists(p)
+
+    def listdir(self, p: str) -> list[str]:
+        return os.listdir(p)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(src, dst)
+
+    def rmtree(self, p: str) -> None:
+        shutil.rmtree(p, ignore_errors=True)
+
+    def remove(self, p: str) -> None:
+        os.remove(p)
+
+    def read_text(self, p: str) -> str:
+        with open(p) as f:
+            return f.read()
+
+    def write_text(self, p: str, s: str) -> None:
+        with open(p, "w") as f:
+            f.write(s)
+
+    def mtime(self, p: str) -> float:
+        return os.path.getmtime(p)
+
+    def freshness(self, p: str) -> float:
+        """Newest of (mtime, ctime) — the multi-process sweep guard's
+        clock. POSIX rename preserves mtime but bumps ctime, so a
+        freshly-renamed aside reads as fresh (ADVICE r8)."""
+        st = os.stat(p)
+        return max(st.st_mtime, st.st_ctime)
+
+    def utime(self, p: str) -> None:
+        os.utime(p)
+
+
+STORE: LocalPosixStore = LocalPosixStore()
+
+
+def set_store(store) -> None:
+    """Swap the process-wide commit-metadata store (e.g. an object-store
+    implementation honoring the contract above). Callers access the
+    store as ``storage.STORE`` (module attribute, never from-imported),
+    so the swap is visible everywhere immediately."""
+    global STORE
+    STORE = store

@@ -230,3 +230,43 @@ def test_semantic_sqrt_verdict_shape(spark):
     # deterministic: sample fit + BLAS assignment give identical verdicts
     again = {r.vec_id: r.kept for r in workload.dedup_semantic_sqrt(spark, SF_DIR).collect()}
     assert again == verdict
+
+
+# ---------------------------------------------------------------------------
+# recursive-CTE plan-integrity pin (VERDICT r8 task 10 / What's-wrong #6):
+# Spark 4.1's optimizer rewrites the recursive CTE's anchor attribute to a
+# NEW exprId, so the analyzed and optimized plans disagree on the output
+# user_id exprId (logged as a plan-integrity warning). Values are correct
+# today — the row is DuckDB-oracled in test_workload and the driver gate —
+# but this is the warning class that precedes wrong-answer bugs on
+# upgrade. Pin BOTH facts: (a) the output contract (names/types) survives
+# optimization, and (b) the exprId divergence is PRESENT. If (b) starts
+# failing after a Spark upgrade, the upstream quirk was fixed — delete
+# this tolerance; if (a) ever fails, stop trusting the query before the
+# oracle even runs.
+
+
+def test_recursive_cte_plan_integrity_pinned(spark):
+    from execute_sync_spark.plans import workload
+
+    df = workload.q_recursive_hierarchy(spark, SF_DIR)
+    qe = df._jdf.queryExecution()
+
+    def _attrs(plan):  # scala Seq -> python list
+        out = plan.output()
+        return [out.apply(i) for i in range(out.size())]
+
+    analyzed = [(a.name(), a.dataType().simpleString()) for a in _attrs(qe.analyzed())]
+    optimized = [(a.name(), a.dataType().simpleString()) for a in _attrs(qe.optimizedPlan())]
+    assert analyzed == optimized  # (a) the output contract is stable
+
+    a_ids = [a.exprId().id() for a in _attrs(qe.analyzed())]
+    o_ids = [a.exprId().id() for a in _attrs(qe.optimizedPlan())]
+    # (b) the known Spark 4.1 divergence: the recursion anchor's user_id
+    # gets a fresh exprId during optimization; depth/sum ids are stable
+    assert a_ids[0] != o_ids[0], (
+        "recursive-CTE exprId divergence is gone — Spark fixed the "
+        "plan-integrity quirk; delete this tolerance (and the registry "
+        "comment) after confirming the oracle row stays green"
+    )
+    assert a_ids[1:] == o_ids[1:]
