@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+from pyspark.errors import AnalysisException
 
 from execute_sync_spark import storage
 
@@ -867,9 +868,15 @@ def sweep_index(path: str, min_age_s: float = 0.0) -> dict[str, list[str]]:
         try:
             fresh = fs.freshness(p)
         except OSError:
-            # downstream renames/rmtrees tolerate a vanished dir; treating
-            # a stat race as "old enough" keeps the sweep complete
-            return True
+            # a transient stat failure must NOT make a dir pass a guarded
+            # (min_age_s>0) sweep: a concurrent compact's just-written
+            # staging dir or aside could be reclaimed inside its own
+            # quarantine window, crashing the in-flight rename. Skip this
+            # round; the next sweep retries. The ADVICE-r8 completeness
+            # requirement (never skip on stat failure) applies only to the
+            # unguarded min_age_s<=0 path, which early-returns above and
+            # never stats. (ADVICE r9)
+            return False
         # rename(live, aside) in compact_index PRESERVES the dir's mtime,
         # so a concurrent compact's freshly-created aside can carry an
         # hours-old mtime and wrongly pass the freshness guard; the
@@ -1471,7 +1478,13 @@ def lsh_topk_indexed(
                     {"query_id": qid, "neighbor_id": ids[top], "cos_sim": sims[order[:k]]}
                 )
 
-    scan = spark.read.parquet(index_path).filter(probe_filter)
+    # an index built from an empty corpus is only _SUCCESS — no parquet
+    # data files — so the scan cannot infer a schema; honor the same
+    # empty-result contract as every other BLAS twin (ADVICE r9)
+    try:
+        scan = spark.read.parquet(index_path).filter(probe_filter)
+    except AnalysisException:
+        return _empty_result(spark)
     local = scan.select(
         id_col, F.col("table").cast("int").alias("table"),
         F.col("bucket").cast("long").alias("bucket"), "v",

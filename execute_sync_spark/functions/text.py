@@ -330,11 +330,21 @@ def ccnet_buckets_approx(
         .when(F.col("avg_logprob") >= F.element_at("__t", 2), "middle")
         .otherwise("tail")
     )
-    return scored.join(F.broadcast(thresholds), lang_col).select(
-        F.col(id_col),
-        F.col(lang_col),
-        "n_tokens",
-        "avg_logprob",
+    # eqNullSafe: the exact form's window partitions NULL langs into their
+    # own tile group, so the approx form must bucket them too — a plain
+    # equi-join would silently drop every null-lang document (ADVICE r9).
+    # thresholds derives from scored, so alias both sides to keep the
+    # self-join attribute resolution unambiguous.
+    s = scored.alias("__s")
+    t = thresholds.alias("__t_side")
+    return s.join(
+        F.broadcast(t),
+        F.col(f"__s.{lang_col}").eqNullSafe(F.col(f"__t_side.{lang_col}")),
+    ).select(
+        F.col(f"__s.{id_col}"),
+        F.col(f"__s.{lang_col}"),
+        F.col("__s.n_tokens"),
+        F.col("__s.avg_logprob"),
         bucket.alias("bucket"),
     )
 

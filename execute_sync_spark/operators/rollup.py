@@ -22,23 +22,26 @@ day's accumulated batch partials into one, the OPTIMIZE analog for
 long-lived rollups. (Contrast ``ParquetSink.refresh_latest``, which must
 re-read the log because D2 latest-version is NOT additive.)
 
-Commit-protocol constraint (ADVICE r6): the swap/manifest protocol uses
-LOCAL-POSIX directory semantics — atomic same-filesystem ``os.rename``,
-``os.listdir``, plain ``open`` — so the table path must be a local (or
-POSIX-rename-capable, e.g. NFS/HDFS-mounted) filesystem. On an object
-store (S3), rename is copy+delete and not atomic: port the directory
-operations to a filesystem abstraction (or run the commit step against
-HDFS/a bucket with atomic-rename semantics) before deploying there. The
-PARTITION LAYOUT and idempotency reasoning are store-agnostic; only the
-commit primitives assume POSIX.
+Commit-protocol constraint (ADVICE r6, interface r10): every commit
+metadata operation — directory swaps, aside/staging dirs, the
+``_absorbed.json`` manifest, freshness stats — goes through
+``storage.STORE`` (see ``execute_sync_spark/storage.py`` for the exact
+rename/listdir/freshness contract). The shipped ``LocalPosixStore``
+requires a local (or POSIX-rename-capable, e.g. NFS/HDFS-mounted)
+filesystem; an object-store deployment swaps in a store implementing
+rename as a manifest-pointer swap or copy+delete-under-lease
+(``storage.py`` documents both) via ``storage.set_store`` — the PARTITION
+LAYOUT and idempotency reasoning here are store-agnostic. Bulk parquet
+always goes through Spark, never the store.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
 import uuid
+
+from execute_sync_spark import storage
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -72,8 +75,7 @@ class HourlyRollup:
         """Batch ids already folded into this day's compacted partition."""
         p = os.path.join(self.path, f"day={day}", _MANIFEST)
         try:
-            with open(p) as f:
-                return set(json.load(f).get("batches", []))
+            return set(json.loads(storage.STORE.read_text(p)).get("batches", []))
         except (OSError, ValueError):
             return set()
 
@@ -98,13 +100,14 @@ class HourlyRollup:
             .partitionBy("day", "batch_id")
             .parquet(tmp)
         )
+        fs = storage.STORE
         old_aside = f"{self.path}_old_{uuid.uuid4().hex[:8]}"
-        had_live = os.path.isdir(self.path)
+        had_live = fs.isdir(self.path)
         if had_live:
-            os.rename(self.path, old_aside)
-        os.rename(tmp, self.path)
+            fs.rename(self.path, old_aside)
+        fs.rename(tmp, self.path)
         if had_live:
-            shutil.rmtree(old_aside, ignore_errors=True)
+            fs.rmtree(old_aside)
         return self.path
 
     # -- incremental refresh ------------------------------------------------
@@ -171,17 +174,18 @@ class HourlyRollup:
         dir that reads ignore — run :meth:`sweep` to restore or reclaim
         stranded asides (build()'s window has the same shape with
         ``{path}_old_*``, also swept)."""
-        if not os.path.isdir(self.path):
+        fs = storage.STORE
+        if not fs.isdir(self.path):
             return []
         # only days holding UNCOMPACTED partials need work — periodic
         # compaction is O(days with new batches), not O(full table)
         days = sorted(
             d[len("day="):]
-            for d in os.listdir(self.path)
-            if d.startswith("day=") and os.path.isdir(os.path.join(self.path, d))
+            for d in fs.listdir(self.path)
+            if d.startswith("day=") and fs.isdir(os.path.join(self.path, d))
             and any(
                 b.startswith("batch_id=") and b != "batch_id=__compacted__"
-                for b in os.listdir(os.path.join(self.path, d))
+                for b in fs.listdir(os.path.join(self.path, d))
             )
         )
         if not days:
@@ -200,21 +204,23 @@ class HourlyRollup:
             live = os.path.join(self.path, f"day={day}")
             absorbed = self._absorbed(day) | {
                 b[len("batch_id="):]
-                for b in os.listdir(live)
+                for b in fs.listdir(live)
                 if b.startswith("batch_id=") and b != "batch_id=__compacted__"
             }
             src = os.path.join(tmp, f"day={day}")
-            with open(os.path.join(src, _MANIFEST), "w") as f:
-                json.dump({"batches": sorted(absorbed)}, f)
+            fs.write_text(
+                os.path.join(src, _MANIFEST),
+                json.dumps({"batches": sorted(absorbed)}),
+            )
             # recoverable two-rename swap: aside dir is "_"-prefixed, so
             # Spark's reader ignores it if a crash strands it mid-window;
             # the day value stays intact in the name so sweep() can map a
             # stranded aside back to its partition
             aside = os.path.join(self.path, f"_old_day_{day}_{os.getpid()}")
-            os.rename(live, aside)
-            os.rename(src, live)
-            shutil.rmtree(aside, ignore_errors=True)
-        shutil.rmtree(tmp, ignore_errors=True)
+            fs.rename(live, aside)
+            fs.rename(src, live)
+            fs.rmtree(aside)
+        fs.rmtree(tmp)
         return days
 
     # -- crash recovery ------------------------------------------------------
@@ -225,17 +231,18 @@ class HourlyRollup:
         lose a day (or the whole table). Debris whose live dir exists
         (crash after both renames, before cleanup) is harmless to reads
         and NOT reported here; sweep() reclaims it."""
+        fs = storage.STORE
         out: list[str] = []
         parent = os.path.dirname(self.path) or "."
         base = os.path.basename(self.path)
-        if not os.path.isdir(self.path):
-            if os.path.isdir(parent):
-                out += [n for n in os.listdir(parent) if n.startswith(base + "_old_")]
+        if not fs.isdir(self.path):
+            if fs.isdir(parent):
+                out += [n for n in fs.listdir(parent) if n.startswith(base + "_old_")]
             return out
-        for n in os.listdir(self.path):
+        for n in fs.listdir(self.path):
             if n.startswith("_old_day_"):
                 day = n[len("_old_day_"):].rsplit("_", 1)[0]
-                if not os.path.isdir(os.path.join(self.path, f"day={day}")):
+                if not fs.isdir(os.path.join(self.path, f"day={day}")):
                     out.append(n)
         return out
 
@@ -275,13 +282,20 @@ class HourlyRollup:
         this. Returns {"restored": [...], "reclaimed": [...]} by name."""
         import time
 
+        fs = storage.STORE
         restored: list[str] = []
         reclaimed: list[str] = []
         now = time.time()
 
         def _old_enough(p: str) -> bool:
+            # unguarded (min_age_s<=0) sweeps must process every dir and
+            # never stat; on a GUARDED sweep a transient stat failure skips
+            # this round rather than reclaiming a possibly-fresh dir
+            # (ADVICE r9, same rule as similarity's index sweep)
+            if min_age_s <= 0:
+                return True
             try:
-                return now - os.path.getmtime(p) >= min_age_s
+                return now - fs.freshness(p) >= min_age_s
             except OSError:
                 return False
 
@@ -290,9 +304,9 @@ class HourlyRollup:
         asides: list[str] = []
         tmps_build: list[str] = []
         tmps_compact: list[str] = []
-        for name in sorted(os.listdir(parent)) if os.path.isdir(parent) else []:
+        for name in sorted(fs.listdir(parent)) if fs.isdir(parent) else []:
             p = os.path.join(parent, name)
-            if not name.startswith(base + "_") or not os.path.isdir(p) or not _old_enough(p):
+            if not name.startswith(base + "_") or not fs.isdir(p) or not _old_enough(p):
                 continue
             rest = name[len(base) + 1:]
             if rest.startswith("old_"):
@@ -301,30 +315,30 @@ class HourlyRollup:
                 tmps_compact.append(p)
             elif len(rest) == 8 and all(c in "0123456789abcdef" for c in rest):
                 tmps_build.append(p)
-        if not os.path.isdir(self.path) and asides:
-            complete = [t for t in tmps_build if os.path.exists(os.path.join(t, "_SUCCESS"))]
+        if not fs.isdir(self.path) and asides:
+            complete = [t for t in tmps_build if fs.exists(os.path.join(t, "_SUCCESS"))]
             pick_from = complete or asides
-            newest = max(pick_from, key=os.path.getmtime)
-            os.rename(newest, self.path)
+            newest = max(pick_from, key=fs.mtime)
+            fs.rename(newest, self.path)
             restored.append(os.path.basename(newest))
             (tmps_build if complete else asides).remove(newest)
         for p in asides + tmps_build:
-            shutil.rmtree(p, ignore_errors=True)
+            fs.rmtree(p)
             reclaimed.append(os.path.basename(p))
 
-        if os.path.isdir(self.path):
-            for name in sorted(os.listdir(self.path)):
+        if fs.isdir(self.path):
+            for name in sorted(fs.listdir(self.path)):
                 if not name.startswith("_old_day_"):
                     continue
                 aside = os.path.join(self.path, name)
-                if not os.path.isdir(aside) or not _old_enough(aside):
+                if not fs.isdir(aside) or not _old_enough(aside):
                     continue
                 day = name[len("_old_day_"):].rsplit("_", 1)[0]
                 pid = name.rsplit("_", 1)[1]
                 live = os.path.join(self.path, f"day={day}")
-                if os.path.isdir(live):
+                if fs.isdir(live):
                     # both renames completed; only the aside cleanup crashed
-                    shutil.rmtree(aside, ignore_errors=True)
+                    fs.rmtree(aside)
                     reclaimed.append(name)
                     continue
                 # Forward-finish ONLY from the staging dir of the SAME
@@ -339,16 +353,16 @@ class HourlyRollup:
                 # data) rolls back instead.
                 staged = os.path.join(f"{self.path}_compact_{pid}", f"day={day}")
                 if (
-                    os.path.isdir(staged)
-                    and os.path.isfile(os.path.join(staged, _MANIFEST))
+                    fs.isdir(staged)
+                    and fs.isfile(os.path.join(staged, _MANIFEST))
                 ):
-                    os.rename(staged, live)  # finish forward, manifest included
-                    shutil.rmtree(aside, ignore_errors=True)
+                    fs.rename(staged, live)  # finish forward, manifest included
+                    fs.rmtree(aside)
                 else:
-                    os.rename(aside, live)  # roll back to the pre-compact day
+                    fs.rename(aside, live)  # roll back to the pre-compact day
                 restored.append(name)
         for t in tmps_compact:
-            shutil.rmtree(t, ignore_errors=True)
+            fs.rmtree(t)
             reclaimed.append(os.path.basename(t))
         return {"restored": restored, "reclaimed": reclaimed}
 
@@ -363,7 +377,7 @@ class HourlyRollup:
         commit raises, pointing at sweep(): silently reading around a
         vanished day is exactly the failure ADVICE r6 flagged."""
         self._check_not_stranded()
-        if not os.path.isdir(self.path):
+        if not storage.STORE.isdir(self.path):
             return self.spark.createDataFrame(
                 [],
                 "event_type string, bucket_start timestamp, day date, "

@@ -3842,7 +3842,10 @@ SIM_LSH_SQL = f"""
 
 def _lsh_index_path(sf_dir: str) -> str:
     """Per-testdata cache location for the persisted sign-LSH index, same
-    (mtime, size) fingerprint scheme as _ivf_index_path."""
+    (mtime, size) fingerprint scheme as _ivf_index_path. The cached
+    bucketing also depends on the LSH plane constants, so a digest of
+    ``LSH_TABLES`` is folded into the key — changing seeds/L/b rebuilds
+    instead of silently reusing stale buckets (ADVICE r9)."""
     import hashlib
     import tempfile
 
@@ -3852,7 +3855,10 @@ def _lsh_index_path(sf_dir: str) -> str:
         fp = f"{st.st_mtime_ns}_{st.st_size}"
     except OSError:
         fp = "missing"
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{fp}".encode()).hexdigest()[:12]
+    planes = hashlib.md5(repr(similarity.LSH_TABLES).encode()).hexdigest()[:8]
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{fp}:{planes}".encode()
+    ).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"ess_lsh_index_{key}")
 
 

@@ -42,8 +42,11 @@ Object stores without native atomic directory rename (S3) implement
 HDFS/ABFS/GCS expose atomic rename directly; ``LocalPosixStore`` is the
 default and the only implementation shipped (no object-store SDKs in this
 environment). ``set_store`` injects another implementation process-wide;
-tests inject a delegating store to prove the protocols run entirely
-through the interface.
+``tests/test_storage_contract.py`` injects (a) a delegating recorder to
+prove the protocols run entirely through the interface and (b) a
+``FakeConditionalStore`` implementing rename as the conditional
+pointer-swap sketched above, proving the protocols pass on non-POSIX
+rename semantics.
 """
 
 from __future__ import annotations
