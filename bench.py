@@ -24,6 +24,10 @@ synthesis and records wall ratios vs the base pass (ratio ≈ factor =
 linear). ``--scale30 --only spans,semantic,...`` does the same at 30x for
 a named subset (--only scopes only the 30x pass; scale10 stays full) — the heavy hitters that prove the linear story holds
 another 3x out without paying 30x on the deliberately-exact pair finders.
+``--scale-full --only ...`` measures ALL FOUR blocks (10x/30x, cold and
+warm) in one invocation: a warm base pass is timed alongside the cold
+one, so every block's ratio divides by a same-invocation, cache-state-
+matched base — the mode to use for the round's scale-evidence refresh.
 """
 
 from __future__ import annotations
@@ -130,7 +134,13 @@ def _median_passes(spark, sf_dir: str, runs: int, warm: bool) -> tuple[dict[str,
     return med, [round(sum(r.values()), 3) for r in all_runs]
 
 
-def _scale_pass(spark, detail: dict, factor: int, only: list[str] | None = None) -> None:
+def _scale_pass(
+    spark,
+    detail: dict,
+    factor: int,
+    only: list[str] | None = None,
+    warm: bool | None = None,
+) -> None:
     """--scale10 / --scale30: re-time the workload (or an --only subset) on
     the committed ``factor``x synthesis (tools/make_scale10.py; built on
     first use) and record per-query wall ratios vs the base pass — the
@@ -156,15 +166,19 @@ def _scale_pass(spark, detail: dict, factor: int, only: list[str] | None = None)
     # meaningless (or crashing) ratio_vs_base numbers.
     if not is_current(spark, src, dst, factor):
         build(spark, src, dst, factor)
-    warm = "--warm" in sys.argv
+    if warm is None:
+        warm = "--warm" in sys.argv
     times_n = _timed_pass(spark, dst, warm=warm, only=only)
-    base = detail["queries"]
+    # warm ratios divide by the WARM base pass when one was measured in
+    # this invocation (--scale-full); plan-vs-plan, cache-state matched
+    base = detail["queries_warm"] if warm and "queries_warm" in detail else detail["queries"]
     # warm ratios live under their own key: they measure plan scaling with
     # page cache warm, not the cold-I/O methodology rounds compare against
     detail[f"scale{factor}_warm" if warm else f"scale{factor}"] = {
         "sf_dir": dst,
         "factor": factor,
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "stale": False,  # measured by THIS invocation, against its own base
         "seq_total_sec": round(sum(times_n.values()), 3),
         "only": sorted(only) if only else None,
         "queries": times_n,
@@ -178,8 +192,13 @@ def _carry_scale_blocks(detail: dict, detail_path: str) -> None:
     """A bench run must not DESTROY previously measured scale ratio blocks
     (round-5 postmortem: the final bench run overwrote the committed
     artifact and ROADMAP's pointer dangled). Any scale block the current
-    run did not itself measure is carried forward marked stale — readers
-    see both the ratios and that they predate this base pass."""
+    run did not itself measure is carried forward; it is marked STALE
+    only once its measurement is over a day old (VERDICT r9: a block
+    measured this round on this host is current evidence even when the
+    driver's plain end-of-round bench re-runs the base pass hours later —
+    the old carry marked everything stale on ANY re-run, which made
+    'all four blocks fresh' structurally unachievable and let genuinely
+    rotten blocks hide among freshly-stained ones)."""
     try:
         with open(detail_path) as f:
             prev_all = json.load(f)
@@ -187,7 +206,13 @@ def _carry_scale_blocks(detail: dict, detail_path: str) -> None:
         return
     for key, prev in prev_all.items():
         if key.startswith("scale") and isinstance(prev, dict) and key not in detail:
-            prev["stale"] = True  # measured against an EARLIER base pass
+            try:
+                age_s = time.time() - time.mktime(
+                    time.strptime(prev.get("measured_at", ""), "%Y-%m-%dT%H:%M:%S")
+                )
+            except (ValueError, OverflowError):
+                age_s = float("inf")
+            prev["stale"] = age_s > 86400  # predates this round's host state
             detail[key] = prev
 
 
@@ -205,8 +230,8 @@ def _parse_only() -> list[str] | None:
     unknown = [n for n in names if n not in known]
     if unknown:
         raise SystemExit(f"--only names not in the workload: {unknown}")
-    if "--scale30" not in sys.argv:
-        raise SystemExit("--only scopes the 30x pass; pass --scale30 with it")
+    if "--scale30" not in sys.argv and "--scale-full" not in sys.argv:
+        raise SystemExit("--only scopes the 30x pass; pass --scale30 or --scale-full")
     return names
 
 
@@ -301,6 +326,20 @@ def main() -> None:
     # --only scopes the EXPENSIVE 30x pass; scale10 always covers the
     # full workload so its block stays comparable round over round
     # (validated up front in _parse_only)
+    if "--scale-full" in sys.argv:
+        # ONE invocation measures all four scale blocks against
+        # same-invocation bases (VERDICT r9 task 1): a warm base pass is
+        # timed too, so warm scale ratios divide by a warm base instead
+        # of a different run's. This is the only mode in which all four
+        # blocks can be simultaneously fresh.
+        warm_runs = int(os.environ.get("SPARK_GRAFT_BENCH_WARM_RUNS", "2"))
+        detail["queries_warm"], _ = _median_passes(
+            spark, sf_dir, runs=warm_runs, warm=True
+        )
+        _scale_pass(spark, detail, 10, warm=False)
+        _scale_pass(spark, detail, 10, warm=True)
+        _scale_pass(spark, detail, 30, only=only30, warm=False)
+        _scale_pass(spark, detail, 30, only=only30, warm=True)
     if "--scale10" in sys.argv:
         _scale_pass(spark, detail, 10)
     if "--scale30" in sys.argv:

@@ -1145,8 +1145,12 @@ def text_ccnet_buckets_approx(spark, sf_dir):
     under both forms (observed ~99%+; the slack absorbs boundary ties at
     the fixture scales). The oracle reproduces n_docs exactly and pins
     approx_ok = TRUE — a hash-mismatch means the approx form drifted from
-    the exact tiling beyond boundary noise. The pure approx operator is
-    scale-benched standalone in BENCH_DETAIL's scale blocks."""
+    the exact tiling beyond boundary noise. This row runs BOTH forms plus
+    a join, so its bench cost says nothing about the approx form's
+    claimed speedup — the standalone approx cost is measured by
+    ``text_ccnet_buckets_approx_pure`` (BENCH_EXTRA_QUERIES), benched at
+    sf0.1 and in BENCH_DETAIL's scale blocks next to the exact
+    ``text_ccnet_buckets`` (VERDICT r9 task 5)."""
     docs = _docs_wide(spark, sf_dir)
     approx = text.ccnet_buckets_approx(docs).select(
         "doc_id", F.col("bucket").alias("b_approx")
@@ -1948,8 +1952,9 @@ def dedup_semantic_sqrt(spark, sf_dir):
     the BLAS batch argmax, per-cell gram matrices. With k ≈ sqrt(N) the
     quadratic in-cell work totals ~N^1.5/... bounded at (N/k)^2 * k =
     N^1.5 gram entries vs the fixed-8-cell gated form's N^2/8 — the
-    difference between 1-2x and 40-60x wall at 10-30x data (BENCH_DETAIL
-    scale blocks measure both). BENCH-ONLY, not driver-gated: k-means
+    difference between 1-2x and 40-60x wall at 10-30x data — see
+    BENCH_DETAIL's scale blocks, which measure this form next to the
+    fixed-cell ``dedup_semantic``. BENCH-ONLY, not driver-gated: k-means
     centroids are not oracle-reproducible in DuckDB; correctness is
     pinned instead by tests/test_round9_ops.py's independent brute-force
     verdict re-verification on the fixture corpus (every drop has an
@@ -4619,76 +4624,17 @@ Q_COHORT_SQL = """
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -----------------------------------------------------------------
     # Slots 1-50: the driver's CORRECTNESS gate covers the first 50
-    # entries of this dict. Round-9 rotation (VERDICT r8 task 1 — round
-    # 8 skipped rotation, so 9 rows' latest driver green dated from r04
-    # and 19 from r05, violating the ≤2-round staleness rule): this
-    # window gates the round's SIX new ops (new ops always enter the
-    # gate immediately, VERDICT r4/r5 rule), then ALL 9 r04-stale and
-    # ALL 19 r05-stale rows, then 16 of the 50 r06-green rows (the
-    # permanent core q1/d1/d3/v_shred_props restored + a family spread).
-    # After this gate runs, nothing is older than r06; the 34 remaining
-    # r06 rows lead slots 51+ as the round-10 rotation queue. Every
-    # gated family stays represented. Displaced r08-green rows close the
-    # registry and stay pytest-oracled every run.
-    # --- the round-9 new ops ---
-    "dedup_containment_pairs_scaled": dedup_containment_pairs_scaled,
-    "sim_lsh_indexed": sim_lsh_indexed,
-    "text_ccnet_buckets_approx": text_ccnet_buckets_approx,
-    "curate_dsir_weights_hashed": curate_dsir_weights_hashed,
-    "v_variant_shred_sink": v_variant_shred_sink,
-    "q_unpivot_sink": q_unpivot_sink,
-    # --- r04-stale rows (all 9) ---
-    "curate_chunk_windows": curate_chunk_windows,
-    "d_version_churn": d_version_churn,
-    "text_repetition": text_repetition,
-    "sim_range_search": sim_range_search,
-    "stream_sliding_counts": stream_sliding_counts_q,
-    "text_bigram_top": text_bigram_top,
-    "curate_pack_sequences": curate_pack_sequences,
-    "sim_cosine_topk_vec": sim_cosine_topk_vec,
-    "curate_weighted_sample": curate_weighted_sample,
-    # --- r05-stale rows (all 19) ---
-    "stream_sessionize_closed": stream_sessionize_closed,
-    "stream_purchase_attribution": stream_purchase_attribution,
-    "d2_change_feed": d2_change_feed,
-    "v_explode_tokens": v_explode_tokens,
-    "mm_resize_plan": mm_resize_plan,
-    "curate_stratified_sample": curate_stratified_sample,
-    "mm_binary_meta": mm_binary_meta,
-    "curate_mixture_weights": curate_mixture_weights,
-    "curate_balanced_sample": curate_balanced_sample,
-    "curate_contamination": curate_contamination,
-    "text_redact_pii": text_redact_pii,
-    "dedup_embedding_pairs_expr": dedup_embedding_pairs_expr,
-    "q_event_funnel": q_event_funnel,
-    "q_recursive_hierarchy": q_recursive_hierarchy,
-    "q_range_band_join": q_range_band_join,
-    "q_scd2_history": q_scd2_history,
-    "q_skew_salted_agg": q_skew_salted_agg,
-    "q_asof_join_banded": q_asof_join_banded,
-    "q_approx_distinct": q_approx_distinct,
-    # --- r06-green re-gates (16: permanent core + family spread) ---
-    "q1_pricing_summary": q1_pricing_summary,
-    "d1_latest_batch": d1_latest_batch,
-    "d3_superseded": d3_superseded,
-    "v_shred_props": v_shred_props,
-    "dedup_exact": dedup_exact,
-    "dedup_minhash_sig": dedup_minhash_sig,
-    "dedup_lsh_pairs": dedup_lsh_pairs,
-    "dedup_incremental": dedup_incremental,
-    "dedup_semantic": dedup_semantic,
-    "text_stats": text_stats_q,
-    "text_lang_id": text_lang_id,
-    "curate_hash_split": curate_hash_split,
-    "sim_cosine_topk": sim_cosine_topk,
-    "sim_ivf_indexed": sim_ivf_indexed,
-    "mm_features": mm_features,
-    "stream_window_counts": stream_window_counts_q,
-    # -----------------------------------------------------------------
-    # Slots 51+: the 34 remaining r06-green rows lead (the round-10
-    # rotation queue, oldest evidence first), then the r08-green rows
-    # displaced by this rotation. Everything below is pytest-oracled on
-    # every run.
+    # entries of this dict. Round-10 rotation (VERDICT r9 task 2,
+    # executing the documented queue): ALL 34 remaining r06-green rows
+    # enter first (oldest evidence in the registry), then the 16 oldest
+    # r08-green rows displaced by the round-9 rotation. No new declared
+    # ops entered ahead of them this round (the round's additions are
+    # bench-only twins in BENCH_EXTRA_QUERIES). After this gate runs,
+    # nothing is older than r08; the 34 remaining r08 rows lead slots
+    # 51+ as the round-11 rotation queue. Every gated family prefix
+    # (dedup_ text_ curate_ sim_ mm_ stream_ d*/v_/q_) stays
+    # represented (tests/test_entry_contract.py enforces the plan).
+    # --- the 34 r06-green rows (round-10 queue, in queue order) ---
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_simhash": dedup_simhash,
     "dedup_substring_spans": dedup_substring_spans,
@@ -4723,7 +4669,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q21_waiting_supplier": q21_waiting_supplier,
     "q_gapfill_timeseries": q_gapfill_timeseries,
     "q_cohort_retention": q_cohort_retention,
-    # --- r08-green rows displaced by the round-9 rotation ---
+    # --- the 16 oldest r08-green rows ---
     "sim_ivfpq_indexed": sim_ivfpq_indexed,
     "text_ccnet_buckets": text_ccnet_buckets,
     "curate_dsir_weights": curate_dsir_weights,
@@ -4740,6 +4686,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q4_priority_exists": q4_priority_exists,
     "q5_revenue_by_nation": q5_revenue_by_nation,
     "q6_forecast_revenue": q6_forecast_revenue,
+    # -----------------------------------------------------------------
+    # Slots 51+: the 34 remaining r08-green rows lead (the round-11
+    # rotation queue, oldest evidence first), then the 50 r09-green
+    # rows (freshest). Everything below is pytest-oracled on every run.
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "q10_returned_items": q10_returned_items,
@@ -4774,9 +4724,75 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_unpivot_measures": q_unpivot_measures,
     "q_string_agg": q_string_agg,
     "q_sessionize": q_sessionize,
+    # --- r09-green rows (freshest driver evidence) ---
+    "dedup_containment_pairs_scaled": dedup_containment_pairs_scaled,
+    "sim_lsh_indexed": sim_lsh_indexed,
+    "text_ccnet_buckets_approx": text_ccnet_buckets_approx,
+    "curate_dsir_weights_hashed": curate_dsir_weights_hashed,
+    "v_variant_shred_sink": v_variant_shred_sink,
+    "q_unpivot_sink": q_unpivot_sink,
+    "curate_chunk_windows": curate_chunk_windows,
+    "d_version_churn": d_version_churn,
+    "text_repetition": text_repetition,
+    "sim_range_search": sim_range_search,
+    "stream_sliding_counts": stream_sliding_counts_q,
+    "text_bigram_top": text_bigram_top,
+    "curate_pack_sequences": curate_pack_sequences,
+    "sim_cosine_topk_vec": sim_cosine_topk_vec,
+    "curate_weighted_sample": curate_weighted_sample,
+    "stream_sessionize_closed": stream_sessionize_closed,
+    "stream_purchase_attribution": stream_purchase_attribution,
+    "d2_change_feed": d2_change_feed,
+    "v_explode_tokens": v_explode_tokens,
+    "mm_resize_plan": mm_resize_plan,
+    "curate_stratified_sample": curate_stratified_sample,
+    "mm_binary_meta": mm_binary_meta,
+    "curate_mixture_weights": curate_mixture_weights,
+    "curate_balanced_sample": curate_balanced_sample,
+    "curate_contamination": curate_contamination,
+    "text_redact_pii": text_redact_pii,
+    "dedup_embedding_pairs_expr": dedup_embedding_pairs_expr,
+    "q_event_funnel": q_event_funnel,
+    "q_recursive_hierarchy": q_recursive_hierarchy,
+    "q_range_band_join": q_range_band_join,
+    "q_scd2_history": q_scd2_history,
+    "q_skew_salted_agg": q_skew_salted_agg,
+    "q_asof_join_banded": q_asof_join_banded,
+    "q_approx_distinct": q_approx_distinct,
+    "q1_pricing_summary": q1_pricing_summary,
+    "d1_latest_batch": d1_latest_batch,
+    "d3_superseded": d3_superseded,
+    "v_shred_props": v_shred_props,
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_sig": dedup_minhash_sig,
+    "dedup_lsh_pairs": dedup_lsh_pairs,
+    "dedup_incremental": dedup_incremental,
+    "dedup_semantic": dedup_semantic,
+    "text_stats": text_stats_q,
+    "text_lang_id": text_lang_id,
+    "curate_hash_split": curate_hash_split,
+    "sim_cosine_topk": sim_cosine_topk,
+    "sim_ivf_indexed": sim_ivf_indexed,
+    "mm_features": mm_features,
+    "stream_window_counts": stream_window_counts_q,
 }
 
+def text_ccnet_buckets_approx_pure(spark, sf_dir):
+    """The approx-CCNet form STANDALONE — no exact tiling, no agreement
+    join — so the bench measures what the approx form actually costs
+    (VERDICT r9 task 5: the gated agreement row runs both forms and so
+    can't show the no-global-sort speedup). BENCH-ONLY: placement at
+    tile boundaries legitimately differs from the exact NTILE under
+    sketch rank error, so there is no exact DuckDB oracle; correctness
+    is pinned by the gated ``text_ccnet_buckets_approx`` agreement row
+    (>=90% same-bucket per language vs the exact form, hash-matched
+    against DuckDB) and the null-lang parity test in
+    tests/test_round10_ops.py."""
+    return text.ccnet_buckets_approx(_docs_wide(spark, sf_dir))
+
+
 BENCH_EXTRA_QUERIES["dedup_semantic_sqrt"] = dedup_semantic_sqrt
+BENCH_EXTRA_QUERIES["text_ccnet_buckets_approx_pure"] = text_ccnet_buckets_approx_pure
 
 ORACLES: dict[str, Optional[str]] = {
     # round-9 new ops

@@ -25,28 +25,25 @@ def test_oracles_subset_of_queries():
     # round 6: every declared query has an oracle (mm_features gained a
     # DuckDB byte-histogram reconstruction, VERDICT r5 #1b)
     assert set(qs) - set(oracles) == set()
-    # the driver gates the first 50 entries. Round-6 contract (VERDICT r5
-    # tasks 1c/4/5): the never-gated / stale-green rotation set and the
-    # permanent relational-core slots must sit inside the window,
-    # alongside the extension surface.
+    # the driver gates the first 50 entries. Round-10 rotation (VERDICT
+    # r9 task 2): the 34 remaining r06-green rows enter (the documented
+    # queue), plus the 16 oldest r08-green rows displaced in round 9.
     first50 = set(list(qs)[:50])
     must_gate = {
-        # the round-9 new ops gate immediately (never declare a new op
-        # outside the window)
-        "dedup_containment_pairs_scaled", "sim_lsh_indexed",
-        "text_ccnet_buckets_approx", "curate_dsir_weights_hashed",
-        "v_variant_shred_sink", "q_unpivot_sink",
-        # the 9 r04-stale rows (4 rounds old after r8's skipped rotation)
-        "curate_chunk_windows", "d_version_churn", "text_repetition",
-        "sim_range_search", "stream_sliding_counts", "text_bigram_top",
-        "curate_pack_sequences", "sim_cosine_topk_vec", "curate_weighted_sample",
-        # the 19 r05-stale rows (spot-check the corners; the full 19 are
-        # in the window per the registry comment)
-        "stream_sessionize_closed", "d2_change_feed", "mm_resize_plan",
-        "dedup_embedding_pairs_expr", "q_recursive_hierarchy",
-        "q_approx_distinct", "q_skew_salted_agg",
-        # permanent relational core restored after its one-round suspension
-        "q1_pricing_summary", "d1_latest_batch", "d3_superseded", "v_shred_props",
+        # the 34 r06-green rows (spot-check the corners + family spread;
+        # the full 34 lead the window per the registry comment)
+        "dedup_jaccard_pairs", "dedup_simhash", "dedup_substring_spans",
+        "dedup_embedding_pairs", "dedup_clusters", "curate_leakage_safe_split",
+        "text_token_count", "text_bm25_topk", "curate_bloom_contamination",
+        "sim_ivf_topk", "sim_ivfpq_topk", "sim_lsh_topk",
+        "stream_sessionize_flushed", "stream_enrich_join",
+        "d2_latest_version", "ingest_roundtrip", "v_variant_shred",
+        "q_merge_upsert", "q9_profit_by_nation_year", "q_cohort_retention",
+        # the 16 oldest r08-green re-gates
+        "sim_ivfpq_indexed", "text_ccnet_buckets", "curate_dsir_weights",
+        "text_corpus_stats", "dedup_containment_pairs", "sim_recall_at_k",
+        "mm_frame_sample", "stream_dedup", "q2_min_cost_supplier",
+        "q6_forecast_revenue",
     }
     assert must_gate <= first50, sorted(must_gate - first50)
     # the extension families stay represented in the window
