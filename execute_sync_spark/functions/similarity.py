@@ -21,6 +21,7 @@ from pyspark.sql import Window
 from pyspark.errors import AnalysisException
 
 from execute_sync_spark import storage
+from execute_sync_spark.functions import index_commit
 
 
 def _np_round_half_up(x, decimals: int = 4):
@@ -729,300 +730,60 @@ _INDEX_MANIFEST = "_absorbed.json"
 
 def _index_absorbed(path: str) -> set[str]:
     """Batch ids already folded into compacted cell partitions anywhere in
-    the index. Cell assignment is a pure function of (vector, centroids),
+    the index (cell assignment is a pure function of (vector, centroids),
     so a batch id found in ANY manifest means that whole batch was fully
-    written before compaction — a replay of it must be skipped entirely.
-
-    The O(1) fast path reads the root summary manifest ``compact_index``
-    writes LAST (and deletes FIRST), so its presence implies completeness;
-    without it — never compacted, or a compact crashed mid-way — fall back
-    to the per-cell walk. The fallback is what makes the per-append replay
-    guard safe; the fast path is what keeps a streaming feed into a
-    many-thousand-cell index from paying O(cells) metadata reads per
-    micro-batch (on NFS/HDFS mounts those are RPCs)."""
-    import json
-    import os
-
-    fs = storage.STORE
-    out: set[str] = set()
-    if not fs.isdir(path):
-        return out
-    root = os.path.join(path, _INDEX_MANIFEST)
-    if fs.isfile(root):
-        try:
-            return set(json.loads(fs.read_text(root)).get("batches", []))
-        except (OSError, ValueError):
-            pass  # unreadable summary -> the per-cell walk below
-    for cell in fs.listdir(path):
-        p = os.path.join(path, cell, _INDEX_MANIFEST)
-        if cell.startswith("cell_id=") and fs.isfile(p):
-            try:
-                out |= set(json.loads(fs.read_text(p)).get("batches", []))
-            except (OSError, ValueError):
-                continue
-    return out
+    written before compaction — a replay of it must be skipped entirely).
+    Delegates to the shared commit protocol (functions/index_commit.py,
+    CELL_SPEC): O(1) root-summary fast path, per-cell walk fallback."""
+    return index_commit.absorbed(path, index_commit.CELL_SPEC)
 
 
 def _index_check_layout(path: str) -> None:
-    """Refuse to append into a LEGACY single-level index layout. Early
-    ``build_cell_index`` versions (and any still-fingerprint-valid cached
-    tempdir built by them) wrote ``cell_id=`` partitions with data files
-    directly inside; today's appends write two-level
-    ``cell_id=/batch_id=`` partitions. Mixing the two in one tree makes
-    Spark's partition discovery reject the whole index on the NEXT read
-    ("Conflicting partition schemas") — long after the append succeeded —
-    so fail loudly at append time instead (ADVICE r7)."""
-    import os
-
-    fs = storage.STORE
-    if not fs.isdir(path):
-        return
-    for cell in fs.listdir(path):
-        p = os.path.join(path, cell)
-        if not cell.startswith("cell_id=") or not fs.isdir(p):
-            continue
-        entries = fs.listdir(p)
-        has_batch = any(e.startswith("batch_id=") for e in entries)
-        has_flat_data = any(e.endswith(".parquet") and not e.startswith(".") for e in entries)
-        if has_flat_data and not has_batch:
-            raise ValueError(
-                f"ANN index at {path} uses the legacy single-level "
-                "cell_id= layout (no batch_id= sub-partitions); appending "
-                "would create a mixed layout that Spark's partition "
-                "discovery rejects on the next read. Rebuild the index "
-                "with build_cell_index/build_pq_index first."
-            )
-        # scan ALL cells: an index that is ALREADY mixed (flat legacy
-        # cells plus two-level cells appended by a pre-check version) must
-        # not pass just because a two-level cell happened to list first
-        # (ADVICE r8) — short-circuiting is only safe on finding a flat
-        # cell (handled by the raise above)
+    """Refuse to append into a LEGACY single-level index layout (ADVICE
+    r7/r8; see index_commit.check_layout for the full reasoning — mixing
+    flat cell_id= data files with two-level cell_id=/batch_id= partitions
+    makes Spark partition discovery reject the whole index on read)."""
+    index_commit.check_layout(path, index_commit.CELL_SPEC)
 
 
 def _index_stranded(path: str) -> list[str]:
     """``_old_cell_*`` aside dirs whose live ``cell_id=`` counterpart is
-    missing — a crash inside compact_index's two-rename window. Probing
-    around such a cell silently returns WRONG top-k (the cell's vectors
-    vanish from candidates) and its manifest is unreachable (absorbed
-    replays would re-insert duplicates), so the read/append paths fail
-    loudly instead (mirrors HourlyRollup._check_not_stranded)."""
-    import os
-
-    fs = storage.STORE
-    out: list[str] = []
-    if not fs.isdir(path):
-        return out
-    for n in fs.listdir(path):
-        if n.startswith("_old_cell_"):
-            cell = n[len("_old_cell_"):].rsplit("_", 1)[0]
-            if not fs.isdir(os.path.join(path, f"cell_id={cell}")):
-                out.append(n)
-    return out
+    missing — a crash inside compact_index's two-rename window (probing
+    around such a cell silently returns WRONG top-k, so read/append
+    paths fail loudly; mirrors HourlyRollup._check_not_stranded)."""
+    return index_commit.stranded(path, index_commit.CELL_SPEC)
 
 
 def _index_check_not_stranded(path: str) -> None:
-    stranded = _index_stranded(path)
-    if stranded:
-        raise RuntimeError(
-            f"ANN index at {path} has cells stranded by an interrupted "
-            f"compaction ({stranded[:3]}{'...' if len(stranded) > 3 else ''}); "
-            "run sweep_index() to restore or reclaim them before probing or "
-            "appending"
-        )
+    index_commit.check_not_stranded(path, index_commit.CELL_SPEC)
 
 
 def sweep_index(path: str, min_age_s: float = 0.0) -> dict[str, list[str]]:
     """Restore or reclaim dirs stranded by a crash inside
-    ``compact_index``'s two-rename window (the HourlyRollup.sweep rules):
-    a cell whose live dir vanished is forward-finished ONLY from the
-    SAME compact run's staging dir (pid in the aside name matches the
-    ``{path}_compact_<pid>`` suffix) and only if that staged cell already
-    carries its manifest — any other staging dir is a stale snapshot from
-    an earlier crashed run and restoring it would silently drop appended
-    batches; otherwise the aside rolls back. Leftover asides and staging
-    tmps are reclaimed.
-
-    ``min_age_s`` guards a MULTI-PROCESS deployment (mirrors
-    HourlyRollup.sweep): another process mid-compact has FRESH asides and
-    a fresh staging dir — sweeping those deletes the live run's staged
-    output and strands its cell when the subsequent rename finds ``live``
-    already restored. Sweep therefore only touches dirs older than this;
-    set it above a compact's expected duration when sweeping a shared
-    index."""
-    import os
-    import time
-
-    fs = storage.STORE
-    restored: list[str] = []
-    reclaimed: list[str] = []
-    if not fs.isdir(path):
-        return {"restored": restored, "reclaimed": reclaimed}
-    now = time.time()
-
-    def _old_enough(p: str) -> bool:
-        # the default (min_age_s=0) sweep must process every dir
-        # unconditionally — a transient stat failure (NFS hiccup) must not
-        # silently skip an aside and leave its cell stranded (ADVICE r8)
-        if min_age_s <= 0:
-            return True
-        try:
-            fresh = fs.freshness(p)
-        except OSError:
-            # a transient stat failure must NOT make a dir pass a guarded
-            # (min_age_s>0) sweep: a concurrent compact's just-written
-            # staging dir or aside could be reclaimed inside its own
-            # quarantine window, crashing the in-flight rename. Skip this
-            # round; the next sweep retries. The ADVICE-r8 completeness
-            # requirement (never skip on stat failure) applies only to the
-            # unguarded min_age_s<=0 path, which early-returns above and
-            # never stats. (ADVICE r9)
-            return False
-        # rename(live, aside) in compact_index PRESERVES the dir's mtime,
-        # so a concurrent compact's freshly-created aside can carry an
-        # hours-old mtime and wrongly pass the freshness guard; the
-        # store's freshness() reads the newer of mtime/ctime (POSIX
-        # rename bumps ctime; compact_index also utime()s the aside as a
-        # belt-and-braces for coarse-ctime filesystems) (ADVICE r8)
-        return now - fresh >= min_age_s
-
-    # evaluate staging-dir eligibility BEFORE the aside loop: a
-    # forward-finish rename out of a staging dir bumps its mtime past
-    # ``now``, which would wrongly exempt it from the cleanup below
-    parent = os.path.dirname(path) or "."
-    base = os.path.basename(path)
-    old_stagings = [
-        n
-        for n in sorted(fs.listdir(parent))
-        if n.startswith(base + "_compact_")
-        and fs.isdir(os.path.join(parent, n))
-        and _old_enough(os.path.join(parent, n))
-    ]
-
-    for n in sorted(fs.listdir(path)):
-        if not n.startswith("_old_cell_"):
-            continue
-        aside = os.path.join(path, n)
-        if not _old_enough(aside):
-            continue
-        cell = n[len("_old_cell_"):].rsplit("_", 1)[0]
-        pid = n.rsplit("_", 1)[1]
-        live = os.path.join(path, f"cell_id={cell}")
-        if fs.isdir(live):
-            fs.rmtree(aside)
-            reclaimed.append(n)
-            continue
-        staged = os.path.join(f"{path}_compact_{pid}", f"cell_id={cell}")
-        if fs.isdir(staged) and fs.isfile(os.path.join(staged, _INDEX_MANIFEST)):
-            fs.rename(staged, live)
-            fs.rmtree(aside)
-        else:
-            fs.rename(aside, live)
-        restored.append(n)
-    for n in old_stagings:
-        p = os.path.join(parent, n)
-        if fs.isdir(p):
-            fs.rmtree(p)
-            reclaimed.append(n)
-    return {"restored": restored, "reclaimed": reclaimed}
+    ``compact_index``'s two-rename window — the shared protocol's sweep
+    (index_commit.sweep, CELL_SPEC) with the HourlyRollup.sweep rules:
+    forward-finish ONLY from the SAME compact run's pid-matched staging
+    dir carrying its manifest, else roll the aside back; reclaim leftover
+    asides/tmps. ``min_age_s`` guards a MULTI-PROCESS deployment (another
+    process mid-compact has FRESH asides — only dirs older than this are
+    touched; freshness is the store's max(mtime, ctime) clock, and a stat
+    failure SKIPS the dir on a guarded sweep, ADVICE r8/r9)."""
+    return index_commit.sweep(path, index_commit.CELL_SPEC, min_age_s)
 
 
 def compact_index(spark, path: str) -> list[int]:
     """Collapse each cell's accumulated batch partitions into a single
     ``batch_id=__compacted__`` partition — bounds small-file growth on a
-    live (streaming-maintained) ANN index, exactly the
-    ``HourlyRollup.compact`` pattern: only cells holding uncompacted
-    batches are rewritten (O(dirty cells), not O(index)); each swapped
-    cell dir carries an ``_absorbed.json`` manifest of every batch id
-    folded in, so a REPLAY of an absorbed batch is skipped by the append
-    paths instead of re-inserting duplicate vectors; the per-cell commit
-    is the recoverable two-rename swap. A crash INSIDE the tiny
-    two-rename window strands the cell in a ``_``-prefixed aside the
-    reader ignores — the probe/append paths DETECT that state and raise
-    (silently probing around a vanished cell would return wrong top-k),
-    and ``sweep_index`` restores or reclaims it. Works on both index
-    kinds (IVF vectors and IVF+PQ codes — the rewrite is
+    live (streaming-maintained) ANN index; O(dirty cells), not O(index);
+    per-cell ``_absorbed.json`` manifests + root summary keep replays of
+    absorbed batches duplicate-free; each cell commits via the
+    recoverable two-rename swap. The protocol lives in
+    functions/index_commit.py (shared with the sign-LSH index); this
+    wrapper keeps the historical cell API (int cell ids). Works on both
+    index kinds (IVF vectors and IVF+PQ codes — the rewrite is
     schema-agnostic). Returns the compacted cell ids."""
-    import json
-    import os
-
-    fs = storage.STORE
-    if not fs.isdir(path):
-        return []
-    _index_check_not_stranded(path)
-    dirty: list[str] = []
-    for cell in sorted(fs.listdir(path)):
-        p = os.path.join(path, cell)
-        if not cell.startswith("cell_id=") or not fs.isdir(p):
-            continue
-        if any(
-            b.startswith("batch_id=") and b != "batch_id=__compacted__"
-            for b in fs.listdir(p)
-        ):
-            dirty.append(cell[len("cell_id="):])
-    if not dirty:
-        return []
-    # the root summary manifest is about to go stale: remove it FIRST so a
-    # crash mid-compact degrades _index_absorbed to the (correct) per-cell
-    # walk instead of serving a stale O(1) answer that lets replays through
-    root_manifest = os.path.join(path, _INDEX_MANIFEST)
-    try:
-        fs.remove(root_manifest)
-    except OSError:
-        pass
-    dirty_longs = [int(c) for c in dirty]
-    merged = (
-        spark.read.parquet(path)
-        .filter(F.col("cell_id").isin(dirty_longs))  # partition-pruned read
-        .drop("batch_id")
-        .withColumn("batch_id", F.lit("__compacted__"))
-    )
-    tmp = f"{path}_compact_{os.getpid()}"
-    merged.write.mode("overwrite").option(
-        "partitionOverwriteMode", "static"
-    ).partitionBy("cell_id", "batch_id").parquet(tmp)
-    for cell in dirty:
-        live = os.path.join(path, f"cell_id={cell}")
-        absorbed = {
-            b[len("batch_id="):]
-            for b in fs.listdir(live)
-            if b.startswith("batch_id=") and b != "batch_id=__compacted__"
-        }
-        mpath = os.path.join(live, _INDEX_MANIFEST)
-        try:
-            absorbed |= set(json.loads(fs.read_text(mpath)).get("batches", []))
-        except (OSError, ValueError):
-            pass
-        src = os.path.join(tmp, f"cell_id={cell}")
-        fs.write_text(
-            os.path.join(src, _INDEX_MANIFEST),
-            json.dumps({"batches": sorted(absorbed)}),
-        )
-        aside = os.path.join(path, f"_old_cell_{cell}_{os.getpid()}")
-        fs.rename(live, aside)
-        try:
-            # rename preserves mtime — stamp the aside NOW so a concurrent
-            # sweep_index(min_age_s>0) in another process sees it as fresh
-            # (its _old_enough gate reads the store's freshness clock)
-            # (ADVICE r8)
-            fs.utime(aside)
-        except OSError:
-            pass
-        fs.rename(src, live)
-        fs.rmtree(aside)
-    fs.rmtree(tmp)
-    # root summary manifest LAST (union over every cell) — the O(1) answer
-    # for the per-append replay guard; written only after every swap
-    # committed, so its presence implies it is complete
-    union: set[str] = set()
-    for cell in fs.listdir(path):
-        p = os.path.join(path, cell, _INDEX_MANIFEST)
-        if cell.startswith("cell_id=") and fs.isfile(p):
-            try:
-                union |= set(json.loads(fs.read_text(p)).get("batches", []))
-            except (OSError, ValueError):
-                continue
-    fs.write_text(root_manifest, json.dumps({"batches": sorted(union)}))
-    return dirty_longs
+    done = index_commit.compact(spark, path, index_commit.CELL_SPEC)
+    return [int(v[0]) for v in done]
 
 
 def append_cell_index(
@@ -1036,43 +797,18 @@ def append_cell_index(
     """Incremental IVF index maintenance: assign ONLY the new batch to
     cells (broadcast argmax — the corpus index is never read, never
     reshuffled) and land it under this batch's (cell_id, batch_id)
-    partitions with DYNAMIC partition overwrite. A replay of the same
-    batch_id overwrites its own partitions instead of duplicating vectors
-    — the ``HourlyRollup.refresh`` idempotency idiom, which is why
-    batch_id is REQUIRED (a foreachBatch epoch id is exactly right). At
-    100 TB a streaming embedding feed keeps the ANN index fresh at the
+    partitions with DYNAMIC partition overwrite via the shared commit
+    protocol (index_commit.append, CELL_SPEC): a replay of the same
+    batch_id overwrites its own partitions instead of duplicating
+    vectors — the ``HourlyRollup.refresh`` idempotency idiom, which is
+    why batch_id is REQUIRED (a foreachBatch epoch id is exactly right).
+    At 100 TB a streaming embedding feed keeps the ANN index fresh at the
     cost of one small partition write per batch; compaction, when partial
-    files accumulate, is a per-cell rewrite (the rollup ``compact``
-    pattern). Returns the cell ids the batch touched."""
-    if batch_id is None:
-        raise ValueError(
-            "append_cell_index requires a replay-stable batch_id (e.g. the "
-            "foreachBatch epoch id); without one a replayed batch would "
-            "insert duplicate vectors"
-        )
-    _index_check_not_stranded(path)
-    _index_check_layout(path)
-    if str(batch_id) in _index_absorbed(path):
-        # compact-then-replay: this batch was already folded into compacted
-        # cell partitions — re-writing it would duplicate its vectors
-        return []
-    cells = assign_cells(new_batch, centroids, id_col, vec_col).withColumn(
-        "batch_id", F.lit(str(batch_id))
-    )
-    cells.persist()
-    try:
-        touched = sorted(r.cell_id for r in cells.select("cell_id").distinct().collect())
-        if not touched:
-            return []
-        (
-            cells.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("cell_id", "batch_id")
-            .parquet(path)
-        )
-    finally:
-        cells.unpersist()
-    return touched
+    files accumulate, is a per-cell rewrite (``compact_index``). Returns
+    the cell ids the batch touched."""
+    cells = assign_cells(new_batch, centroids, id_col, vec_col)
+    touched = index_commit.append(cells, path, index_commit.CELL_SPEC, batch_id)
+    return [int(v[0]) for v in touched]
 
 
 def ivf_topk_indexed(
@@ -1399,9 +1135,55 @@ def build_lsh_index(
     tables = tables or LSH_TABLES
     c = _with_table_buckets(
         corpus.select(F.col(id_col), _as_double(vec_col).alias("v")), "v", tables
-    )
-    c.write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
+    ).withColumn("batch_id", F.lit("__full__"))
+    c.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("table", "bucket", "batch_id").parquet(path)
     return path
+
+
+def append_lsh_index(
+    new_batch: DataFrame,
+    path: str,
+    batch_id,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: list[list[list[float]]] | None = None,
+) -> list[tuple[str, str]]:
+    """Incremental sign-LSH index maintenance — the parity move that
+    makes the training-free ANN family fully streaming-maintainable like
+    IVF/PQ (`append_cell_index`/`append_pq_index`): bucket-assign ONLY
+    the new batch (the corpus index is never read, never reshuffled) and
+    land it under (table, bucket, batch_id) partitions with DYNAMIC
+    partition overwrite via the shared commit protocol
+    (functions/index_commit.py, LSH_SPEC). A replay of the same batch_id
+    overwrites its own partitions; a batch already folded in by
+    ``compact_lsh_index`` is skipped via the manifests. batch_id is
+    REQUIRED (a foreachBatch epoch id is exactly right). Probes are
+    unchanged: partition pruning on (table, bucket) transparently reads
+    the union of batches. Returns the (table, bucket) leaves touched."""
+    tables = tables or LSH_TABLES
+    rows = _with_table_buckets(
+        new_batch.select(F.col(id_col), _as_double(vec_col).alias("v")), "v", tables
+    )
+    return index_commit.append(rows, path, index_commit.LSH_SPEC, batch_id)
+
+
+def compact_lsh_index(spark, path: str) -> list[tuple[str, str]]:
+    """Collapse each dirty (table, bucket) leaf's batch partitions into a
+    single ``batch_id=__compacted__`` partition — the sign-LSH analog of
+    ``compact_index`` via the shared protocol (O(dirty leaves), per-leaf
+    manifests + root summary, recoverable two-rename swaps; crash
+    recovery via ``sweep_lsh_index``). Returns the compacted leaves."""
+    return index_commit.compact(spark, path, index_commit.LSH_SPEC)
+
+
+def sweep_lsh_index(path: str, min_age_s: float = 0.0) -> dict[str, list[str]]:
+    """Crash recovery for ``compact_lsh_index``'s two-rename windows —
+    the shared protocol's sweep with LSH leaf naming (``_old_tb_<t>-<b>_
+    <pid>`` asides at the index root). Same rules and ``min_age_s``
+    multi-process guard as ``sweep_index``."""
+    return index_commit.sweep(path, index_commit.LSH_SPEC, min_age_s)
 
 
 def lsh_topk_indexed(
@@ -1478,6 +1260,10 @@ def lsh_topk_indexed(
                     {"query_id": qid, "neighbor_id": ids[top], "cos_sim": sims[order[:k]]}
                 )
 
+    # probing around a leaf stranded by an interrupted compaction would
+    # silently drop its vectors from the candidates — fail loudly instead
+    # (same rule as ivf_topk_indexed)
+    index_commit.check_not_stranded(index_path, index_commit.LSH_SPEC)
     # an index built from an empty corpus is only _SUCCESS — no parquet
     # data files — so the scan cannot infer a schema; honor the same
     # empty-result contract as every other BLAS twin (ADVICE r9)

@@ -143,3 +143,131 @@ def test_lsh_index_cache_key_tracks_plane_constants(monkeypatch):
     )
     after = workload._lsh_index_path(SF_DIR)
     assert before != after
+
+
+# ---------------------------------------------------------------------------
+# Round-10 build: LSH index incremental maintenance via the shared commit
+# protocol (functions/index_commit.py) — append-equals-rebuild, replay
+# idempotency across compaction, crash-sweep recovery; the exact battery
+# the IVF/PQ indexes carry (tests/test_round7_ops.py), on the two-level
+# (table, bucket) leaf layout.
+
+
+def _lsh_probe_rows(spark, idx, queries):
+    from execute_sync_spark.functions import similarity
+
+    return sorted(
+        map(tuple, similarity.lsh_topk_indexed(spark, idx, queries, k=5).collect())
+    )
+
+
+def test_append_lsh_index_equals_rebuild_and_replays_idempotently(spark, tmp_path):
+    from execute_sync_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") < 40)
+    new = emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 60))
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    idx = similarity.build_lsh_index(old, str(tmp_path / "lsh"))
+    touched = similarity.append_lsh_index(new, idx, batch_id=7)
+    assert touched  # two-level (table, bucket) leaves
+    assert all(len(t) == 2 for t in touched)
+
+    # append == rebuild: probes against the incrementally-built index
+    # match a from-scratch build over the full corpus
+    full = similarity.build_lsh_index(
+        emb.filter(F.col("vec_id") < 60), str(tmp_path / "lsh_full")
+    )
+    assert _lsh_probe_rows(spark, idx, queries) == _lsh_probe_rows(spark, full, queries)
+
+    # replay of the same batch_id: same leaves, no duplicate vectors
+    n = spark.read.parquet(idx).count()
+    assert similarity.append_lsh_index(new, idx, batch_id=7) == touched
+    assert spark.read.parquet(idx).count() == n
+
+
+def test_compact_lsh_index_preserves_probes_and_replay_skips(spark, tmp_path):
+    from execute_sync_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") < 40)
+    new = emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 60))
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    idx = similarity.build_lsh_index(old, str(tmp_path / "lsh"))
+    similarity.append_lsh_index(new, idx, batch_id=7)
+    before = _lsh_probe_rows(spark, idx, queries)
+    n = spark.read.parquet(idx).count()
+
+    done = similarity.compact_lsh_index(spark, idx)
+    assert done
+    # every leaf is single-partition __compacted__ now; probes unchanged
+    assert _lsh_probe_rows(spark, idx, queries) == before
+    assert spark.read.parquet(idx).count() == n
+
+    # compact-then-replay: the absorbed batch is skipped entirely
+    assert similarity.append_lsh_index(new, idx, batch_id=7) == []
+    assert spark.read.parquet(idx).count() == n
+
+
+def test_lsh_sweep_recovers_stranded_leaf(spark, tmp_path):
+    from execute_sync_spark import storage
+    from execute_sync_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = similarity.build_lsh_index(
+        emb.filter(F.col("vec_id") < 40), str(tmp_path / "lsh")
+    )
+    before = _lsh_probe_rows(spark, idx, queries)
+
+    # crash sim: one live leaf parked aside (compact's first rename)
+    t = next(n for n in os.listdir(idx) if n.startswith("table="))[len("table="):]
+    b = next(
+        n for n in os.listdir(os.path.join(idx, f"table={t}"))
+        if n.startswith("bucket=")
+    )[len("bucket="):]
+    storage.STORE.rename(
+        os.path.join(idx, f"table={t}", f"bucket={b}"),
+        os.path.join(idx, f"_old_tb_{t}-{b}_99999"),
+    )
+
+    # stranded: probe and append both fail loudly, pointing at the sweep
+    with pytest.raises(RuntimeError, match="sweep_lsh_index"):
+        similarity.lsh_topk_indexed(spark, idx, queries).collect()
+    with pytest.raises(RuntimeError, match="sweep_lsh_index"):
+        similarity.append_lsh_index(queries, idx, batch_id=9)
+
+    # guarded sweep + fresh aside: untouched; unguarded: rolled back
+    assert similarity.sweep_lsh_index(idx, min_age_s=3600) == {
+        "restored": [], "reclaimed": [],
+    }
+    out = similarity.sweep_lsh_index(idx, min_age_s=0)
+    assert f"_old_tb_{t}-{b}_99999" in out["restored"]
+    assert _lsh_probe_rows(spark, idx, queries) == before
+
+
+def test_append_lsh_refuses_legacy_two_level_layout(spark, tmp_path):
+    """An r9-era LSH index (partitioned (table, bucket) with data files
+    directly in the bucket dirs — no batch_id level) must refuse appends:
+    mixing layouts would break partition discovery on the next read."""
+    from execute_sync_spark.functions import similarity
+    from execute_sync_spark.functions.similarity import _with_table_buckets, _as_double
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    legacy = str(tmp_path / "lsh_legacy")
+    _with_table_buckets(
+        emb.filter(F.col("vec_id") < 40).select(
+            "vec_id", _as_double("embedding").alias("v")
+        ),
+        "v",
+        similarity.LSH_TABLES,
+    ).write.partitionBy("table", "bucket").parquet(legacy)
+
+    with pytest.raises(ValueError, match="legacy"):
+        similarity.append_lsh_index(
+            emb.filter(F.col("vec_id") >= 40), legacy, batch_id=1
+        )
+    # untouched and still readable
+    assert spark.read.parquet(legacy).count() > 0

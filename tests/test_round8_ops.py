@@ -66,7 +66,7 @@ def test_append_refuses_legacy_single_level_layout(spark, tmp_path):
     ).write.partitionBy("cell_id").parquet(legacy)
 
     new = emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 50))
-    with pytest.raises(ValueError, match="legacy single-level"):
+    with pytest.raises(ValueError, match="legacy"):
         similarity.append_cell_index(new, centroids, legacy, batch_id=1)
     # the legacy index is untouched — still readable single-level
     assert spark.read.parquet(legacy).count() == 40

@@ -41,7 +41,7 @@ def test_layout_check_rejects_mixed_index_any_order(tmp_path):
     os.makedirs(root)
     _mk_batch_cell(root, 0)
     _mk_flat_cell(root, 1)
-    with pytest.raises(ValueError, match="legacy single-level"):
+    with pytest.raises(ValueError, match="legacy"):
         sim._index_check_layout(root)
 
 
