@@ -257,3 +257,64 @@ def connected_components_star(
         if changed == 0:
             break
     return _attach_singletons(_labels_from_stars(cur), all_nodes)
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_dp: int = 10,
+) -> DataFrame:
+    """PageRank over an UNDIRECTED edge list by power iteration — link
+    analysis for crawl curation (centrality-weighted canonical selection
+    within near-dup neighborhoods, domain authority features), the same
+    family CommonCrawl-derived pipelines compute over the host graph.
+
+    Spark-first shape: the edge list is symmetrized and de-duplicated
+    once, out-degrees computed once, and each of the ``iters`` fixed
+    iterations is ONE join (edges x current scores, shuffle keyed on the
+    SAME src column every round, so the exchange is reused) plus one
+    map-side-combined aggregation on dst. Nodes are the edge endpoints —
+    every node of a symmetrized graph has in-degree >= 1, so there is no
+    dangling-mass redistribution step and total score stays exactly 1
+    ((1-d) + d * 1 each round; pinned by a test). At 100 TB you run this
+    exactly the same way with edges bucketed by src and a
+    localCheckpoint every few iterations to cut lineage (documented, not
+    needed at fixture scale with a fixed small iteration count).
+
+    Scores are rounded to ``round_dp`` each iteration: power iteration
+    amplifies nothing (the operator is a contraction), so clamping each
+    round keeps independent engines (this plan, the DuckDB oracle's
+    unrolled-SQL twin) bit-aligned at far finer precision than the
+    6-dp output contract."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = sym.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    sym = sym.join(deg, "src")  # carry deg on each edge: one join, reused every iter
+    sym.persist()
+    try:
+        n = float(deg.count())
+        if n == 0:
+            spark = edges.sparkSession
+            return spark.createDataFrame([], "node long, pr double")
+        base = (1.0 - damping) / n
+        scores = deg.select("src", F.lit(round(1.0 / n, round_dp)).alias("pr"))
+        for _ in range(iters):
+            scores = (
+                sym.join(scores, "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("pr") / F.col("deg")).alias("__c"))
+                .select(
+                    F.col("dst").alias("src"),
+                    F.round(F.lit(base) + F.lit(damping) * F.col("__c"), round_dp).alias("pr"),
+                )
+            )
+        return scores.select(F.col("src").alias("node"), "pr")
+    finally:
+        sym.unpersist()

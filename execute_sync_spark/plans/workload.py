@@ -18,7 +18,7 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from execute_sync_spark.functions import curation, dedupe, multimodal, similarity, text
+from execute_sync_spark.functions import curation, dedupe, graph, multimodal, similarity, text
 from execute_sync_spark.functions.hashing import h32_sql
 from execute_sync_spark.operators import dedup as dedup_ops
 
@@ -739,6 +739,57 @@ DEDUP_JACCARD_SQL = f"""
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.05
 """
+
+def graph_doc_pagerank(spark, sf_dir):
+    """PageRank centrality over the document near-dup graph (edges =
+    n-gram Jaccard pairs >= 0.05, the dedup_jaccard_pairs relation,
+    symmetrized) — link analysis for crawl curation: within a near-dup
+    neighborhood the highest-centrality member is the canonical
+    representative candidate (degree-weighted rather than min-id), and
+    centrality is a standard quality feature in CommonCrawl-derived
+    pipelines. Fixed 5 power iterations at damping 0.85; every iteration
+    is one join + one map-side-combined aggregation keyed on the same
+    column (functions/graph.py pagerank docstring covers the 100 TB
+    shape). Deterministic: per-iteration 10-dp rounding keeps this plan
+    and the DuckDB unrolled-SQL oracle aligned far below the 6-dp output
+    contract; total score mass = 1 is pinned in tests/test_graph.py."""
+    edges = dedupe.ngram_jaccard_pairs(_docs_wide(spark, sf_dir), threshold=0.05)
+    pr = graph.pagerank(edges, src_col="id_a", dst_col="id_b")
+    return pr.select(
+        F.col("node").alias("doc_id"), F.round("pr", 6).alias("pr")
+    )
+
+
+def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled power-iteration SQL twin of graph.pagerank over the
+    jaccard-pair edge relation (DEDUP_JACCARD_SQL as a subquery);
+    generated programmatically so the iteration count stays one constant
+    shared with the Spark side."""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""s{i} AS (
+        SELECT e2.dst AS node,
+               ROUND((1 - {damping}) / (SELECT n FROM nn)
+                     + {damping} * SUM(p.pr / e2.deg), 10) AS pr
+        FROM e2 JOIN s{i - 1} p ON p.node = e2.src
+        GROUP BY e2.dst)"""
+        )
+    return f"""
+    WITH pairs AS ({DEDUP_JACCARD_SQL}),
+    e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    deg AS (SELECT src, COUNT(*)::DOUBLE AS deg FROM e GROUP BY src),
+    e2 AS (SELECT e.src, e.dst, d.deg FROM e JOIN deg d USING (src)),
+    nn AS (SELECT COUNT(*)::DOUBLE AS n FROM deg),
+    s0 AS (SELECT src AS node, ROUND(1.0 / (SELECT n FROM nn), 10) AS pr FROM deg),
+    {','.join(steps)}
+    SELECT node AS doc_id, ROUND(pr, 6) AS pr FROM s{iters}
+"""
+
+
+GRAPH_PAGERANK_SQL = _pagerank_sql()
+
 
 def dedup_containment_pairs(spark, sf_dir):
     """Broder containment pairs (asymmetric near-dup): catches a document
@@ -4634,6 +4685,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # 51+ as the round-11 rotation queue. Every gated family prefix
     # (dedup_ text_ curate_ sim_ mm_ stream_ d*/v_/q_) stays
     # represented (tests/test_entry_contract.py enforces the plan).
+    # --- round-10 new op (new ops always gate immediately) ---
+    "graph_doc_pagerank": graph_doc_pagerank,
     # --- the 34 r06-green rows (round-10 queue, in queue order) ---
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_simhash": dedup_simhash,
@@ -4685,11 +4738,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q3_top_orders": q3_top_orders,
     "q4_priority_exists": q4_priority_exists,
     "q5_revenue_by_nation": q5_revenue_by_nation,
-    "q6_forecast_revenue": q6_forecast_revenue,
     # -----------------------------------------------------------------
-    # Slots 51+: the 34 remaining r08-green rows lead (the round-11
+    # Slots 51+: q6_forecast_revenue (displaced from the window by the
+    # round-10 new op, still r08-green) then the 34 remaining r08-green
+    # rows lead (the round-11
     # rotation queue, oldest evidence first), then the 50 r09-green
     # rows (freshest). Everything below is pytest-oracled on every run.
+    "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "q10_returned_items": q10_returned_items,
@@ -4795,6 +4850,8 @@ BENCH_EXTRA_QUERIES["dedup_semantic_sqrt"] = dedup_semantic_sqrt
 BENCH_EXTRA_QUERIES["text_ccnet_buckets_approx_pure"] = text_ccnet_buckets_approx_pure
 
 ORACLES: dict[str, Optional[str]] = {
+    # round-10 new op
+    "graph_doc_pagerank": GRAPH_PAGERANK_SQL,
     # round-9 new ops
     "dedup_containment_pairs_scaled": DEDUP_CONTAINMENT_SCALED_SQL,
     # indexed probe == in-flight sign-LSH semantics; the shared oracle

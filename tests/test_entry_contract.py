@@ -30,6 +30,9 @@ def test_oracles_subset_of_queries():
     # queue), plus the 16 oldest r08-green rows displaced in round 9.
     first50 = set(list(qs)[:50])
     must_gate = {
+        # the round-10 new op gates immediately (never declare a new op
+        # outside the window)
+        "graph_doc_pagerank",
         # the 34 r06-green rows (spot-check the corners + family spread;
         # the full 34 lead the window per the registry comment)
         "dedup_jaccard_pairs", "dedup_simhash", "dedup_substring_spans",
@@ -43,7 +46,6 @@ def test_oracles_subset_of_queries():
         "sim_ivfpq_indexed", "text_ccnet_buckets", "curate_dsir_weights",
         "text_corpus_stats", "dedup_containment_pairs", "sim_recall_at_k",
         "mm_frame_sample", "stream_dedup", "q2_min_cost_supplier",
-        "q6_forecast_revenue",
     }
     assert must_gate <= first50, sorted(must_gate - first50)
     # the extension families stay represented in the window

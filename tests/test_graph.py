@@ -64,3 +64,38 @@ def test_local_finish_hard_cap_fails_loudly(spark):
         ).collect()
     }
     assert got == WANT
+
+
+def test_pagerank_conserves_mass_and_matches_numpy(spark):
+    """Symmetrized graph => no dangling nodes => total PageRank mass stays
+    exactly 1 each iteration; and the distributed power iteration matches
+    an independent dense numpy implementation on a small graph."""
+    import numpy as np
+
+    from execute_sync_spark.functions.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.pr for r in pagerank(df, iters=5).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-8
+
+    nodes = sorted({n for e in edges for n in e})
+    ix = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for a, b in edges:
+        A[ix[a], ix[b]] = A[ix[b], ix[a]] = 1.0
+    P = A / A.sum(axis=1, keepdims=True)
+    v = np.full(len(nodes), round(1.0 / len(nodes), 10))
+    for _ in range(5):
+        v = np.round((1 - 0.85) / len(nodes) + 0.85 * (P.T @ v), 10)
+    for n in nodes:
+        assert abs(out[n] - v[ix[n]]) < 1e-9, (n, out[n], v[ix[n]])
+    # the hub (node 3, degree 3) outranks everything in its component
+    assert out[3] == max(out[n] for n in (1, 2, 3, 4))
+
+
+def test_pagerank_empty_edges(spark):
+    from execute_sync_spark.functions.graph import pagerank
+
+    df = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(df).count() == 0
