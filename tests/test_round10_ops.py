@@ -271,3 +271,50 @@ def test_append_lsh_refuses_legacy_two_level_layout(spark, tmp_path):
         )
     # untouched and still readable
     assert spark.read.parquet(legacy).count() > 0
+
+
+def test_lsh_index_maintained_from_a_stream(spark, tmp_path):
+    """A streaming embedding feed wired into append_lsh_index via
+    foreachBatch (epoch id = batch_id) keeps the persisted sign-LSH index
+    probe-identical to a full rebuild over everything seen — the same
+    live-index deployment shape the IVF/PQ indexes carry, now on the
+    shared commit protocol's two-level leaves."""
+    from execute_sync_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    for i, pred in enumerate((F.col("vec_id") % 3 == 0, F.col("vec_id") % 3 == 1)):
+        emb.filter(pred).coalesce(1).write.parquet(src + f"/b{i}")
+    files = []
+    for d in sorted(os.listdir(src)):
+        for f in os.listdir(os.path.join(src, d)):
+            if f.endswith(".parquet"):
+                dst = os.path.join(src, f"{d}.parquet")
+                os.rename(os.path.join(src, d, f), dst)
+                files.append(dst)
+    schema = spark.read.parquet(files[0]).schema
+
+    idx = similarity.build_lsh_index(
+        emb.filter(F.col("vec_id") % 3 == 2), str(tmp_path / "lsh")
+    )
+    sq = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*.parquet")
+        .writeStream.foreachBatch(
+            lambda df, epoch: similarity.append_lsh_index(df, idx, batch_id=epoch)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(120)
+
+    full = similarity.build_lsh_index(emb, str(tmp_path / "lsh_full"))
+    assert _lsh_probe_rows(spark, idx, queries) == _lsh_probe_rows(spark, full, queries)
+    # compaction after the stream preserves probes and absorbs the epochs
+    similarity.compact_lsh_index(spark, idx)
+    assert _lsh_probe_rows(spark, idx, queries) == _lsh_probe_rows(spark, full, queries)
