@@ -1115,12 +1115,15 @@ def build_lsh_index(
     tables: list[list[list[float]]] | None = None,
 ) -> str:
     """Materialize the OR-amplified sign-LSH tables as parquet PARTITIONED
-    BY (table, bucket) — the persisted form that brings the sign-LSH family
-    to parity with the IVF/PQ indexes (VERDICT r8 task 6): ``lsh_topk``
-    rebuilds all L bucket assignments on every call, while a probe against
-    this index reads ONLY the (table, bucket) partitions the query hashes
-    into via partition pruning — L * |corpus|/2^b rows per query, no
-    shuffle, no full scan, no per-call hashing of the corpus.
+    BY (table, bucket, batch_id) — the persisted form that brings the
+    sign-LSH family to parity with the IVF/PQ indexes (VERDICT r8 task 6;
+    the batch_id sub-partition, ``__full__`` for the bootstrap build,
+    exists so ``append_lsh_index`` can fold NEW vectors in
+    replay-idempotently, round 10): ``lsh_topk`` rebuilds all L bucket
+    assignments on every call, while a probe against this index reads
+    ONLY the (table, bucket) partitions the query hashes into via
+    partition pruning — L * |corpus|/2^b rows per query, no shuffle, no
+    full scan, no per-call hashing of the corpus.
 
     Each row stores the vector alongside its bucket, so the index is
     self-contained for exact re-scoring at probe time at the cost of L

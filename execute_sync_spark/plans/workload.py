@@ -3919,8 +3919,8 @@ def _lsh_index_path(sf_dir: str) -> str:
 
 
 def sim_lsh_indexed(spark, sf_dir):
-    """Sign-LSH probe against the PERSISTED (table, bucket)-partitioned
-    index — brings the training-free ANN family to parity with the
+    """Sign-LSH probe against the PERSISTED (table, bucket, batch_id)-
+    partitioned index — brings the training-free ANN family to parity with the
     IVF/PQ persisted indexes (VERDICT r8 task 6): ``build_lsh_index`` pays
     the L bucket assignments once at ingest (cached here per testdata
     fingerprint); the probe reads ONLY the collided buckets' partitions

@@ -172,7 +172,7 @@ def test_ivf_indexed_probe_prunes_partitions(spark, tmp_path):
 
 def test_lsh_indexed_probe_prunes_partitions(spark, tmp_path):
     """The persisted sign-LSH index (build_lsh_index: parquet partitioned
-    by (table, bucket)) must turn a probe into a PARTITION-PRUNED scan —
+    by (table, bucket, batch_id)) must turn a probe into a PARTITION-PRUNED scan —
     the per-table bucket disjunction resolves at the file listing, so a
     query reads only the collided buckets, never the full L-times-corpus
     tree. Also: the indexed probe must agree exactly with the in-flight
