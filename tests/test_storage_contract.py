@@ -294,3 +294,47 @@ def test_index_on_conditional_pointer_store(spark, tmp_path, swap_store):
     store = swap_store(FakeConditionalStore(str(tmp_path / "_physical")))
     _index_cycle(spark, str(tmp_path / "ivf"))
     assert store.pointer_swaps > 0
+
+
+def test_lsh_index_on_conditional_pointer_store(spark, tmp_path, swap_store):
+    """The shared commit protocol's two-level (table, bucket) leaves must
+    pass on the pointer-swap store too — append, compact, absorbed-replay
+    skip, crash + sweep, probes stable throughout."""
+    from execute_sync_spark.functions import similarity
+
+    store = swap_store(FakeConditionalStore(str(tmp_path / "_physical")))
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    idx = similarity.build_lsh_index(
+        emb.filter(F.col("vec_id") < 40), str(tmp_path / "lsh")
+    )
+    similarity.append_lsh_index(
+        emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 60)), idx, batch_id=7
+    )
+    before = sorted(
+        map(tuple, similarity.lsh_topk_indexed(spark, idx, queries).collect())
+    )
+    n = spark.read.parquet(idx).count()
+    assert similarity.compact_lsh_index(spark, idx)
+    assert similarity.append_lsh_index(
+        emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 60)), idx, batch_id=7
+    ) == []
+    assert spark.read.parquet(idx).count() == n
+
+    # crash + sweep on pointer semantics
+    t = next(x for x in os.listdir(idx) if x.startswith("table="))[len("table="):]
+    b = next(
+        x for x in os.listdir(os.path.join(idx, f"table={t}"))
+        if x.startswith("bucket=")
+    )[len("bucket="):]
+    storage.STORE.rename(
+        os.path.join(idx, f"table={t}", f"bucket={b}"),
+        os.path.join(idx, f"_old_tb_{t}-{b}_99999"),
+    )
+    out = similarity.sweep_lsh_index(idx, min_age_s=0)
+    assert f"_old_tb_{t}-{b}_99999" in out["restored"]
+    after = sorted(
+        map(tuple, similarity.lsh_topk_indexed(spark, idx, queries).collect())
+    )
+    assert after == before
+    assert store.pointer_swaps > 0
