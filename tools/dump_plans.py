@@ -76,6 +76,17 @@ ANNOTATED = {
     "per-row expression on the scan; the running token total is ONE "
     "cumulative window per source — single hash exchange on the group "
     "key, nothing else moves",
+    "sim_lsh_indexed": "probe against the PERSISTED (table, bucket, "
+    "batch_id)-partitioned sign-LSH index: the per-table bucket-IN "
+    "disjunction resolves as PartitionFilters at the file listing — only "
+    "collided buckets' files are read, then one BLAS re-score batch; "
+    "since round 10 the index is streaming-maintainable via the shared "
+    "commit protocol (append/compact/sweep, functions/index_commit.py)",
+    "graph_doc_pagerank": "power iteration over the symmetrized near-dup "
+    "edge list: edges deduped + degree-annotated once and persisted; "
+    "each of the 5 fixed iterations is one hash join keyed on the SAME "
+    "src column plus a map-side-combined aggregation on dst — shuffle "
+    "width stays constant per iteration, no driver-side graph state",
 }
 
 
