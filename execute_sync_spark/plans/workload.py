@@ -791,6 +791,62 @@ def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
 GRAPH_PAGERANK_SQL = _pagerank_sql()
 
 
+def graph_centrality_keep(spark, sf_dir):
+    """Centrality-weighted canonical selection — the deployment of
+    ``graph_doc_pagerank``: within each transitive near-dup cluster
+    (connected components over the jaccard-pair graph), keep the member
+    with the highest PageRank (tie to the lowest doc_id) — the
+    best-connected representative rather than ``dedup_canonical_keep``'s
+    longest-text rule. Scoped to clustered documents by construction
+    (singletons have no edges, no centrality, and trivially keep
+    themselves — that path is dedup_canonical_keep's). Reuses the same
+    edge relation for components and scores, so the whole plan shares
+    one shingle inverted-index pass; ranking is one window per cluster.
+    Oracle: the recursive-CTE closure + the unrolled power-iteration SQL
+    composed over the same pair relation."""
+    edges = dedupe.ngram_jaccard_pairs(
+        _docs_wide(spark, sf_dir), threshold=0.05
+    ).select("id_a", "id_b")
+    from execute_sync_spark.functions.graph import connected_components
+
+    labels = connected_components(edges, "id_a", "id_b")
+    pr = graph.pagerank(edges, src_col="id_a", dst_col="id_b")
+    j = labels.join(pr, labels["id"] == pr["node"]).select(
+        labels["id"].alias("doc_id"),
+        "cluster_id",
+        F.round("pr", 6).alias("pr"),
+    )
+    w = Window.partitionBy("cluster_id")
+    ranked = j.withColumn(
+        "rn", F.row_number().over(w.orderBy(F.desc("pr"), F.asc("doc_id")))
+    ).withColumn("n_members", F.count("*").over(w).cast("long"))
+    return ranked.filter(F.col("rn") == 1).select(
+        "doc_id", "cluster_id", "n_members", "pr"
+    )
+
+
+GRAPH_KEEP_SQL = f"""
+    WITH RECURSIVE pairs AS ({{jac}}),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    walk(id, lab) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, w.lab FROM walk w JOIN edges e ON e.s = w.id),
+    clusters AS (SELECT id, MIN(lab) AS cluster_id FROM walk GROUP BY id),
+    pr AS ({{pr}}),
+    r AS (
+        SELECT c.id AS doc_id, c.cluster_id, p.pr,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY p.pr DESC, c.id) AS rn,
+               COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+        FROM clusters c JOIN pr p ON p.doc_id = c.id)
+    SELECT doc_id, cluster_id, CAST(n_members AS BIGINT) AS n_members, pr
+    FROM r WHERE rn = 1
+"""
+GRAPH_KEEP_SQL = GRAPH_KEEP_SQL.format(jac=DEDUP_JACCARD_SQL, pr=GRAPH_PAGERANK_SQL)
+
+
 def dedup_containment_pairs(spark, sf_dir):
     """Broder containment pairs (asymmetric near-dup): catches a document
     EMBEDDED in a larger one — quotes, page-in-crawl, boilerplate wraps —
@@ -4685,8 +4741,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # 51+ as the round-11 rotation queue. Every gated family prefix
     # (dedup_ text_ curate_ sim_ mm_ stream_ d*/v_/q_) stays
     # represented (tests/test_entry_contract.py enforces the plan).
-    # --- round-10 new op (new ops always gate immediately) ---
+    # --- round-10 new ops (new ops always gate immediately) ---
     "graph_doc_pagerank": graph_doc_pagerank,
+    "graph_centrality_keep": graph_centrality_keep,
     # --- the 34 r06-green rows (round-10 queue, in queue order) ---
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_simhash": dedup_simhash,
@@ -4737,13 +4794,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q3_top_orders": q3_top_orders,
     "q4_priority_exists": q4_priority_exists,
-    "q5_revenue_by_nation": q5_revenue_by_nation,
     # -----------------------------------------------------------------
-    # Slots 51+: q6_forecast_revenue (displaced from the window by the
-    # round-10 new op, still r08-green) then the 34 remaining r08-green
+    # Slots 51+: q5/q6 (displaced from the window by the round-10 new
+    # ops, still r08-green) then the 34 remaining r08-green
     # rows lead (the round-11
     # rotation queue, oldest evidence first), then the 50 r09-green
     # rows (freshest). Everything below is pytest-oracled on every run.
+    "q5_revenue_by_nation": q5_revenue_by_nation,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
@@ -4850,8 +4907,9 @@ BENCH_EXTRA_QUERIES["dedup_semantic_sqrt"] = dedup_semantic_sqrt
 BENCH_EXTRA_QUERIES["text_ccnet_buckets_approx_pure"] = text_ccnet_buckets_approx_pure
 
 ORACLES: dict[str, Optional[str]] = {
-    # round-10 new op
+    # round-10 new ops
     "graph_doc_pagerank": GRAPH_PAGERANK_SQL,
+    "graph_centrality_keep": GRAPH_KEEP_SQL,
     # round-9 new ops
     "dedup_containment_pairs_scaled": DEDUP_CONTAINMENT_SCALED_SQL,
     # indexed probe == in-flight sign-LSH semantics; the shared oracle

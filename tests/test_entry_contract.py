@@ -30,9 +30,9 @@ def test_oracles_subset_of_queries():
     # queue), plus the 16 oldest r08-green rows displaced in round 9.
     first50 = set(list(qs)[:50])
     must_gate = {
-        # the round-10 new op gates immediately (never declare a new op
+        # the round-10 new ops gate immediately (never declare a new op
         # outside the window)
-        "graph_doc_pagerank",
+        "graph_doc_pagerank", "graph_centrality_keep",
         # the 34 r06-green rows (spot-check the corners + family spread;
         # the full 34 lead the window per the registry comment)
         "dedup_jaccard_pairs", "dedup_simhash", "dedup_substring_spans",

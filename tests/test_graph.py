@@ -99,3 +99,24 @@ def test_pagerank_empty_edges(spark):
 
     df = spark.createDataFrame([], "src long, dst long")
     assert pagerank(df).count() == 0
+
+
+def test_centrality_keep_picks_max_pagerank_per_cluster(spark):
+    """graph_centrality_keep keeps exactly one doc per connected
+    component — the one with the highest PageRank (tie: lowest id)."""
+    from execute_sync_spark.functions.graph import connected_components, pagerank
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    labels = {r.id: r.cluster_id for r in connected_components(edges, "id_a", "id_b").collect()}
+    pr = {r.node: r.pr for r in pagerank(edges, src_col="id_a", dst_col="id_b").collect()}
+    # expected keep per cluster = argmax pr, tie lowest id
+    want = {}
+    for n, c in labels.items():
+        cur = want.get(c)
+        if cur is None or (pr[n], -n) > (pr[cur], -cur):
+            want[c] = n
+    # node 3 is the hub of its component; 5/6 tie -> 5
+    assert want[labels[1]] == 3 and want[labels[5]] == 5
