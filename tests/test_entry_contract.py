@@ -49,7 +49,7 @@ def test_oracles_subset_of_queries():
     }
     assert must_gate <= first50, sorted(must_gate - first50)
     # the extension families stay represented in the window
-    for prefix in ("dedup_", "text_", "curate_", "sim_", "mm_", "stream_"):
+    for prefix in ("dedup_", "text_", "curate_", "sim_", "mm_", "stream_", "graph_"):
         assert any(k.startswith(prefix) for k in first50), prefix
 
 
