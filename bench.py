@@ -134,6 +134,23 @@ def _median_passes(spark, sf_dir: str, runs: int, warm: bool) -> tuple[dict[str,
     return med, [round(sum(r.values()), 3) for r in all_runs]
 
 
+def _testdata_fp(sf_dir: str) -> dict:
+    """Cheap identity of the base testdata: per-table (mtime, size-or-
+    n_entries) of the top-level ``*.parquet`` entries — catches the driver
+    regenerating testdata between rounds without scanning any data."""
+    fp: dict = {}
+    try:
+        for name in sorted(os.listdir(sf_dir)):
+            if name.endswith(".parquet"):
+                p = os.path.join(sf_dir, name)
+                st = os.stat(p)
+                size = st.st_size if os.path.isfile(p) else len(os.listdir(p))
+                fp[name] = [int(st.st_mtime), size]
+    except OSError:
+        pass
+    return fp
+
+
 def _scale_pass(
     spark,
     detail: dict,
@@ -179,6 +196,10 @@ def _scale_pass(
         "factor": factor,
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "stale": False,  # measured by THIS invocation, against its own base
+        # base identity (ADVICE r10): which base pass the ratios divide by,
+        # and what the source testdata looked like — the carry logic marks
+        # the block stale if the source regenerates, not just on age
+        "base": {"sf_dir": src, "testdata_fingerprint": _testdata_fp(src)},
         "seq_total_sec": round(sum(times_n.values()), 3),
         "only": sorted(only) if only else None,
         "queries": times_n,
@@ -212,7 +233,16 @@ def _carry_scale_blocks(detail: dict, detail_path: str) -> None:
                 )
             except (ValueError, OverflowError):
                 age_s = float("inf")
-            prev["stale"] = age_s > 86400  # predates this round's host state
+            # stale if the measurement predates this round's host state OR
+            # the base testdata it divided by has since regenerated (ADVICE
+            # r10: a <24h block over vanished testdata is not fresh evidence)
+            base = prev.get("base") or {}
+            fp_mismatch = bool(base.get("testdata_fingerprint")) and (
+                _testdata_fp(base.get("sf_dir", "")) != base["testdata_fingerprint"]
+            )
+            prev["stale"] = age_s > 86400 or fp_mismatch
+            if fp_mismatch:
+                prev["stale_reason"] = "base testdata fingerprint changed"
             detail[key] = prev
 
 

@@ -1267,9 +1267,15 @@ def lsh_topk_indexed(
     # silently drop its vectors from the candidates — fail loudly instead
     # (same rule as ivf_topk_indexed)
     index_commit.check_not_stranded(index_path, index_commit.LSH_SPEC)
+    if not storage.STORE.isdir(index_path):
+        # a typo'd / nonexistent index path must fail LOUDLY, same as
+        # ivf_topk_indexed's unguarded scan would (ADVICE r10: catching
+        # every AnalysisException silently turned it into an empty answer)
+        raise FileNotFoundError(f"lsh_topk_indexed: no index at {index_path}")
     # an index built from an empty corpus is only _SUCCESS — no parquet
-    # data files — so the scan cannot infer a schema; honor the same
-    # empty-result contract as every other BLAS twin (ADVICE r9)
+    # data files — so the scan cannot infer a schema; with existence
+    # checked above, ONLY that case falls back to the empty-result
+    # contract shared by every BLAS twin (ADVICE r9)
     try:
         scan = spark.read.parquet(index_path).filter(probe_filter)
     except AnalysisException:

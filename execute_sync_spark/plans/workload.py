@@ -760,11 +760,16 @@ def graph_doc_pagerank(spark, sf_dir):
     )
 
 
-def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
-    """Unrolled power-iteration SQL twin of graph.pagerank over the
-    jaccard-pair edge relation (DEDUP_JACCARD_SQL as a subquery);
+def _pagerank_sql(
+    iters: int = 5, damping: float = 0.85, pairs_sql: str | None = None
+) -> str:
+    """Unrolled power-iteration SQL twin of graph.pagerank over a
+    jaccard-pair edge relation (``pairs_sql`` as a subquery; default the
+    unvalved DEDUP_JACCARD_SQL, the valved twin passes the max_df form);
     generated programmatically so the iteration count stays one constant
     shared with the Spark side."""
+    if pairs_sql is None:
+        pairs_sql = DEDUP_JACCARD_SQL
     steps = []
     for i in range(1, iters + 1):
         steps.append(
@@ -776,7 +781,7 @@ def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
         GROUP BY e2.dst)"""
         )
     return f"""
-    WITH pairs AS ({DEDUP_JACCARD_SQL}),
+    WITH pairs AS ({pairs_sql}),
     e AS (SELECT id_a AS src, id_b AS dst FROM pairs
           UNION SELECT id_b, id_a FROM pairs),
     deg AS (SELECT src, COUNT(*)::DOUBLE AS deg FROM e GROUP BY src),
@@ -807,6 +812,18 @@ def graph_centrality_keep(spark, sf_dir):
     edges = dedupe.ngram_jaccard_pairs(
         _docs_wide(spark, sf_dir), threshold=0.05
     ).select("id_a", "id_b")
+    return _centrality_keep(edges)
+
+
+def _centrality_keep(edges):
+    """Shared deployment shape for the centrality-keep family: the edge
+    relation (typically the expensive shingle inverted-index self-join) is
+    eagerly localCheckpointed ONCE, so connected_components' canonical /
+    all-node checkpoints and pagerank's symmetrize-and-materialize step all
+    derive from the materialized partitions instead of each re-running the
+    self-join from parquet (VERDICT r10 #2: the uncheckpointed form
+    executed the edge plan ~3x and was the bench's #1 long pole)."""
+    edges = edges.localCheckpoint(eager=True)
     from execute_sync_spark.functions.graph import connected_components
 
     labels = connected_components(edges, "id_a", "id_b")
@@ -825,8 +842,8 @@ def graph_centrality_keep(spark, sf_dir):
     )
 
 
-GRAPH_KEEP_SQL = f"""
-    WITH RECURSIVE pairs AS ({{jac}}),
+_GRAPH_KEEP_TEMPLATE = """
+    WITH RECURSIVE pairs AS ({jac}),
     edges AS (SELECT id_a AS s, id_b AS d FROM pairs
               UNION ALL SELECT id_b, id_a FROM pairs),
     walk(id, lab) AS (
@@ -834,7 +851,7 @@ GRAPH_KEEP_SQL = f"""
         UNION
         SELECT e.d, w.lab FROM walk w JOIN edges e ON e.s = w.id),
     clusters AS (SELECT id, MIN(lab) AS cluster_id FROM walk GROUP BY id),
-    pr AS ({{pr}}),
+    pr AS ({pr}),
     r AS (
         SELECT c.id AS doc_id, c.cluster_id, p.pr,
                ROW_NUMBER() OVER (PARTITION BY c.cluster_id
@@ -844,7 +861,9 @@ GRAPH_KEEP_SQL = f"""
     SELECT doc_id, cluster_id, CAST(n_members AS BIGINT) AS n_members, pr
     FROM r WHERE rn = 1
 """
-GRAPH_KEEP_SQL = GRAPH_KEEP_SQL.format(jac=DEDUP_JACCARD_SQL, pr=GRAPH_PAGERANK_SQL)
+GRAPH_KEEP_SQL = _GRAPH_KEEP_TEMPLATE.format(
+    jac=DEDUP_JACCARD_SQL, pr=GRAPH_PAGERANK_SQL
+)
 
 
 def dedup_containment_pairs(spark, sf_dir):
@@ -950,6 +969,52 @@ DEDUP_CONTAINMENT_SCALED_SQL = f"""
     WHERE ROUND(n_inter / CAST(sa.n_sh AS DOUBLE), 4) >= 0.5
        OR ROUND(n_inter / CAST(sb.n_sh AS DOUBLE), 4) >= 0.5
 """
+
+
+def graph_doc_pagerank_scaled(spark, sf_dir):
+    """PageRank over the VALVED near-dup edge relation — the declared
+    100 TB form of ``graph_doc_pagerank`` (VERDICT r10 task 1). The graph
+    family's cost is dominated by its edge input: the unvalved shingle
+    self-join is quadratic in per-shingle document frequency ("one
+    stop-phrase shared by a million docs is quadratic death"), so the
+    production composition consumes ``dedup_jaccard_pairs_scaled``'s
+    ``max_df``-capped relation, which bounds every shingle to max_df² join
+    rows and keeps edge-build work ≈ linear in corpus size. Everything
+    downstream is unchanged: 5 power iterations, each ONE same-key join +
+    one map-side-combined aggregation (functions/graph.py). Oracle: the
+    same programmatically-unrolled power-iteration SQL composed over the
+    valved pair CTE."""
+    edges = dedupe.ngram_jaccard_pairs(
+        _docs_wide(spark, sf_dir), threshold=0.05, max_df=_JACCARD_MAX_DF
+    )
+    pr = graph.pagerank(edges, src_col="id_a", dst_col="id_b")
+    return pr.select(
+        F.col("node").alias("doc_id"), F.round("pr", 6).alias("pr")
+    )
+
+
+GRAPH_PAGERANK_SCALED_SQL = _pagerank_sql(pairs_sql=DEDUP_JACCARD_SCALED_SQL)
+
+
+def graph_centrality_keep_scaled(spark, sf_dir):
+    """Centrality-weighted canonical selection over the VALVED edge
+    relation — the declared 100 TB form of ``graph_centrality_keep``
+    (VERDICT r10 task 1), composed from ``dedup_jaccard_pairs_scaled``'s
+    ``max_df``-capped pairs exactly as ``graph_doc_pagerank_scaled``. The
+    shared ``_centrality_keep`` body eagerly localCheckpoints the edge
+    relation once, so components and PageRank both read the materialized
+    pairs instead of re-running the shingle inverted-index join. Oracle:
+    the recursive-CTE closure + unrolled power-iteration SQL over the
+    valved pair CTE."""
+    edges = dedupe.ngram_jaccard_pairs(
+        _docs_wide(spark, sf_dir), threshold=0.05, max_df=_JACCARD_MAX_DF
+    ).select("id_a", "id_b")
+    return _centrality_keep(edges)
+
+
+GRAPH_KEEP_SCALED_SQL = _GRAPH_KEEP_TEMPLATE.format(
+    jac=DEDUP_JACCARD_SCALED_SQL, pr=GRAPH_PAGERANK_SCALED_SQL
+)
 
 
 _SIMHASH_BITS = 16
@@ -4731,75 +4796,20 @@ Q_COHORT_SQL = """
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -----------------------------------------------------------------
     # Slots 1-50: the driver's CORRECTNESS gate covers the first 50
-    # entries of this dict. Round-10 rotation (VERDICT r9 task 2,
-    # executing the documented queue): ALL 34 remaining r06-green rows
-    # enter first (oldest evidence in the registry), then the 16 oldest
-    # r08-green rows displaced by the round-9 rotation. No new declared
-    # ops entered ahead of them this round (the round's additions are
-    # bench-only twins in BENCH_EXTRA_QUERIES). After this gate runs,
-    # nothing is older than r08; the 34 remaining r08 rows lead slots
-    # 51+ as the round-11 rotation queue. Every gated family prefix
-    # (dedup_ text_ curate_ sim_ mm_ stream_ d*/v_/q_) stays
-    # represented (tests/test_entry_contract.py enforces the plan).
-    # --- round-10 new ops (new ops always gate immediately) ---
-    "graph_doc_pagerank": graph_doc_pagerank,
-    "graph_centrality_keep": graph_centrality_keep,
-    # --- the 34 r06-green rows (round-10 queue, in queue order) ---
-    "dedup_jaccard_pairs": dedup_jaccard_pairs,
-    "dedup_simhash": dedup_simhash,
-    "dedup_substring_spans": dedup_substring_spans,
-    "dedup_span_removal": dedup_span_removal,
-    "dedup_embedding_pairs": dedup_embedding_pairs,
-    "dedup_clusters": dedup_clusters,
-    "dedup_canonical_keep": dedup_canonical_keep,
-    "curate_leakage_safe_split": curate_leakage_safe_split,
-    "text_token_count": text_token_count,
-    "text_fingerprint": text_fingerprint,
-    "text_tfidf_top_term": text_tfidf_top_term,
-    "text_unigram_logprob": text_unigram_logprob,
-    "text_bm25_topk": text_bm25_topk,
-    "curate_bloom_contamination": curate_bloom_contamination,
-    "curate_quality_rules": curate_quality_rules,
-    "curate_pipeline": curate_pipeline,
-    "sim_ivf_topk": sim_ivf_topk,
-    "sim_ivf_multiprobe": sim_ivf_multiprobe,
-    "sim_quantized_topk": sim_quantized_topk,
-    "sim_pq_topk": sim_pq_topk,
-    "sim_ivfpq_topk": sim_ivfpq_topk,
-    "sim_lsh_topk": sim_lsh_topk,
-    "sim_lsh_multiprobe": sim_lsh_multiprobe,
-    "stream_sessionize_flushed": stream_sessionize_flushed,
-    "stream_enrich_join": stream_enrich_join,
-    "d2_latest_version": d2_latest_version,
-    "d2_asof_snapshot": d2_asof_snapshot,
-    "ingest_roundtrip": ingest_roundtrip,
-    "v_variant_shred": v_variant_shred,
-    "q_merge_upsert": q_merge_upsert,
-    "q9_profit_by_nation_year": q9_profit_by_nation_year,
-    "q21_waiting_supplier": q21_waiting_supplier,
-    "q_gapfill_timeseries": q_gapfill_timeseries,
-    "q_cohort_retention": q_cohort_retention,
-    # --- the 16 oldest r08-green rows ---
-    "sim_ivfpq_indexed": sim_ivfpq_indexed,
-    "text_ccnet_buckets": text_ccnet_buckets,
-    "curate_dsir_weights": curate_dsir_weights,
-    "curate_token_budget": curate_token_budget,
-    "text_corpus_stats": text_corpus_stats,
-    "dedup_containment_pairs": dedup_containment_pairs,
-    "q_rolling_revenue": q_rolling_revenue,
-    "sim_recall_at_k": sim_recall_at_k,
-    "dedup_jaccard_pairs_scaled": dedup_jaccard_pairs_scaled,
-    "mm_frame_sample": mm_frame_sample,
-    "stream_dedup": stream_dedup,
-    "q2_min_cost_supplier": q2_min_cost_supplier,
-    "q3_top_orders": q3_top_orders,
-    "q4_priority_exists": q4_priority_exists,
-    # -----------------------------------------------------------------
-    # Slots 51+: q5/q6 (displaced from the window by the round-10 new
-    # ops, still r08-green) then the 34 remaining r08-green
-    # rows lead (the round-11
-    # rotation queue, oldest evidence first), then the 50 r09-green
-    # rows (freshest). Everything below is pytest-oracled on every run.
+    # entries of this dict. Round-11 rotation (VERDICT r10 task 4,
+    # executing the documented queue): the round's 2 new ops gate
+    # first (new ops never declare outside the window), then ALL 36
+    # r08-green rows (the relational core, oldest evidence in the
+    # registry), then the 12 oldest r09-green rows fill the window
+    # (mm_resize_plan swapped in for text_bigram_top so every gated
+    # family prefix stays represented — tests/test_entry_contract.py
+    # enforces the plan). After this gate runs nothing is older than
+    # r09; the 38 remaining r09 rows lead slots 51+ as the round-12
+    # rotation queue.
+    # --- round-11 new ops (new ops always gate immediately) ---
+    "graph_doc_pagerank_scaled": graph_doc_pagerank_scaled,
+    "graph_centrality_keep_scaled": graph_centrality_keep_scaled,
+    # --- the 36 r08-green rows (the documented round-11 queue) ---
     "q5_revenue_by_nation": q5_revenue_by_nation,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
@@ -4836,7 +4846,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_unpivot_measures": q_unpivot_measures,
     "q_string_agg": q_string_agg,
     "q_sessionize": q_sessionize,
-    # --- r09-green rows (freshest driver evidence) ---
+    # --- the 12 oldest r09-green rows (fill to 50) ---
     "dedup_containment_pairs_scaled": dedup_containment_pairs_scaled,
     "sim_lsh_indexed": sim_lsh_indexed,
     "text_ccnet_buckets_approx": text_ccnet_buckets_approx,
@@ -4848,6 +4858,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": text_repetition,
     "sim_range_search": sim_range_search,
     "stream_sliding_counts": stream_sliding_counts_q,
+    "mm_resize_plan": mm_resize_plan,
+    # -----------------------------------------------------------------
+    # Slots 51+: the 38 remaining r09-green rows lead (the round-12
+    # rotation queue, oldest evidence first), then the 50 r10-green
+    # rows (freshest). Everything below is pytest-oracled on every run.
     "text_bigram_top": text_bigram_top,
     "curate_pack_sequences": curate_pack_sequences,
     "sim_cosine_topk_vec": sim_cosine_topk_vec,
@@ -4856,7 +4871,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_purchase_attribution": stream_purchase_attribution,
     "d2_change_feed": d2_change_feed,
     "v_explode_tokens": v_explode_tokens,
-    "mm_resize_plan": mm_resize_plan,
     "curate_stratified_sample": curate_stratified_sample,
     "mm_binary_meta": mm_binary_meta,
     "curate_mixture_weights": curate_mixture_weights,
@@ -4887,6 +4901,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivf_indexed": sim_ivf_indexed,
     "mm_features": mm_features,
     "stream_window_counts": stream_window_counts_q,
+    # --- r10-green rows (freshest driver evidence) ---
+    "graph_doc_pagerank": graph_doc_pagerank,
+    "graph_centrality_keep": graph_centrality_keep,
+    "dedup_jaccard_pairs": dedup_jaccard_pairs,
+    "dedup_simhash": dedup_simhash,
+    "dedup_substring_spans": dedup_substring_spans,
+    "dedup_span_removal": dedup_span_removal,
+    "dedup_embedding_pairs": dedup_embedding_pairs,
+    "dedup_clusters": dedup_clusters,
+    "dedup_canonical_keep": dedup_canonical_keep,
+    "curate_leakage_safe_split": curate_leakage_safe_split,
+    "text_token_count": text_token_count,
+    "text_fingerprint": text_fingerprint,
+    "text_tfidf_top_term": text_tfidf_top_term,
+    "text_unigram_logprob": text_unigram_logprob,
+    "text_bm25_topk": text_bm25_topk,
+    "curate_bloom_contamination": curate_bloom_contamination,
+    "curate_quality_rules": curate_quality_rules,
+    "curate_pipeline": curate_pipeline,
+    "sim_ivf_topk": sim_ivf_topk,
+    "sim_ivf_multiprobe": sim_ivf_multiprobe,
+    "sim_quantized_topk": sim_quantized_topk,
+    "sim_pq_topk": sim_pq_topk,
+    "sim_ivfpq_topk": sim_ivfpq_topk,
+    "sim_lsh_topk": sim_lsh_topk,
+    "sim_lsh_multiprobe": sim_lsh_multiprobe,
+    "stream_sessionize_flushed": stream_sessionize_flushed,
+    "stream_enrich_join": stream_enrich_join,
+    "d2_latest_version": d2_latest_version,
+    "d2_asof_snapshot": d2_asof_snapshot,
+    "ingest_roundtrip": ingest_roundtrip,
+    "v_variant_shred": v_variant_shred,
+    "q_merge_upsert": q_merge_upsert,
+    "q9_profit_by_nation_year": q9_profit_by_nation_year,
+    "q21_waiting_supplier": q21_waiting_supplier,
+    "q_gapfill_timeseries": q_gapfill_timeseries,
+    "q_cohort_retention": q_cohort_retention,
+    "sim_ivfpq_indexed": sim_ivfpq_indexed,
+    "text_ccnet_buckets": text_ccnet_buckets,
+    "curate_dsir_weights": curate_dsir_weights,
+    "curate_token_budget": curate_token_budget,
+    "text_corpus_stats": text_corpus_stats,
+    "dedup_containment_pairs": dedup_containment_pairs,
+    "q_rolling_revenue": q_rolling_revenue,
+    "sim_recall_at_k": sim_recall_at_k,
+    "dedup_jaccard_pairs_scaled": dedup_jaccard_pairs_scaled,
+    "mm_frame_sample": mm_frame_sample,
+    "stream_dedup": stream_dedup,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q3_top_orders": q3_top_orders,
+    "q4_priority_exists": q4_priority_exists,
 }
 
 def text_ccnet_buckets_approx_pure(spark, sf_dir):
@@ -4907,6 +4972,9 @@ BENCH_EXTRA_QUERIES["dedup_semantic_sqrt"] = dedup_semantic_sqrt
 BENCH_EXTRA_QUERIES["text_ccnet_buckets_approx_pure"] = text_ccnet_buckets_approx_pure
 
 ORACLES: dict[str, Optional[str]] = {
+    # round-11 new ops
+    "graph_doc_pagerank_scaled": GRAPH_PAGERANK_SCALED_SQL,
+    "graph_centrality_keep_scaled": GRAPH_KEEP_SCALED_SQL,
     # round-10 new ops
     "graph_doc_pagerank": GRAPH_PAGERANK_SQL,
     "graph_centrality_keep": GRAPH_KEEP_SQL,

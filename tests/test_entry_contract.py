@@ -25,28 +25,40 @@ def test_oracles_subset_of_queries():
     # round 6: every declared query has an oracle (mm_features gained a
     # DuckDB byte-histogram reconstruction, VERDICT r5 #1b)
     assert set(qs) - set(oracles) == set()
-    # the driver gates the first 50 entries. Round-10 rotation (VERDICT
-    # r9 task 2): the 34 remaining r06-green rows enter (the documented
-    # queue), plus the 16 oldest r08-green rows displaced in round 9.
+    # the driver gates the first 50 entries. Round-11 rotation (VERDICT
+    # r10 task 4, executing the documented queue): ALL 36 r08-green rows
+    # (the relational core) enter, plus the round's 2 new ops, plus the
+    # 12 oldest r09-green rows filling the window.
     first50 = set(list(qs)[:50])
     must_gate = {
-        # the round-10 new ops gate immediately (never declare a new op
+        # the round-11 new ops gate immediately (never declare a new op
         # outside the window)
-        "graph_doc_pagerank", "graph_centrality_keep",
-        # the 34 r06-green rows (spot-check the corners + family spread;
-        # the full 34 lead the window per the registry comment)
-        "dedup_jaccard_pairs", "dedup_simhash", "dedup_substring_spans",
-        "dedup_embedding_pairs", "dedup_clusters", "curate_leakage_safe_split",
-        "text_token_count", "text_bm25_topk", "curate_bloom_contamination",
-        "sim_ivf_topk", "sim_ivfpq_topk", "sim_lsh_topk",
-        "stream_sessionize_flushed", "stream_enrich_join",
-        "d2_latest_version", "ingest_roundtrip", "v_variant_shred",
-        "q_merge_upsert", "q9_profit_by_nation_year", "q_cohort_retention",
-        # the 16 oldest r08-green re-gates
-        "sim_ivfpq_indexed", "text_ccnet_buckets", "curate_dsir_weights",
-        "text_corpus_stats", "dedup_containment_pairs", "sim_recall_at_k",
-        "mm_frame_sample", "stream_dedup", "q2_min_cost_supplier",
+        "graph_doc_pagerank_scaled", "graph_centrality_keep_scaled",
+        # the 36 r08-green rows — the relational core IS the queue, so
+        # pin all of it (no spot-check: this was the oldest evidence)
+        "q5_revenue_by_nation", "q6_forecast_revenue", "q7_volume_shipping",
+        "q8_market_share", "q10_returned_items", "q11_important_parts",
+        "q12_ship_lag_buckets", "q13_order_count_distribution",
+        "q14_promo_revenue", "q15_top_supplier", "q16_supplier_variety",
+        "q17_small_quantity", "q18_large_volume_customers",
+        "q19_disjunctive_predicates", "q20_supplier_semi_chain",
+        "q22_idle_customers", "q_customers_without_orders",
+        "q_window_top3_orders", "q_window_funcs", "q_rollup_status",
+        "q_distinct_nations", "q_percentiles", "q_pivot_status",
+        "q_cube_qty", "q_grouping_sets", "q_except_intersect",
+        "q_string_funcs", "q_date_funcs", "q_top_supplier_per_nation",
+        "q_having_big_customers", "q_conditional_agg", "q_asof_join",
+        "q_asof_join_merge", "q_unpivot_measures", "q_string_agg",
+        "q_sessionize",
+        # the 12 oldest r09-green fills (mm_resize_plan swapped in for
+        # text_bigram_top so every family prefix stays in the window)
+        "dedup_containment_pairs_scaled", "sim_lsh_indexed",
+        "text_ccnet_buckets_approx", "curate_dsir_weights_hashed",
+        "v_variant_shred_sink", "q_unpivot_sink", "curate_chunk_windows",
+        "d_version_churn", "text_repetition", "sim_range_search",
+        "stream_sliding_counts", "mm_resize_plan",
     }
+    assert len(must_gate) == 50
     assert must_gate <= first50, sorted(must_gate - first50)
     # the extension families stay represented in the window
     for prefix in ("dedup_", "text_", "curate_", "sim_", "mm_", "stream_", "graph_"):
