@@ -21,6 +21,18 @@ Store contract (what the protocols actually rely on):
   point is one rename (manifest-last ordering does the rest).
 - ``listdir`` is list-after-write consistent: a completed rename is
   visible to the next listing (true of POSIX, HDFS, and modern S3/GCS).
+  Fault-injection coverage (``tests/test_storage_faults.py``) pins where
+  this matters: compact/sweep merely DEFER work under a lagged listing
+  (an invisible day compacts next round; an invisible stranded aside is
+  restored by the next sweep), and a commit rename raced by a concurrent
+  writer propagates loudly and is recovered by sweep (forward-finish
+  from the same run's staged manifest, or reclaim-as-debris when the
+  winner's live dir exists). The one LOAD-BEARING use is the refresh
+  stranded-guard: on a store whose listings lag indefinitely, a refresh
+  could recreate a stranded day and a later sweep would then reclaim the
+  aside holding that day's history. Deployments must provide
+  list-after-write listings (all mainstream stores since S3's 2020
+  strong-consistency change do).
 - ``freshness(path)`` returns a monotonic-enough timestamp for the
   multi-process sweep guard: max(mtime, ctime) locally, last-modified on
   object stores.

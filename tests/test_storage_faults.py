@@ -1,0 +1,202 @@
+"""Object-store-shaped FAULT INJECTION against the shared commit protocols
+(VERDICT r10 task 8): a rename raced by a concurrent writer, and
+eventually-consistent (lagged) listings.
+
+The contract ``storage.py`` declares is atomic-rename + list-after-write
+listings. These tests exercise what happens just OUTSIDE that contract:
+
+* **Lost conditional swap** — the commit rename fails (S3 If-None-Match
+  lost the race / POSIX dst taken). The protocol must propagate the error
+  (never swallow a failed commit) and ``sweep()`` must recover to a
+  consistent state: forward-finish from the same run's staged output when
+  the manifest is present, or reclaim our aside as debris when the
+  concurrent winner's live dir exists.
+* **Lagged listings** — a listing that does not yet show a recent commit.
+  The protocols' listdir consumers must DEFER (skip this round) rather
+  than misclassify: compact just misses a day until the listing settles,
+  sweep leaves an invisible aside for the next sweep. The one place
+  list-after-write consistency is load-bearing — refresh()'s stranded
+  guard — is documented in storage.py as a deployment requirement (held
+  by POSIX, HDFS, and post-2020 S3/GCS), not silently assumed.
+"""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from execute_sync_spark import storage
+from tests.conftest import SF_DIR
+from tests.test_storage_contract import _events, _rows, swap_store  # noqa: F401
+
+
+class RaceInjectingStore(storage.LocalPosixStore):
+    """One rename loses a race to a concurrent writer.
+
+    ``arm(dst_substr)`` makes the next rename whose dst contains the
+    substring raise FileExistsError WITHOUT renaming (the conditional-PUT
+    loss: src untouched, dst owned by the winner-to-be). With
+    ``winner_src`` set, the winner's directory physically appears at dst
+    first and the delegated POSIX rename then fails naturally
+    (ENOTEMPTY) — the dst-taken flavor of the same race."""
+
+    def __init__(self):
+        self._armed: tuple[str, str | None] | None = None
+        self.raced: list[str] = []
+
+    def arm(self, dst_substr: str, winner_src: str | None = None) -> None:
+        self._armed = (dst_substr, winner_src)
+
+    def rename(self, src: str, dst: str) -> None:
+        if self._armed and self._armed[0] in dst:
+            substr, winner = self._armed
+            self._armed = None
+            self.raced.append(dst)
+            if winner is not None:
+                os.rename(winner, dst)  # the concurrent writer commits first
+                super().rename(src, dst)  # -> OSError: dst taken, non-empty
+                raise AssertionError("dst-taken rename unexpectedly succeeded")
+            raise FileExistsError(f"conditional swap lost the race: {dst}")
+        super().rename(src, dst)
+
+
+class LaggedListingStore(storage.LocalPosixStore):
+    """Eventually-consistent listings: ``hide(name, n)`` drops ``name``
+    from the next ``n`` listings that would contain it (the classic
+    pre-2020 S3 LIST lag, simulated deterministically)."""
+
+    def __init__(self):
+        self._hidden: dict[str, int] = {}
+
+    def hide(self, name: str, listings: int) -> None:
+        self._hidden[name] = listings
+
+    def listdir(self, p: str) -> list[str]:
+        names = super().listdir(p)
+        out = []
+        for n in names:
+            if self._hidden.get(n, 0) > 0:
+                self._hidden[n] -= 1
+                continue
+            out.append(n)
+        return out
+
+
+def _rollup_with_two_batches(spark, path):
+    from execute_sync_spark.operators.rollup import HourlyRollup
+
+    r = HourlyRollup(spark, path)
+    r.refresh(_events(spark, [(1, "2024-01-01 00:10:00", 1, "click", 2.0)]), batch_id=1)
+    r.refresh(_events(spark, [(2, "2024-01-01 00:30:00", 2, "click", 3.0)]), batch_id=2)
+    return r, {("click", "2024-01-01 00:00:00", "2024-01-01"): (2, 5.0)}
+
+
+def test_compact_commit_rename_race_forward_finish(spark, tmp_path, swap_store):  # noqa: F811
+    """compact()'s staged->live rename loses the race: the error must
+    propagate (a swallowed failed commit is silent data loss), reads must
+    refuse the stranded state, and sweep must finish FORWARD from the same
+    run's staged output — manifest included, so absorbed-batch replay
+    stays idempotent after recovery."""
+    store = swap_store(RaceInjectingStore())
+    r, expect = _rollup_with_two_batches(spark, str(tmp_path / "rollup"))
+
+    store.arm("/day=2024-01-01")  # 2nd rename of the swap; aside dst doesn't match
+    with pytest.raises(FileExistsError):
+        r.compact()
+    assert store.raced
+    # live day gone, aside + staged dir stranded -> reads refuse, not omit
+    with pytest.raises(RuntimeError, match="stranded"):
+        r.read().collect()
+
+    out = r.sweep(min_age_s=0)
+    assert any(n.startswith("_old_day_2024-01-01") for n in out["restored"])
+    assert _rows(r) == expect
+    # the forward-finished day carries the manifest: replay is still a skip
+    assert r.refresh(
+        _events(spark, [(2, "2024-01-01 00:30:00", 2, "click", 3.0)]), batch_id=2
+    ) == []
+    assert _rows(r) == expect
+
+
+def test_compact_commit_rename_dst_taken_by_winner(spark, tmp_path, swap_store):  # noqa: F811
+    """Two compactors race one day; ours loses AFTER parking the live dir
+    aside — the winner's live dir exists when our staged->live rename
+    runs. The failed commit propagates, and sweep classifies our aside as
+    debris (live exists), never clobbering the winner."""
+    store = swap_store(RaceInjectingStore())
+    r, expect = _rollup_with_two_batches(spark, str(tmp_path / "rollup"))
+
+    # the "winner": an equivalent committed day (same partials, as a real
+    # racing compactor of the same rollup would produce)
+    winner = str(tmp_path / "winner_day")
+    shutil.copytree(os.path.join(r.path, "day=2024-01-01"), winner)
+    store.arm("/day=2024-01-01", winner_src=winner)
+    with pytest.raises(OSError):
+        r.compact()
+
+    out = r.sweep(min_age_s=0)
+    assert any(n.startswith("_old_day_2024-01-01") for n in out["reclaimed"])
+    assert not any(n.startswith("_old_day_") for n in out["restored"])
+    assert _rows(r) == expect  # the winner's day is live and untouched
+    assert r.compact() == ["2024-01-01"]  # a clean retry compacts normally
+    assert _rows(r) == expect
+
+
+def test_index_compact_rename_race_forward_finish(spark, tmp_path, swap_store):  # noqa: F811
+    """Same race against the shared index commit protocol
+    (functions/index_commit.py): the IVF leaf swap loses its staged->live
+    rename; sweep_index forward-finishes and probes stay correct."""
+    from execute_sync_spark.functions import similarity
+
+    store = swap_store(RaceInjectingStore())
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 4)
+    idx = similarity.build_cell_index(
+        emb.filter(F.col("vec_id") < 40), centroids, str(tmp_path / "ivf")
+    )
+    similarity.append_cell_index(
+        emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 60)),
+        centroids, idx, batch_id=7,
+    )
+    n = spark.read.parquet(idx).count()
+    cell = next(
+        c for c in storage.STORE.listdir(idx) if c.startswith("cell_id=")
+    )[len("cell_id="):]
+
+    store.arm(f"/cell_id={cell}")
+    with pytest.raises(FileExistsError):
+        similarity.compact_index(spark, idx)
+    out = similarity.sweep_index(idx, min_age_s=0)
+    assert any(f"_old_cell_{cell}" in x for x in out["restored"])
+    assert spark.read.parquet(idx).count() == n
+    # recovered leaf still carries the manifest: absorbed replay skips
+    assert similarity.append_cell_index(
+        emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 60)),
+        centroids, idx, batch_id=7,
+    ) == []
+
+
+def test_lagged_listing_defers_instead_of_misclassifying(spark, tmp_path, swap_store):  # noqa: F811
+    """Listings that lag a commit must only DELAY maintenance, never lose
+    data: compact misses the invisible day this round and picks it up once
+    the listing settles; sweep leaves an invisible stranded aside for the
+    next sweep and restores it then."""
+    store = swap_store(LaggedListingStore())
+    r, expect = _rollup_with_two_batches(spark, str(tmp_path / "rollup"))
+
+    # compact under a lagged listing: the day dir is invisible -> benign no-op
+    store.hide("day=2024-01-01", 1)
+    assert r.compact() == []
+    assert r.compact() == ["2024-01-01"]  # listing settled -> compacts normally
+    assert _rows(r) == expect
+
+    # stranded aside invisible to sweep: deferred, then restored once visible
+    live = os.path.join(r.path, "day=2024-01-01")
+    aside = "_old_day_2024-01-01_99999"
+    storage.STORE.rename(live, os.path.join(r.path, aside))
+    store.hide(aside, 1)  # sweep's one listing of the table dir lags
+    assert r.sweep(min_age_s=0) == {"restored": [], "reclaimed": []}
+    out = r.sweep(min_age_s=0)
+    assert aside in out["restored"]
+    assert _rows(r) == expect
