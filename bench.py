@@ -189,6 +189,25 @@ def _scale_pass(
     # warm ratios divide by the WARM base pass when one was measured in
     # this invocation (--scale-full); plan-vs-plan, cache-state matched
     base = detail["queries_warm"] if warm and "queries_warm" in detail else detail["queries"]
+    # VERDICT r10 task 7: the persisted-index queries' first call pays a
+    # one-time index BUILD when the synthesis regenerated, so their cold
+    # ratio reads as a superlinear probe when it is really linear build
+    # amortization. Split the two: re-run each *_indexed query immediately
+    # (index now persisted -> probe only) and report both rows.
+    indexed_split: dict[str, dict] = {}
+    if not warm:
+        bench_set = {**workload.QUERIES, **getattr(workload, "BENCH_EXTRA_QUERIES", {})}
+        for name in times_n:
+            if not name.endswith("_indexed"):
+                continue
+            t0 = time.perf_counter()
+            bench_set[name](spark, dst).collect()
+            probe = round(time.perf_counter() - t0, 3)
+            indexed_split[name] = {
+                "first_call_sec": times_n[name],  # build (if absent) + probe
+                "probe_only_sec": probe,
+                "probe_ratio_vs_base": round(probe / base[name], 1) if base.get(name) else None,
+            }
     # warm ratios live under their own key: they measure plan scaling with
     # page cache warm, not the cold-I/O methodology rounds compare against
     detail[f"scale{factor}_warm" if warm else f"scale{factor}"] = {
@@ -206,6 +225,7 @@ def _scale_pass(
         "ratio_vs_base": {
             k: round(times_n[k] / base[k], 1) for k in times_n if base.get(k)
         },
+        **({"indexed_cold_split": indexed_split} if indexed_split else {}),
     }
 
 
@@ -225,6 +245,10 @@ def _carry_scale_blocks(detail: dict, detail_path: str) -> None:
             prev_all = json.load(f)
     except (OSError, ValueError):
         return
+    # side experiments (tools/ccnet_skew_crossover.py, ...) are evidence a
+    # plain bench run must not destroy; carried verbatim, no staleness model
+    if "experiments" in prev_all and "experiments" not in detail:
+        detail["experiments"] = prev_all["experiments"]
     for key, prev in prev_all.items():
         if key.startswith("scale") and isinstance(prev, dict) and key not in detail:
             try:

@@ -35,7 +35,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "connected_components_star"]
+__all__ = [
+    "connected_components",
+    "connected_components_star",
+    "pagerank",
+    "build_cluster_state",
+    "update_cluster_state",
+]
 
 
 def _canonical(edges: DataFrame, src: str, dst: str) -> tuple[DataFrame, DataFrame]:
@@ -329,3 +335,168 @@ def pagerank(
         return scores.select(F.col("src").alias("node"), "pr")
     finally:
         symd.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# incremental cluster maintenance (round 11)
+
+_CLUSTER_META = "meta.json"
+
+
+def _bucket(col, n_buckets: int):
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+def build_cluster_state(
+    edges: DataFrame, path: str, src: str = "id_a", dst: str = "id_b",
+    n_buckets: int = 8,
+) -> str:
+    """Solve components ONCE over the base corpus's near-dup edges and
+    PERSIST the result so later batches never re-cluster the corpus:
+
+    - ``{path}/labels/bucket=K/`` — (id, cluster_id), bucketed by a hash
+      of the component label;
+    - ``{path}/edges/bucket=K/``  — the canonical edge set, carried with
+      its component label so an update can read back exactly the touched
+      components' edges via PARTITION-PRUNED scans.
+
+    ``n_buckets`` is the rewrite-granularity knob: an update rewrites
+    whole buckets (dynamic partition overwrite), so size buckets to a few
+    GB at deployment scale (n_buckets grows with the corpus; 8 at test
+    SF). ``meta.json`` commits LAST through ``storage.STORE`` — a state
+    dir without it is an incomplete build and is rebuilt."""
+    import json
+    import os
+
+    from execute_sync_spark import storage
+
+    labels = connected_components(edges, src, dst)
+    canon, _ = _canonical(edges, src, dst)
+    (
+        labels.withColumn("bucket", _bucket(F.col("cluster_id"), n_buckets))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "labels"))
+    )
+    (
+        canon.join(labels.withColumnRenamed("id", "a"), "a")
+        .select("a", "b", "cluster_id")
+        .withColumn("bucket", _bucket(F.col("cluster_id"), n_buckets))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "edges"))
+    )
+    storage.STORE.write_text(
+        os.path.join(path, _CLUSTER_META), json.dumps({"n_buckets": n_buckets})
+    )
+    return path
+
+
+def update_cluster_state(
+    spark, path: str, new_edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Fold one batch of new near-dup edges into the persisted cluster
+    state, re-solving ONLY the components the batch touches — the 100 TB
+    shape of cluster maintenance: every incremental batch costs
+    O(touched components + their buckets), never a corpus re-cluster.
+
+    Correctness contract (pinned by tests and the driver oracle): after
+    any sequence of updates the state equals a full recompute over the
+    union of all edge sets — min-label components are confluent, so
+    re-solving a touched component over (its persisted edges + the new
+    edges) lands the same labels a global solve would. Replaying the same
+    batch is a no-op by the same argument. Returns the updated labels
+    (id, cluster_id), read back from the committed state."""
+    import json
+    import os
+
+    from execute_sync_spark import storage
+
+    meta = json.loads(storage.STORE.read_text(os.path.join(path, _CLUSTER_META)))
+    nb = int(meta["n_buckets"])
+    labels_dir = os.path.join(path, "labels")
+    edges_dir = os.path.join(path, "edges")
+    labels = spark.read.parquet(labels_dir)
+
+    new_e = (
+        new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if new_e.isEmpty():
+        return labels.select("id", "cluster_id")
+    new_nodes = (
+        new_e.select(F.col("a").alias("id"))
+        .unionByName(new_e.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    # components the batch touches; materialized because it's consumed by
+    # several anti-joins while their source partitions get overwritten
+    touched = (
+        labels.join(new_nodes, "id")
+        .select("cluster_id", "bucket")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # bucket lists are <= n_buckets values: safe to collect, and they are
+    # what makes the edge read-back a partition-PRUNED scan
+    touched_buckets = sorted(r.bucket for r in touched.select("bucket").distinct().collect())
+    old_aff = (
+        spark.read.parquet(edges_dir)
+        .where(F.col("bucket").isin(touched_buckets))
+        .join(touched.select("cluster_id"), "cluster_id", "left_semi")
+        if touched_buckets
+        else spark.createDataFrame([], f"a {new_e.schema['a'].dataType.simpleString()}, "
+                                       f"b {new_e.schema['b'].dataType.simpleString()}")
+    )
+    sub = old_aff.select("a", "b").unionByName(new_e)
+    relab = (
+        connected_components(sub, "a", "b")
+        .withColumn("bucket", _bucket(F.col("cluster_id"), nb))
+        .localCheckpoint(eager=True)
+    )
+    relab_buckets = sorted(r.bucket for r in relab.select("bucket").distinct().collect())
+    write_buckets = sorted(set(touched_buckets) | set(relab_buckets))
+
+    # labels: survivors of the rewritten buckets + the re-solved rows.
+    # Eagerly materialized BEFORE the dynamic overwrite deletes the
+    # partitions it was computed from.
+    out_labels = (
+        labels.where(F.col("bucket").isin(write_buckets))
+        .join(touched.select("cluster_id"), "cluster_id", "left_anti")
+        .select("id", "cluster_id", "bucket")
+        .unionByName(relab.select("id", "cluster_id", "bucket"))
+        .localCheckpoint(eager=True)
+    )
+    out_edges = (
+        spark.read.parquet(edges_dir)
+        .where(F.col("bucket").isin(write_buckets))
+        .join(touched.select("cluster_id"), "cluster_id", "left_anti")
+        .select("a", "b", "cluster_id", "bucket")
+        .unionByName(
+            sub.join(relab.withColumnRenamed("id", "a"), "a")
+            .select("a", "b", "cluster_id", "bucket")
+        )
+        .localCheckpoint(eager=True)
+    )
+    for df, d in ((out_labels, labels_dir), (out_edges, edges_dir)):
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(d)
+        )
+        # dynamic overwrite only replaces partitions PRESENT in the written
+        # data: a bucket whose rows all migrated to the merged component's
+        # bucket would silently keep its stale files. Remove the write-set
+        # buckets that received zero rows. (A crash between the write and
+        # this cleanup leaves stale rows; REPLAYING the same batch heals —
+        # the stale labels re-enter `touched` and the bucket rewrites.)
+        have = {r.bucket for r in df.select("bucket").distinct().collect()}
+        for k in set(write_buckets) - have:
+            storage.STORE.rmtree(os.path.join(d, f"bucket={k}"))
+    return spark.read.parquet(labels_dir).select("id", "cluster_id")

@@ -27,12 +27,13 @@ def test_oracles_subset_of_queries():
     assert set(qs) - set(oracles) == set()
     # the driver gates the first 50 entries. Round-11 rotation (VERDICT
     # r10 task 4, executing the documented queue): ALL 36 r08-green rows
-    # (the relational core) enter, plus the round's 2 new ops, plus the
-    # 12 oldest r09-green rows filling the window.
+    # (the relational core) enter, plus the round's 3 new ops, plus the
+    # 11 oldest r09-green rows filling the window.
     first50 = set(list(qs)[:50])
     must_gate = {
         # the round-11 new ops gate immediately (never declare a new op
         # outside the window)
+        "graph_clusters_incremental",
         "graph_doc_pagerank_scaled", "graph_centrality_keep_scaled",
         # the 36 r08-green rows — the relational core IS the queue, so
         # pin all of it (no spot-check: this was the oldest evidence)
@@ -50,11 +51,12 @@ def test_oracles_subset_of_queries():
         "q_having_big_customers", "q_conditional_agg", "q_asof_join",
         "q_asof_join_merge", "q_unpivot_measures", "q_string_agg",
         "q_sessionize",
-        # the 12 oldest r09-green fills (mm_resize_plan swapped in for
-        # text_bigram_top so every family prefix stays in the window)
+        # the 11 oldest r09-green fills (mm_resize_plan swapped in for
+        # text_bigram_top so every family prefix stays in the window;
+        # q_unpivot_sink displaced by the 3rd new op)
         "dedup_containment_pairs_scaled", "sim_lsh_indexed",
         "text_ccnet_buckets_approx", "curate_dsir_weights_hashed",
-        "v_variant_shred_sink", "q_unpivot_sink", "curate_chunk_windows",
+        "v_variant_shred_sink", "curate_chunk_windows",
         "d_version_churn", "text_repetition", "sim_range_search",
         "stream_sliding_counts", "mm_resize_plan",
     }

@@ -83,10 +83,23 @@ ANNOTATED = {
     "since round 10 the index is streaming-maintainable via the shared "
     "commit protocol (append/compact/sweep, functions/index_commit.py)",
     "graph_doc_pagerank": "power iteration over the symmetrized near-dup "
-    "edge list: edges deduped + degree-annotated once and persisted; "
-    "each of the 5 fixed iterations is one hash join keyed on the SAME "
-    "src column plus a map-side-combined aggregation on dst — shuffle "
-    "width stays constant per iteration, no driver-side graph state",
+    "edge list: edges deduped + degree-annotated once and eagerly "
+    "materialized (round 11: localCheckpoint, so the expensive shingle "
+    "self-join upstream runs exactly once); each of the 5 fixed "
+    "iterations is one hash join keyed on the SAME src column plus a "
+    "map-side-combined aggregation on dst — shuffle width stays constant "
+    "per iteration, no driver-side graph state",
+    "graph_centrality_keep": "round 11 (VERDICT r10 #2): the edge "
+    "relation is localCheckpointed ONCE at the top of the query — the "
+    "plan below reads the materialized edges (Scan ExistingRDD), not the "
+    "shingle inverted-index self-join, for BOTH connected components and "
+    "PageRank; the old form re-executed that self-join ~3x and was the "
+    "bench's #1 long pole (10.2 s -> ~4.9 s)",
+    "graph_centrality_keep_scaled": "the declared 100 TB composition: "
+    "the SAME centrality-keep body consuming the max_df-valved jaccard "
+    "edge relation — per-shingle join fan-out bounded at max_df^2, so "
+    "edge-build work grows with vocabulary, not corpus^2; one edge "
+    "materialization shared by components + PageRank as above",
 }
 
 
