@@ -370,6 +370,7 @@ def build_cluster_state(
 
     from execute_sync_spark import storage
 
+    node_t = edges.schema[src].dataType.simpleString()
     labels = connected_components(edges, src, dst)
     canon, _ = _canonical(edges, src, dst)
     (
@@ -389,7 +390,8 @@ def build_cluster_state(
         .parquet(os.path.join(path, "edges"))
     )
     storage.STORE.write_text(
-        os.path.join(path, _CLUSTER_META), json.dumps({"n_buckets": n_buckets})
+        os.path.join(path, _CLUSTER_META),
+        json.dumps({"n_buckets": n_buckets, "node_type": node_t}),
     )
     return path
 
@@ -416,9 +418,16 @@ def update_cluster_state(
 
     meta = json.loads(storage.STORE.read_text(os.path.join(path, _CLUSTER_META)))
     nb = int(meta["n_buckets"])
+    # read state back with EXPLICIT schemas (recorded at build time): a
+    # state built from an empty corpus has zero bucket partitions — only
+    # _SUCCESS — and schema inference would fail on it, but an empty
+    # state is a valid state (pytest empty-inputs contract)
+    t = meta.get("node_type", "bigint")
+    labels_schema = f"id {t}, cluster_id {t}, bucket int"
+    edges_schema = f"a {t}, b {t}, cluster_id {t}, bucket int"
     labels_dir = os.path.join(path, "labels")
     edges_dir = os.path.join(path, "edges")
-    labels = spark.read.parquet(labels_dir)
+    labels = spark.read.schema(labels_schema).parquet(labels_dir)
 
     new_e = (
         new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -446,7 +455,7 @@ def update_cluster_state(
     # what makes the edge read-back a partition-PRUNED scan
     touched_buckets = sorted(r.bucket for r in touched.select("bucket").distinct().collect())
     old_aff = (
-        spark.read.parquet(edges_dir)
+        spark.read.schema(edges_schema).parquet(edges_dir)
         .where(F.col("bucket").isin(touched_buckets))
         .join(touched.select("cluster_id"), "cluster_id", "left_semi")
         if touched_buckets
@@ -473,7 +482,7 @@ def update_cluster_state(
         .localCheckpoint(eager=True)
     )
     out_edges = (
-        spark.read.parquet(edges_dir)
+        spark.read.schema(edges_schema).parquet(edges_dir)
         .where(F.col("bucket").isin(write_buckets))
         .join(touched.select("cluster_id"), "cluster_id", "left_anti")
         .select("a", "b", "cluster_id", "bucket")
@@ -499,4 +508,4 @@ def update_cluster_state(
         have = {r.bucket for r in df.select("bucket").distinct().collect()}
         for k in set(write_buckets) - have:
             storage.STORE.rmtree(os.path.join(d, f"bucket={k}"))
-    return spark.read.parquet(labels_dir).select("id", "cluster_id")
+    return spark.read.schema(labels_schema).parquet(labels_dir).select("id", "cluster_id")
