@@ -254,3 +254,33 @@ def token_budget_select(
         "quality",
         F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
     ).withColumn("kept", F.col("cum_tokens") <= F.lit(budget))
+
+
+def domain_cap(
+    docs: DataFrame,
+    per_domain: int,
+    domain_col: str = "source",
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document cap (RefinedWeb / Gopher-style source
+    balancing): keep at most ``per_domain`` documents from each domain,
+    preferring higher ``quality_col`` (ties break on id, so the kept set
+    is reproducible across engines and reruns). A handful of mega-domains
+    otherwise dominate a crawl-derived corpus; the cap is applied AFTER
+    dedup and BEFORE mixture weighting in a typical pipeline.
+
+    Scale shape: ONE window per domain key — a single shuffle on the
+    domain, with rank pushed as a TakeOrdered-like top-K inside each
+    partition. A mega-domain that skews the shuffle gets the two-phase
+    salted form (top-K per (domain, salt) first, then top-K of the
+    K*salts survivors — q_skew_salted_agg demonstrates the idiom); rank
+    semantics are identical because top-K is associative."""
+    w = Window.partitionBy(domain_col).orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    return (
+        docs.select(id_col, domain_col, quality_col)
+        .withColumn("rank_in_domain", F.row_number().over(w))
+        .filter(F.col("rank_in_domain") <= per_domain)
+    )

@@ -384,3 +384,76 @@ def corpus_stats(
             F.round(F.avg("__q"), 6).alias("avg_alpha_ratio"),
         )
     )
+
+
+def boilerplate_chunks(
+    docs: DataFrame,
+    chunk_words: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, chunk_id, chunk) — the document sliced into consecutive
+    fixed-width word windows, the sub-document dedup unit for corpora
+    whose texts carry no line structure (CCNet dedups per LINE, Wenzek et
+    al. 2020 §4.1; a fixed word window is the same idea with a
+    deterministic splitter). The slicing itself is one JVM-side
+    higher-order expression per document — sequence/slice/array_join
+    inside whole-stage codegen, no shuffle, no Python — so chunking is
+    embarrassingly parallel at any scale."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * chunk_words + 1, chunk_words), " "),
+    )
+    return docs.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk"))
+
+
+def boilerplate_removal(
+    docs: DataFrame,
+    min_docs: int = 2,
+    chunk_words: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style sub-document deduplication: drop every chunk that
+    appears (verbatim) in >= ``min_docs`` DISTINCT documents — the
+    boilerplate remover (headers, footers, license blurbs, navigation)
+    that runs before document-level near-dedup in CommonCrawl-derived
+    pipelines. Returns (id, text_clean, n_chunks, n_removed) with
+    text_clean reassembled from the surviving chunks in order.
+
+    100 TB shape: chunk frequency is ONE map-side-combined aggregation on
+    the chunk; the boilerplate set (df >= min_docs) is a small fraction
+    of distinct chunks, so membership is a BROADCAST left join (CCNet
+    ships the same thing as a hash-set side input); reassembly is the
+    single data-sized shuffle, keyed on the document id. At deployment
+    scale the frequency table keys on xxhash64(chunk) rather than the
+    chunk text (same plan, 8-byte keys); the text form here keeps the
+    DuckDB oracle exact."""
+    ch = boilerplate_chunks(docs, chunk_words, text_col, id_col)
+    boiler = (
+        ch.groupBy("chunk")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("chunk", F.lit(1).alias("__b"))
+    )
+    marked = ch.join(F.broadcast(boiler), "chunk", "left")
+    # collect_list skips nulls: boilerplate chunks vanish from the rebuilt
+    # text while still counting in n_chunks/n_removed
+    kept_struct = F.when(F.col("__b").isNull(), F.struct("chunk_id", "chunk"))
+    return marked.groupBy(id_col).agg(
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["chunk"]
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("text_clean"),
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("__b").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+    )

@@ -4864,23 +4864,148 @@ Q_COHORT_SQL = """
 # ---------------------------------------------------------------------------
 # registry
 
+# ---------------------------------------------------------------------------
+# round-11 additions 2: sub-document boilerplate dedup, LSH recall
+# evaluation, per-domain cap
+
+def text_boilerplate_removal(spark, sf_dir):
+    """CCNet-style SUB-document deduplication (Wenzek et al. 2020 §4.1
+    dedups per line; this corpus has no line structure, so the unit is a
+    fixed 10-word window): every chunk that appears verbatim in >= 2
+    distinct documents is boilerplate (headers, footers, license blurbs)
+    and is removed, and each document reports its rebuilt text plus
+    chunk/removal counts. 100 TB shape (functions/text.py
+    boilerplate_removal): chunking is one JVM-side higher-order
+    expression (no shuffle), chunk frequency is one map-side-combined
+    aggregation, membership is a BROADCAST anti-join (the df>=2 set is a
+    small fraction of distinct chunks; at deployment scale it keys on
+    xxhash64(chunk), 8-byte keys), and reassembly is the single
+    data-sized shuffle, keyed on doc_id. Runs BEFORE document-level
+    near-dedup in a crawl pipeline — removing shared boilerplate keeps
+    it from inflating document Jaccard. Parity: extends the reference's
+    dedup family (SURVEY §2 extension; the reference has no sub-document
+    surface)."""
+    return text.boilerplate_removal(
+        _docs_wide(spark, sf_dir), min_docs=2, chunk_words=10
+    )
+
+
+TEXT_BOILERPLATE_SQL = r"""
+    WITH w AS (
+        SELECT doc_id, unnest(arr) AS word, unnest(range(1, len(arr) + 1)) AS pos
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+              FROM documents)
+    ),
+    ch AS (
+        SELECT doc_id, CAST((pos - 1) // 10 AS INT) AS chunk_id,
+               string_agg(word, ' ' ORDER BY pos) AS chunk
+        FROM w GROUP BY doc_id, chunk_id
+    ),
+    freq AS (SELECT chunk FROM ch GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 2),
+    marked AS (
+        SELECT c.doc_id, c.chunk_id, c.chunk, f.chunk IS NOT NULL AS boiler
+        FROM ch c LEFT JOIN freq f USING (chunk)
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN NOT boiler THEN chunk END,
+                               ' ' ORDER BY chunk_id), '') AS text_clean,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+    FROM marked GROUP BY doc_id
+"""
+
+
+def dedup_lsh_recall(spark, sf_dir):
+    """The empirical LSH S-CURVE — recall of MinHash banding candidates
+    against exact (valved) shingle-Jaccard ground truth, per Jaccard
+    decile: the measurement every near-dedup deployment runs when tuning
+    bands/rows (the banding collision probability 1-(1-s^r)^b is a
+    THEORETICAL s-curve; this query measures the real one on the real
+    corpus, in-engine — the dedup twin of sim_recall_at_k). Truth is the
+    declared production edge relation (max_df-valved Jaccard >= 0.05);
+    candidates are the declared LSH banding pairs; both are
+    already-gated operators, so this adds one broadcast-sized left join
+    and one map-side-combined aggregate over them — at 100 TB the truth
+    side runs over a SAMPLE of the corpus (recall estimation never needs
+    all pairs), exactly like sim_recall_at_k's query-sample note."""
+    docs = _docs_wide(spark, sf_dir)
+    truth = dedupe.ngram_jaccard_pairs(docs, threshold=0.05, max_df=_JACCARD_MAX_DF)
+    sigs = dedupe.minhash_signatures(docs, num_hashes=_NUM_MINHASH)
+    cand = dedupe.lsh_candidate_pairs(
+        sigs, num_hashes=_NUM_MINHASH, band_size=2
+    ).withColumn("__hit", F.lit(1))
+    hit = F.coalesce(F.col("__hit"), F.lit(0))
+    return (
+        truth.join(cand, ["id_a", "id_b"], "left")
+        .groupBy(F.floor(F.col("jaccard") * 10).cast("int").alias("jaccard_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(hit).cast("long").alias("n_hit"),
+            F.round(F.sum(hit) / F.count("*"), 4).alias("recall"),
+        )
+    )
+
+
+DEDUP_LSH_RECALL_SQL = f"""
+    WITH truth AS ({DEDUP_JACCARD_SCALED_SQL}),
+    cand AS ({DEDUP_LSH_SQL})
+    SELECT CAST(FLOOR(t.jaccard * 10) AS INT) AS jaccard_band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           ROUND(CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS recall
+    FROM truth t LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+    GROUP BY 1
+"""
+
+
+def curate_domain_cap(spark, sf_dir):
+    """Per-domain document cap (RefinedWeb/Gopher source balancing):
+    keep at most 10 documents per source, preferring longer ones (ties
+    break on doc_id — the kept set is a pure function of the data, like
+    every curation operator here). A handful of mega-domains otherwise
+    dominate a crawl corpus; the cap runs after dedup, before mixture
+    weighting. One window per domain = a single shuffle on the domain
+    key; a skewed mega-domain takes the two-phase salted form
+    (q_skew_salted_agg's idiom — top-K per (domain, salt), then top-K of
+    the K*salts survivors; identical semantics because top-K is
+    associative). functions/curation.py domain_cap."""
+    return curation.domain_cap(_docs(spark, sf_dir), per_domain=10).select(
+        "doc_id", "source", "n_chars",
+        F.col("rank_in_domain").cast("long").alias("rank_in_domain"),
+    )
+
+
+CURATE_DOMAIN_CAP_SQL = """
+    SELECT doc_id, source, n_chars, CAST(rank_in_domain AS BIGINT) AS rank_in_domain
+    FROM (SELECT doc_id, source, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS rank_in_domain
+          FROM documents)
+    WHERE rank_in_domain <= 10
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -----------------------------------------------------------------
     # Slots 1-50: the driver's CORRECTNESS gate covers the first 50
     # entries of this dict. Round-11 rotation (VERDICT r10 task 4,
-    # executing the documented queue): the round's 3 new ops gate
+    # executing the documented queue): the round's 6 new ops gate
     # first (new ops never declare outside the window), then ALL 36
     # r08-green rows (the relational core, oldest evidence in the
-    # registry), then the 11 oldest r09-green rows fill the window
-    # (mm_resize_plan swapped in for text_bigram_top so every gated
-    # family prefix stays represented; q_unpivot_sink displaced by the
-    # 3rd new op — tests/test_entry_contract.py enforces the plan).
-    # After this gate runs nothing is older than r09; the 39 remaining
-    # r09 rows lead slots 51+ as the round-12 rotation queue.
+    # registry), then the 8 oldest r09-green rows fill the window
+    # (q_unpivot_sink, sim_range_search, stream_sliding_counts and
+    # mm_resize_plan displaced to lead slots 51+ —
+    # tests/test_entry_contract.py enforces the plan). After this gate
+    # runs nothing is older than r09; the 42 remaining r09 rows lead
+    # slots 51+ as the round-12 rotation queue.
     # --- round-11 new ops (new ops always gate immediately) ---
     "graph_clusters_incremental": graph_clusters_incremental,
     "graph_doc_pagerank_scaled": graph_doc_pagerank_scaled,
     "graph_centrality_keep_scaled": graph_centrality_keep_scaled,
+    "text_boilerplate_removal": text_boilerplate_removal,
+    "dedup_lsh_recall": dedup_lsh_recall,
+    "curate_domain_cap": curate_domain_cap,
     # --- the 36 r08-green rows (the documented round-11 queue) ---
     "q5_revenue_by_nation": q5_revenue_by_nation,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -4918,22 +5043,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_unpivot_measures": q_unpivot_measures,
     "q_string_agg": q_string_agg,
     "q_sessionize": q_sessionize,
-    # --- the 12 oldest r09-green rows (fill to 50) ---
+    # --- the 8 r09-green rows filling to 50 (stream_sliding_counts and
+    # mm_resize_plan stay so every gated family prefix is represented;
+    # sim_range_search / curate_chunk_windows / text_repetition are
+    # displaced — their families keep another member in the window) ---
     "dedup_containment_pairs_scaled": dedup_containment_pairs_scaled,
     "sim_lsh_indexed": sim_lsh_indexed,
     "text_ccnet_buckets_approx": text_ccnet_buckets_approx,
     "curate_dsir_weights_hashed": curate_dsir_weights_hashed,
     "v_variant_shred_sink": v_variant_shred_sink,
-    "curate_chunk_windows": curate_chunk_windows,
     "d_version_churn": d_version_churn,
-    "text_repetition": text_repetition,
-    "sim_range_search": sim_range_search,
     "stream_sliding_counts": stream_sliding_counts_q,
     "mm_resize_plan": mm_resize_plan,
     # -----------------------------------------------------------------
-    # Slots 51+: the 39 remaining r09-green rows lead (the round-12
+    # Slots 51+: the 42 remaining r09-green rows lead (the round-12
     # rotation queue, oldest evidence first), then the 50 r10-green
     # rows (freshest). Everything below is pytest-oracled on every run.
+    "sim_range_search": sim_range_search,
+    "curate_chunk_windows": curate_chunk_windows,
+    "text_repetition": text_repetition,
     "q_unpivot_sink": q_unpivot_sink,
     "text_bigram_top": text_bigram_top,
     "curate_pack_sequences": curate_pack_sequences,
@@ -5048,6 +5176,9 @@ ORACLES: dict[str, Optional[str]] = {
     "graph_clusters_incremental": GRAPH_CLUSTERS_INC_SQL,
     "graph_doc_pagerank_scaled": GRAPH_PAGERANK_SCALED_SQL,
     "graph_centrality_keep_scaled": GRAPH_KEEP_SCALED_SQL,
+    "text_boilerplate_removal": TEXT_BOILERPLATE_SQL,
+    "dedup_lsh_recall": DEDUP_LSH_RECALL_SQL,
+    "curate_domain_cap": CURATE_DOMAIN_CAP_SQL,
     # round-10 new ops
     "graph_doc_pagerank": GRAPH_PAGERANK_SQL,
     "graph_centrality_keep": GRAPH_KEEP_SQL,

@@ -27,14 +27,15 @@ def test_oracles_subset_of_queries():
     assert set(qs) - set(oracles) == set()
     # the driver gates the first 50 entries. Round-11 rotation (VERDICT
     # r10 task 4, executing the documented queue): ALL 36 r08-green rows
-    # (the relational core) enter, plus the round's 3 new ops, plus the
-    # 11 oldest r09-green rows filling the window.
+    # (the relational core) enter, plus the round's 6 new ops, plus the
+    # 8 oldest r09-green rows filling the window.
     first50 = set(list(qs)[:50])
     must_gate = {
         # the round-11 new ops gate immediately (never declare a new op
         # outside the window)
         "graph_clusters_incremental",
         "graph_doc_pagerank_scaled", "graph_centrality_keep_scaled",
+        "text_boilerplate_removal", "dedup_lsh_recall", "curate_domain_cap",
         # the 36 r08-green rows — the relational core IS the queue, so
         # pin all of it (no spot-check: this was the oldest evidence)
         "q5_revenue_by_nation", "q6_forecast_revenue", "q7_volume_shipping",
@@ -51,13 +52,14 @@ def test_oracles_subset_of_queries():
         "q_having_big_customers", "q_conditional_agg", "q_asof_join",
         "q_asof_join_merge", "q_unpivot_measures", "q_string_agg",
         "q_sessionize",
-        # the 11 oldest r09-green fills (mm_resize_plan swapped in for
-        # text_bigram_top so every family prefix stays in the window;
-        # q_unpivot_sink displaced by the 3rd new op)
+        # the 8 r09-green fills (sim_range_search, curate_chunk_windows,
+        # text_repetition displaced to lead slots 51+ as the head of the
+        # round-12 queue — their families keep another gated member;
+        # stream_sliding_counts and mm_resize_plan stay so every family
+        # prefix is represented)
         "dedup_containment_pairs_scaled", "sim_lsh_indexed",
         "text_ccnet_buckets_approx", "curate_dsir_weights_hashed",
-        "v_variant_shred_sink", "curate_chunk_windows",
-        "d_version_churn", "text_repetition", "sim_range_search",
+        "v_variant_shred_sink", "d_version_churn",
         "stream_sliding_counts", "mm_resize_plan",
     }
     assert len(must_gate) == 50

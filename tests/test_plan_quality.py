@@ -333,3 +333,24 @@ def test_gapfill_broadcasts_spine_side_tables(spark):
         if "last_value" in l or ("Arguments" in l and "windowspecdefinition" in l)
     ]
     assert any("event_type" in l and "bucket_start" in l for l in win_lines), win_lines
+
+
+def test_boilerplate_removal_broadcasts_frequent_set(spark):
+    """The df>=min_docs chunk set joins as a BROADCAST (the CCNet
+    hash-set side input), never a sort-merge join: the corpus-sized side
+    must not shuffle on the chunk text for membership."""
+    from execute_sync_spark.plans import workload
+
+    plan = _plan(workload.text_boilerplate_removal(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_domain_cap_single_exchange_pruned_scan(spark):
+    """Per-domain cap = ONE shuffle (the domain window) over a scan
+    pruned to exactly the three needed columns."""
+    from execute_sync_spark.plans import workload
+
+    plan = _plan(workload.curate_domain_cap(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "text" not in plan.split("ReadSchema:")[-1]

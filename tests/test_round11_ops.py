@@ -145,3 +145,94 @@ def test_incremental_state_survives_string_ids(spark, tmp_path):
         )
     )
     assert out == {"a": "a", "b": "a", "c": "a"}
+
+
+# ---------------------------------------------------------------------------
+# round-11 additions 2: boilerplate removal, LSH recall eval, domain cap
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_boilerplate_chunking_width(spark):
+    """25 words at chunk_words=10 -> chunks of 10/10/5, in order."""
+    from execute_sync_spark.functions.text import boilerplate_chunks
+
+    words = [f"w{i}" for i in range(25)]
+    out = boilerplate_chunks(
+        _docs_df(spark, [(1, " ".join(words))]), chunk_words=10
+    ).orderBy("chunk_id").collect()
+    assert [r.chunk_id for r in out] == [0, 1, 2]
+    assert out[0].chunk == " ".join(words[:10])
+    assert out[2].chunk == " ".join(words[20:])
+
+
+def test_boilerplate_removal_semantics(spark):
+    """Only chunks shared by >= min_docs DISTINCT docs are removed; a
+    chunk repeated twice WITHIN one doc (df=1) survives both times, and
+    a fully-boilerplate doc rebuilds to the empty string."""
+    from execute_sync_spark.functions.text import boilerplate_removal
+
+    shared = " ".join(f"s{i}" for i in range(3))   # in docs 1,2,3 -> boiler
+    inner = " ".join(f"u{i}" for i in range(3))    # twice in doc 1 only
+    solo = " ".join(f"v{i}" for i in range(3))     # doc 2 only
+    rows = [
+        (1, f"{shared} {inner} {inner}"),
+        (2, f"{shared} {solo}"),
+        (3, shared),
+    ]
+    out = {
+        r.doc_id: r
+        for r in boilerplate_removal(
+            _docs_df(spark, rows), min_docs=2, chunk_words=3
+        ).collect()
+    }
+    assert out[1].text_clean == f"{inner} {inner}"   # within-doc dup kept
+    assert (out[1].n_chunks, out[1].n_removed) == (3, 1)
+    assert out[2].text_clean == solo
+    assert out[3].text_clean == "" and out[3].n_removed == 1
+
+
+def test_boilerplate_removal_keeps_order(spark):
+    """Surviving chunks reassemble in original position order even when
+    a removed chunk sits between them."""
+    from execute_sync_spark.functions.text import boilerplate_removal
+
+    boiler = "x x x"
+    rows = [(1, f"a a a {boiler} b b b"), (2, boiler)]
+    out = {r.doc_id: r.text_clean for r in boilerplate_removal(
+        _docs_df(spark, rows), min_docs=2, chunk_words=3).collect()}
+    assert out[1] == "a a a b b b"
+
+
+def test_domain_cap_keeps_topk_per_domain(spark):
+    """Cap keeps min(K, group size) rows per domain, highest quality
+    first, ties broken to the LOWER id."""
+    from execute_sync_spark.functions.curation import domain_cap
+
+    rows = [
+        (1, "a", 100), (2, "a", 300), (3, "a", 300), (4, "a", 50),
+        (5, "b", 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = domain_cap(df, per_domain=2).collect()
+    kept = {(r.doc_id, r.rank_in_domain) for r in out}
+    assert kept == {(2, 1), (3, 2), (5, 1)}  # tie 300/300 -> id 2 ranks first
+
+
+def test_lsh_recall_exact_duplicates_always_hit(spark):
+    """Identical texts have identical MinHash signatures, so they collide
+    in EVERY band: the jaccard=1.0 decile of the s-curve must show
+    recall 1.0 (the property that makes banding safe for exact dups)."""
+    from execute_sync_spark.functions import dedupe
+
+    text = " ".join(f"t{i}" for i in range(40))
+    other = " ".join(f"z{i}" for i in range(40))
+    docs = _docs_df(spark, [(1, text), (2, text), (3, other)])
+    truth = dedupe.ngram_jaccard_pairs(docs, threshold=0.05)
+    sigs = dedupe.minhash_signatures(docs, num_hashes=8)
+    cand = dedupe.lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
+    t = {(r.id_a, r.id_b) for r in truth.filter(F.col("jaccard") >= 1.0).collect()}
+    c = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert t == {(1, 2)}
+    assert t <= c
