@@ -284,3 +284,70 @@ def domain_cap(
         .withColumn("rank_in_domain", F.row_number().over(w))
         .filter(F.col("rank_in_domain") <= per_domain)
     )
+
+
+def gumbel_topk_resample(
+    weighted: DataFrame,
+    n: int,
+    weight_col: str = "dsir_weight",
+    id_col: str = "doc_id",
+    salt: int = 23,
+) -> DataFrame:
+    """Importance RESAMPLING over log-weights — the step DSIR (Xie et al.
+    2023 §2) runs after scoring: draw ``n`` examples without replacement
+    with probability proportional to exp(weight), via the Gumbel top-k
+    trick (Kool et al. 2019): key = log_weight + Gumbel noise, keep the n
+    largest keys. The "noise" here is a PURE FUNCTION of the row id
+    (u = (h32(salt#id)+0.5)/2^32, g = -ln(-ln(u))) so the drawn sample is
+    identical across engines, reruns, and repartitionings — the same
+    portability contract as hash_split, extended to weighted draws.
+
+    Scale shape: one narrow projection over the weight relation, then a
+    global top-n — Spark plans orderBy(...).limit(n) as TakeOrdered
+    (per-partition heaps + an n-row driver merge), so there is NO global
+    sort and NO extra shuffle beyond what the weight computation already
+    did. Keys are rounded to 6 dp before ranking (ties break on id) so
+    the selected SET is reproducible bit-for-bit in any engine."""
+    u = (h32_salted(id_col, salt) + F.lit(0.5)) / F.lit(float(2**32))
+    key = F.round(F.col(weight_col) - F.log(-F.log(u)), 6)
+    return (
+        weighted.withColumn("gumbel_key", key)
+        .orderBy(F.desc("gumbel_key"), F.asc(id_col))
+        .limit(n)
+    )
+
+
+def gumbel_key_sql(weight_expr: str, id_expr: str, salt: int = 23) -> str:
+    """DuckDB expression computing the same Gumbel key."""
+    u = f"(({h32_salted_sql(id_expr, salt)}) + 0.5) / 4294967296.0"
+    return f"ROUND({weight_expr} - ln(-ln({u})), 6)"
+
+
+def shard_assign(
+    docs: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    shuffle_salt: int = 31,
+    order_salt: int = 37,
+) -> DataFrame:
+    """Deterministic global shuffle + balanced shard assignment — the
+    export step every pretraining pipeline ends with: examples must reach
+    the trainer in a fixed pseudo-random order, split into equal-sized
+    shard files, and both properties must survive reruns and engine
+    swaps. shard = h32(salt#id) mod n_shards (balanced in expectation,
+    like hash_split's buckets); position within the shard orders by an
+    INDEPENDENT hash (different salt), so intra-shard order is decorrelated
+    from shard assignment.
+
+    Scale shape: ONE shuffle, on the shard key, then a per-shard local
+    sort (window) — never a global sort. At 100 TB this is literally the
+    writer layout: df.repartition(n_shards, shard).sortWithinPartitions
+    (order_key) streams each shard to its file; 10k shards of a 100 TB
+    corpus are ~10 GB each, one task apiece."""
+    shard = F.pmod(h32_salted(id_col, shuffle_salt), F.lit(n_shards)).cast("int")
+    okey = h32_salted(id_col, order_salt)
+    w = Window.partitionBy("shard").orderBy(F.asc("order_key"), F.asc(id_col))
+    return (
+        docs.select(id_col, shard.alias("shard"), okey.alias("order_key"))
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
+    )

@@ -1806,3 +1806,61 @@ def semantic_dedup_scores(
     return cells.groupBy("cell_id").applyInPandas(
         scores_in_cell, schema=f"{id_col} long, cell_id long, max_lower_sim double"
     )
+
+
+def knn_join_blocked(
+    corpus: DataFrame,
+    k: int = 3,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """kNN GRAPH construction — for EVERY vector, its k nearest
+    within-block neighbors by cosine (a kNN self-join, not the query-set
+    top-k of cosine_topk): the backbone relation for semantic dedup,
+    cluster canonicalization, and graph-based curation, where the whole
+    corpus needs neighbors, not just a probe set.
+
+    Blocked like blocked_near_dup_pairs_vectorized: one shuffle on the
+    block key, then each block's full cosine matrix as a single BLAS
+    product (applyInPandas) emitting only k rows per vector — the
+    quadratic is confined to blocks, output is O(k·N). At 100 TB the
+    block key is an IVF cell or LSH bucket (multiprobe unions blocks for
+    boundary recall, like sim_lsh_multiprobe); at test SF the block is
+    the label column so the exact SQL oracle can reproduce the relation
+    verbatim. Ranking uses 4-dp-rounded sims with neighbor-id
+    tie-breaks, so ranks are engine-independent."""
+    import numpy as np
+    import pandas as pd
+
+    def knn_in_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        n = len(ids)
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = _np_round_half_up(Vn @ Vn.T, 4)
+        np.fill_diagonal(S, -np.inf)
+        kk = min(k, n - 1)
+        if kk <= 0:
+            return pd.DataFrame(
+                {id_col: ids[:0], "neighbor_id": ids[:0], "rank": np.array([], dtype=np.int32),
+                 "cos_sim": np.array([], dtype=np.float64)}
+            )
+        # order: sim DESC, neighbor_id ASC — lexsort keys are last-first
+        order = np.lexsort((np.broadcast_to(ids, (n, n)), -S), axis=1)[:, :kk]
+        rows = np.repeat(ids, kk)
+        cols = ids[order].ravel()
+        sims = np.take_along_axis(S, order, axis=1).ravel()
+        ranks = np.tile(np.arange(1, kk + 1, dtype=np.int32), n)
+        return pd.DataFrame(
+            {id_col: rows, "neighbor_id": cols, "rank": ranks, "cos_sim": sims}
+        )
+
+    return (
+        corpus.select(id_col, block_col, vec_col)
+        .groupBy(block_col)
+        .applyInPandas(
+            knn_in_block, schema=f"{id_col} long, neighbor_id long, rank int, cos_sim double"
+        )
+    )

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from execute_sync_spark import storage
 from execute_sync_spark.functions import curation, dedupe, graph, multimodal, similarity, text
-from execute_sync_spark.functions.hashing import h32_sql
+from execute_sync_spark.functions.hashing import h32_salted_sql, h32_sql
 from execute_sync_spark.operators import dedup as dedup_ops
 
 # ---------------------------------------------------------------------------
@@ -4986,6 +4986,90 @@ CURATE_DOMAIN_CAP_SQL = """
 """
 
 
+def curate_dsir_resample(spark, sf_dir):
+    """The RESAMPLE step DSIR (Xie et al. 2023 §2) runs after scoring —
+    draw n examples without replacement with probability ∝ exp(weight)
+    via Gumbel top-k (Kool et al. 2019): key = log-weight + Gumbel
+    noise, keep the n largest. The noise is a pure function of doc_id
+    (functions/curation.py gumbel_topk_resample), so the drawn SAMPLE —
+    not just the weights — is reproducible across engines and reruns;
+    the oracle draws the identical 100 documents. Scale shape: the
+    weight relation's own plan plus a TakeOrdered top-n (per-partition
+    heaps, n-row driver merge) — no global sort, no new shuffle. At
+    100 TB compose over curate_dsir_weights_hashed (bounded-state
+    weights) with n in the millions: TakeOrdered stays heap-bounded."""
+    docs = _docs_wide(spark, sf_dir)
+    weighted = curation.dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+    return curation.gumbel_topk_resample(weighted, n=100).select(
+        "doc_id", "n_tokens", "dsir_weight", "gumbel_key"
+    )
+
+
+CURATE_DSIR_RESAMPLE_SQL = f"""
+    WITH w AS ({CURATE_DSIR_SQL})
+    SELECT doc_id, n_tokens, dsir_weight,
+           {curation.gumbel_key_sql('dsir_weight', 'doc_id')} AS gumbel_key
+    FROM w
+    ORDER BY gumbel_key DESC, doc_id
+    LIMIT 100
+"""
+
+
+def sim_knn_join(spark, sf_dir):
+    """kNN GRAPH construction — every vector's k=3 nearest within-block
+    neighbors by cosine (a kNN self-join over the whole corpus, distinct
+    from the query-set top-k family): the backbone relation for semantic
+    dedup, canonicalization, and graph curation, where ALL documents
+    need neighbors. functions/similarity.py knn_join_blocked: one
+    shuffle on the block key, per-block cosine matrix as a single BLAS
+    product, k rows emitted per vector — quadratic confined to blocks,
+    output O(k·N). At 100 TB the block key is an IVF cell / LSH bucket
+    with multiprobe for boundary recall; at test SF it is the label
+    column so the oracle reproduces the relation exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_join_blocked(emb, k=3)
+
+
+SIM_KNN_JOIN_SQL = f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+        SELECT a.vec_id, b.vec_id AS neighbor_id,
+               ROUND({_COS_RAW.format(a='a.v', b='b.v')}, 4) AS cos_sim
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored)
+    SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+    FROM ranked WHERE rank <= 3
+"""
+
+
+def curate_shard_assign(spark, sf_dir):
+    """Deterministic global shuffle + balanced shard assignment — the
+    training-export step: examples reach the trainer in a fixed
+    pseudo-random order, split into equal-sized shards, reproducibly
+    (functions/curation.py shard_assign). shard = portable-hash mod 16;
+    intra-shard position orders by an independent hash. ONE shuffle on
+    the shard key + a per-shard local sort — never a global sort; at
+    100 TB this is the writer layout itself (repartition(n, shard) +
+    sortWithinPartitions, one task per shard file)."""
+    return curation.shard_assign(_docs(spark, sf_dir), n_shards=16)
+
+
+CURATE_SHARD_ASSIGN_SQL = f"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST({h32_salted_sql('doc_id', 31)} % 16 AS INT) AS shard,
+               {h32_salted_sql('doc_id', 37)} AS order_key
+        FROM documents)
+    SELECT doc_id, shard, order_key,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                   ORDER BY order_key, doc_id) AS BIGINT) AS pos_in_shard
+    FROM s
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -----------------------------------------------------------------
     # Slots 1-50: the driver's CORRECTNESS gate covers the first 50
@@ -4999,13 +5083,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tests/test_entry_contract.py enforces the plan). After this gate
     # runs nothing is older than r09; the 42 remaining r09 rows lead
     # slots 51+ as the round-12 rotation queue.
-    # --- round-11 new ops (new ops always gate immediately) ---
+    # --- round-11 new ops (new ops always gate immediately; 9 total —
+    # the 3 later additions displace dedup_containment_pairs_scaled /
+    # text_ccnet_buckets_approx / curate_dsir_weights_hashed from the
+    # r09 fill block below to lead slots 51+, family representation
+    # preserved: dedup_lsh_recall, text_boilerplate_removal and the
+    # curate_ trio keep those prefixes in the window) ---
     "graph_clusters_incremental": graph_clusters_incremental,
     "graph_doc_pagerank_scaled": graph_doc_pagerank_scaled,
     "graph_centrality_keep_scaled": graph_centrality_keep_scaled,
     "text_boilerplate_removal": text_boilerplate_removal,
     "dedup_lsh_recall": dedup_lsh_recall,
     "curate_domain_cap": curate_domain_cap,
+    "curate_dsir_resample": curate_dsir_resample,
+    "sim_knn_join": sim_knn_join,
+    "curate_shard_assign": curate_shard_assign,
     # --- the 36 r08-green rows (the documented round-11 queue) ---
     "q5_revenue_by_nation": q5_revenue_by_nation,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -5043,22 +5135,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_unpivot_measures": q_unpivot_measures,
     "q_string_agg": q_string_agg,
     "q_sessionize": q_sessionize,
-    # --- the 8 r09-green rows filling to 50 (stream_sliding_counts and
+    # --- the 5 r09-green rows filling to 50 (stream_sliding_counts and
     # mm_resize_plan stay so every gated family prefix is represented;
-    # sim_range_search / curate_chunk_windows / text_repetition are
-    # displaced — their families keep another member in the window) ---
-    "dedup_containment_pairs_scaled": dedup_containment_pairs_scaled,
+    # sim_range_search / curate_chunk_windows / text_repetition were
+    # displaced by the first 6 new ops, dedup_containment_pairs_scaled /
+    # text_ccnet_buckets_approx / curate_dsir_weights_hashed by the
+    # last 3 — every displaced family keeps a member in the window) ---
     "sim_lsh_indexed": sim_lsh_indexed,
-    "text_ccnet_buckets_approx": text_ccnet_buckets_approx,
-    "curate_dsir_weights_hashed": curate_dsir_weights_hashed,
     "v_variant_shred_sink": v_variant_shred_sink,
     "d_version_churn": d_version_churn,
     "stream_sliding_counts": stream_sliding_counts_q,
     "mm_resize_plan": mm_resize_plan,
     # -----------------------------------------------------------------
-    # Slots 51+: the 42 remaining r09-green rows lead (the round-12
+    # Slots 51+: the remaining r09-green rows lead (the round-12
     # rotation queue, oldest evidence first), then the 50 r10-green
     # rows (freshest). Everything below is pytest-oracled on every run.
+    "dedup_containment_pairs_scaled": dedup_containment_pairs_scaled,
+    "text_ccnet_buckets_approx": text_ccnet_buckets_approx,
+    "curate_dsir_weights_hashed": curate_dsir_weights_hashed,
     "sim_range_search": sim_range_search,
     "curate_chunk_windows": curate_chunk_windows,
     "text_repetition": text_repetition,
@@ -5179,6 +5273,9 @@ ORACLES: dict[str, Optional[str]] = {
     "text_boilerplate_removal": TEXT_BOILERPLATE_SQL,
     "dedup_lsh_recall": DEDUP_LSH_RECALL_SQL,
     "curate_domain_cap": CURATE_DOMAIN_CAP_SQL,
+    "curate_dsir_resample": CURATE_DSIR_RESAMPLE_SQL,
+    "sim_knn_join": SIM_KNN_JOIN_SQL,
+    "curate_shard_assign": CURATE_SHARD_ASSIGN_SQL,
     # round-10 new ops
     "graph_doc_pagerank": GRAPH_PAGERANK_SQL,
     "graph_centrality_keep": GRAPH_KEEP_SQL,

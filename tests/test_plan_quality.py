@@ -354,3 +354,34 @@ def test_domain_cap_single_exchange_pruned_scan(spark):
     plan = _plan(workload.curate_domain_cap(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "text" not in plan.split("ReadSchema:")[-1]
+
+
+def test_dsir_resample_uses_take_ordered(spark):
+    """The Gumbel top-n must compile to TakeOrderedAndProject on top of
+    the weight relation — per-partition heaps + an n-row driver merge,
+    never a global sort of every scored document."""
+    from execute_sync_spark.plans import workload
+
+    plan = _plan(workload.curate_dsir_resample(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan[:600]
+
+
+def test_knn_join_single_block_exchange(spark):
+    """kNN graph construction shuffles ONCE, on the block key, into the
+    per-block BLAS kernel — no join, no sort in the plan."""
+    from execute_sync_spark.plans import workload
+
+    plan = _plan(workload.sim_knn_join(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_shard_assign_single_exchange_pruned_scan(spark):
+    """Shard assignment = one shuffle on the shard key + a per-shard
+    local sort; the documents scan reads only doc_id (hashes compute
+    from it JVM-side), never the text payload."""
+    from execute_sync_spark.plans import workload
+
+    plan = _plan(workload.curate_shard_assign(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "text" not in plan.split("ReadSchema:")[-1]

@@ -236,3 +236,135 @@ def test_lsh_recall_exact_duplicates_always_hit(spark):
     c = {(r.id_a, r.id_b) for r in cand.collect()}
     assert t == {(1, 2)}
     assert t <= c
+
+
+# --- round-11 addition 3: gumbel resample / knn join / shard assign ---
+
+
+def _h32_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_gumbel_resample_matches_manual_selection(spark):
+    """The drawn sample is a pure function of (id, weight): an
+    independent Python reimplementation of u -> gumbel -> key selects
+    the same rows Spark does (the cross-engine portability contract the
+    oracle relies on)."""
+    import math
+
+    from execute_sync_spark.functions.curation import gumbel_topk_resample
+
+    rows = [(i, float(i % 7) / 7.0) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = gumbel_topk_resample(df, n=10, weight_col="w").collect()
+
+    def key(i, w):
+        u = (_h32_py(f"23#{i}") + 0.5) / 2**32
+        return round(w - math.log(-math.log(u)), 6)
+
+    expect = sorted(rows, key=lambda r: (-key(r[0], r[1]), r[0]))[:10]
+    assert sorted((r.doc_id, r.w) for r in got) == sorted(expect)
+    assert all(abs(r.gumbel_key - key(r.doc_id, r.w)) < 1e-9 for r in got)
+
+
+def test_gumbel_resample_prefers_heavy_weights(spark):
+    """A log-weight gap of +-30 (e^60 odds) makes the heavy half win
+    every slot: the sampler respects the weights, not just the hash."""
+    from execute_sync_spark.functions.curation import gumbel_topk_resample
+
+    rows = [(i, 30.0 if i <= 20 else -30.0) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = {r.doc_id for r in gumbel_topk_resample(df, n=20, weight_col="w").collect()}
+    assert got == set(range(1, 21))
+
+
+def test_gumbel_resample_stable_under_repartition(spark):
+    from execute_sync_spark.functions.curation import gumbel_topk_resample
+
+    rows = [(i, float(i % 5)) for i in range(1, 31)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    a = {r.doc_id for r in gumbel_topk_resample(df, n=7, weight_col="w").collect()}
+    b = {r.doc_id for r in gumbel_topk_resample(df.repartition(13), n=7, weight_col="w").collect()}
+    assert a == b and len(a) == 7
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+
+
+def test_knn_join_matches_bruteforce(spark):
+    """Per-block kNN equals a numpy brute force with the same rounding
+    and tie-break (sim DESC, neighbor_id ASC)."""
+    import numpy as np
+
+    from execute_sync_spark.functions.similarity import knn_join_blocked
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, "a" if i < 8 else "b", [float(x) for x in rng.normal(size=4)])
+        for i in range(12)
+    ]
+    got = {
+        (r.vec_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in knn_join_blocked(_emb_df(spark, rows), k=3).collect()
+    }
+    import math
+
+    by_block = {}
+    for i, lab, v in rows:
+        by_block.setdefault(lab, []).append((i, np.array(v)))
+    n_rows = 0
+    for lab, members in by_block.items():
+        for i, v in members:
+            sims = []
+            for j, w in members:
+                if j == i:
+                    continue
+                c = float(v @ w / (np.linalg.norm(v) * np.linalg.norm(w)))
+                # same half-up rounding as the engine
+                c = math.floor(abs(c) * 10**4 + 0.5) / 10**4 * (1 if c >= 0 else -1)
+                sims.append((j, c))
+            sims.sort(key=lambda t: (-t[1], t[0]))
+            for rank, (j, c) in enumerate(sims[:3], start=1):
+                n_rows += 1
+                nb, cs = got[(i, rank)]
+                assert nb == j and abs(cs - c) < 1e-12, (i, rank, nb, j)
+    assert len(got) == n_rows
+
+
+def test_knn_join_small_blocks(spark):
+    """k larger than the block emits block_size-1 neighbors; a
+    single-vector block emits nothing (no self-neighbor)."""
+    from execute_sync_spark.functions.similarity import knn_join_blocked
+
+    rows = [
+        (1, "a", [1.0, 0.0]), (2, "a", [0.0, 1.0]),
+        (3, "solo", [1.0, 1.0]),
+    ]
+    out = knn_join_blocked(_emb_df(spark, rows), k=5).collect()
+    assert {(r.vec_id, r.neighbor_id) for r in out} == {(1, 2), (2, 1)}
+
+
+def test_shard_assign_complete_balanced_stable(spark):
+    """Every doc lands in exactly one shard; positions are 1..n_shard
+    contiguous; the whole assignment is invariant under repartitioning."""
+    from execute_sync_spark.functions.curation import shard_assign
+
+    df = spark.createDataFrame([(i,) for i in range(1, 201)], "doc_id long")
+    out = shard_assign(df, n_shards=8).collect()
+    assert len(out) == 200 and len({r.doc_id for r in out}) == 200
+    assert all(0 <= r.shard < 8 for r in out)
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos_in_shard)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # balance in expectation: no shard is empty or >2x the mean at n=200
+    sizes = [len(v) for v in by_shard.values()]
+    assert len(by_shard) == 8 and max(sizes) <= 2 * (200 // 8)
+    again = shard_assign(df.repartition(11), n_shards=8).collect()
+    assert {(r.doc_id, r.shard, r.pos_in_shard) for r in again} == {
+        (r.doc_id, r.shard, r.pos_in_shard) for r in out
+    }
