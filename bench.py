@@ -346,8 +346,18 @@ def main() -> None:
     streams = int(os.environ.get("SPARK_GRAFT_BENCH_STREAMS", "8"))
 
     def _run(item):
-        _, fn = item
-        fn(spark, sf_dir).collect()
+        name, fn = item
+        # one FAIR pool per query: spark.scheduler.mode=FAIR only
+        # arbitrates BETWEEN pools — the default pool is FIFO inside, so
+        # without this every stream's jobs queue behind the largest
+        # running job and the wall inflates ~2.5x over the seq/streams
+        # ideal (round 11). setLocalProperty is per-thread; cleared in
+        # finally because executor threads are reused across queries.
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
+        try:
+            fn(spark, sf_dir).collect()
+        finally:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
 
     # longest-first (LPT) order shrinks the makespan: the handful of 3-6 s
     # streaming/corpus queries start immediately instead of landing on an

@@ -1864,3 +1864,138 @@ def knn_join_blocked(
             knn_in_block, schema=f"{id_col} long, neighbor_id long, rank int, cos_sim double"
         )
     )
+
+
+def knn_join_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``knn_join_blocked`` on its DECLARED 100 TB block key — IVF cells
+    with multiprobe boundary recall. Each vector lives in ONE home cell
+    (nearest centroid, ties to the lowest cell_id — the assign_cells
+    contract) and PROBES its ``nprobe`` nearest cells; its candidate set
+    is the home-members of the probed cells, so a true neighbor just
+    across a cell boundary is still found, and no candidate pair can
+    appear twice (a neighbor has exactly one home cell).
+
+    Dataflow: one mapInPandas pass fans each vector out to its nprobe
+    probe cells (centroid scores as one BLAS product per Arrow batch,
+    centroids broadcast), ONE hash exchange on cell_id into the
+    per-cell probers x members BLAS kernel emitting at most k rows per
+    (vector, cell), then the global top-k merge over <= nprobe*k rows
+    per vector. The quadratic is confined to cells — O(sum cell^2)
+    instead of O(sum block^2) on whatever label the caller had — and at
+    k_cells ~ sqrt(N) the whole graph build is ~O(N^1.5 / sqrt(cells))
+    flops with O(k*N*nprobe) shuffle bytes after the kernel. Local
+    selection key == global merge key ((rounded sim desc, id asc)), so
+    per-cell pruning cannot change final ranks; with nprobe >= number
+    of cells the result equals the exact single-block kNN graph
+    (pinned in tests/test_round2_ops.py)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    cent_pdf = (
+        centroids.select(F.col(id_col).alias("cell_id"), _as_double(vec_col).alias("cv"))
+        .toPandas()
+        .sort_values("cell_id")
+    )
+    if len(cent_pdf) == 0:
+        return _empty_result(spark).selectExpr(
+            "query_id as " + id_col, "neighbor_id", "rank", "cos_sim"
+        )
+    cell_ids = cent_pdf["cell_id"].to_numpy()
+    Cent = np.stack(cent_pdf["cv"].to_numpy()).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        CentN = Cent / np.linalg.norm(Cent, axis=1, keepdims=True)
+    nprobe = min(nprobe, len(cell_ids))
+    bc = spark.sparkContext.broadcast((cell_ids, CentN, nprobe))
+
+    def probe_fanout(batches):
+        b_cell_ids, b_CentN, b_np = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+                S = Vn @ b_CentN.T
+            # rank cells per vector by (sim desc nulls-last, cell_id asc)
+            # — the assign_cells/ivf_topk_vectorized tie-break, extended
+            # to the top nprobe
+            order = np.lexsort(
+                (np.broadcast_to(b_cell_ids, S.shape), _desc_nulls_last(S)), axis=1
+            )
+            probe_cells = b_cell_ids[order[:, :b_np]]  # n x nprobe
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), b_np),
+                    "v": np.repeat(pdf["v"].to_numpy(), b_np),
+                    "cell_id": probe_cells.ravel(),
+                    # rank-1 probe cell IS the home cell
+                    "is_home": np.tile(
+                        np.arange(b_np) == 0, n
+                    ),
+                }
+            )
+
+    fanned = corpus.select(F.col(id_col), _as_double(vec_col).alias("v")).mapInPandas(
+        probe_fanout,
+        schema=f"{id_col} long, v array<double>, cell_id long, is_home boolean",
+    )
+
+    def knn_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                id_col: np.array([], dtype=np.int64),
+                "neighbor_id": np.array([], dtype=np.int64),
+                "cos_sim": np.array([], dtype=np.float64),
+            }
+        )
+        members = pdf[pdf["is_home"]]
+        if len(members) == 0 or len(pdf) == 0:
+            return empty
+        p_ids = pdf[id_col].to_numpy()
+        m_ids = members[id_col].to_numpy()
+        P = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        M = np.stack(members["v"].to_numpy()).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Pn = P / np.linalg.norm(P, axis=1, keepdims=True)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            S = _np_round_half_up(Pn @ Mn.T, 4)
+        kk = min(k, len(m_ids))
+        if kk <= 0:
+            return empty
+        # self-pairs sort past EVERYTHING (even NaN/NULL sims, which are
+        # legitimate zero-vector candidates ranking nulls-last like the
+        # oracle); local selection key == global merge key ((not-self,
+        # rounded sim desc nulls-last, neighbor_id asc)) so per-cell
+        # pruning can't change final ranks
+        is_self = p_ids[:, None] == m_ids[None, :]
+        order = np.lexsort(
+            (np.broadcast_to(m_ids, S.shape), _desc_nulls_last(S), is_self), axis=1
+        )[:, :kk]
+        sims = np.take_along_axis(S, order, axis=1)
+        keep = ~np.take_along_axis(is_self, order, axis=1)
+        return pd.DataFrame(
+            {
+                id_col: np.broadcast_to(p_ids[:, None], sims.shape)[keep],
+                "neighbor_id": m_ids[order][keep],
+                "cos_sim": sims[keep],
+            }
+        )
+
+    local = fanned.groupBy("cell_id").applyInPandas(
+        knn_in_cell, schema=f"{id_col} long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "neighbor_id", "rank", "cos_sim")
+    )

@@ -5045,6 +5045,49 @@ SIM_KNN_JOIN_SQL = f"""
 """
 
 
+def sim_knn_join_cells(spark, sf_dir):
+    """sim_knn_join on its DECLARED 100 TB block key — IVF cells with
+    nprobe=2 multiprobe (the spec-vs-scale-twin pattern: the label-blocked
+    form is the exact-oracle spec; THIS is what runs at corpus scale).
+    functions/similarity.py knn_join_cells: centroid scores as one
+    broadcast BLAS product per Arrow batch, each vector fanned to its 2
+    nearest cells, ONE hash exchange on cell_id into the per-cell
+    probers x members kernel (<= k rows per vector per cell), then the
+    nprobe*k-row global merge. Quadratic confined to cells — at
+    k_cells ~ sqrt(N) the graph build is ~O(N^1.5/sqrt(cells)) flops and
+    O(k*N*nprobe) shuffle bytes, vs label-block^2. Centroids here are the
+    first 8 corpus vectors (the gated IVF family's convention) so the
+    oracle reproduces cell assignment and multiprobe verbatim; with
+    nprobe >= cells the relation equals the exact kNN graph (pytest)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    return similarity.knn_join_cells(emb, centroids, k=3, nprobe=2)
+
+
+SIM_KNN_JOIN_CELLS_SQL = f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+    assign AS (
+        SELECT vec_id, v, cell_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY {_COS_RAW.format(a='v', b='cv')} DESC, cell_id) AS rn
+        FROM c, cent),
+    cells AS (SELECT vec_id, v, cell_id FROM assign WHERE rn = 1),
+    probe AS (SELECT vec_id, v, cell_id FROM assign WHERE rn <= 2),
+    scored AS (
+        SELECT p.vec_id, m.vec_id AS neighbor_id,
+               ROUND({_COS_RAW.format(a='p.v', b='m.v')}, 4) AS cos_sim
+        FROM probe p JOIN cells m USING (cell_id)
+        WHERE m.vec_id != p.vec_id),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored)
+    SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+    FROM ranked WHERE rank <= 3
+"""
+
+
 def curate_shard_assign(spark, sf_dir):
     """Deterministic global shuffle + balanced shard assignment — the
     training-export step: examples reach the trainer in a fixed
@@ -5097,6 +5140,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_domain_cap": curate_domain_cap,
     "curate_dsir_resample": curate_dsir_resample,
     "sim_knn_join": sim_knn_join,
+    "sim_knn_join_cells": sim_knn_join_cells,
     "curate_shard_assign": curate_shard_assign,
     # --- the 36 r08-green rows (the documented round-11 queue) ---
     "q5_revenue_by_nation": q5_revenue_by_nation,
@@ -5135,13 +5179,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_unpivot_measures": q_unpivot_measures,
     "q_string_agg": q_string_agg,
     "q_sessionize": q_sessionize,
-    # --- the 5 r09-green rows filling to 50 (stream_sliding_counts and
+    # --- the 4 r09-green rows filling to 50 (stream_sliding_counts and
     # mm_resize_plan stay so every gated family prefix is represented;
     # sim_range_search / curate_chunk_windows / text_repetition were
     # displaced by the first 6 new ops, dedup_containment_pairs_scaled /
     # text_ccnet_buckets_approx / curate_dsir_weights_hashed by the
-    # last 3 — every displaced family keeps a member in the window) ---
-    "sim_lsh_indexed": sim_lsh_indexed,
+    # next 3, and sim_lsh_indexed by sim_knn_join_cells (sim_ keeps two
+    # members gated) — every displaced family keeps a window member) ---
     "v_variant_shred_sink": v_variant_shred_sink,
     "d_version_churn": d_version_churn,
     "stream_sliding_counts": stream_sliding_counts_q,
@@ -5150,6 +5194,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Slots 51+: the remaining r09-green rows lead (the round-12
     # rotation queue, oldest evidence first), then the 50 r10-green
     # rows (freshest). Everything below is pytest-oracled on every run.
+    "sim_lsh_indexed": sim_lsh_indexed,
     "dedup_containment_pairs_scaled": dedup_containment_pairs_scaled,
     "text_ccnet_buckets_approx": text_ccnet_buckets_approx,
     "curate_dsir_weights_hashed": curate_dsir_weights_hashed,
@@ -5275,6 +5320,7 @@ ORACLES: dict[str, Optional[str]] = {
     "curate_domain_cap": CURATE_DOMAIN_CAP_SQL,
     "curate_dsir_resample": CURATE_DSIR_RESAMPLE_SQL,
     "sim_knn_join": SIM_KNN_JOIN_SQL,
+    "sim_knn_join_cells": SIM_KNN_JOIN_CELLS_SQL,
     "curate_shard_assign": CURATE_SHARD_ASSIGN_SQL,
     # round-10 new ops
     "graph_doc_pagerank": GRAPH_PAGERANK_SQL,

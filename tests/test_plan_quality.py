@@ -376,6 +376,19 @@ def test_knn_join_single_block_exchange(spark):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
 
 
+def test_knn_join_cells_two_exchanges_no_join(spark):
+    """The IVF-cell kNN graph: centroid assignment is a broadcast BLAS
+    pass (no exchange), then exactly TWO hash exchanges — cell_id into
+    the per-cell kernel, vec_id for the global top-k window — and no
+    join operator anywhere; candidate pairing happens inside the kernel."""
+    from execute_sync_spark.plans import workload
+
+    plan = _plan(workload.sim_knn_join_cells(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:800]
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_shard_assign_single_exchange_pruned_scan(spark):
     """Shard assignment = one shuffle on the shard key + a per-shard
     local sort; the documents scan reads only doc_id (hashes compute

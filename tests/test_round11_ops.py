@@ -347,6 +347,80 @@ def test_knn_join_small_blocks(spark):
     assert {(r.vec_id, r.neighbor_id) for r in out} == {(1, 2), (2, 1)}
 
 
+def test_knn_join_cells_exhaustive_probe_equals_exact(spark):
+    """With nprobe >= number of cells every vector scores every candidate,
+    so the IVF-cell kNN graph must equal the exact single-block graph —
+    the same exhaustive-probe==exact property the query-set ANN family
+    pins; it proves per-cell pruning uses the global merge key."""
+    import numpy as np
+
+    from execute_sync_spark.functions.similarity import (
+        knn_join_blocked,
+        knn_join_cells,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, "all", [float(x) for x in rng.normal(size=4)]) for i in range(20)
+    ]
+    df = _emb_df(spark, rows)
+    exact = {
+        (r.vec_id, r.rank, r.neighbor_id, r.cos_sim)
+        for r in knn_join_blocked(df, k=3).collect()
+    }
+    cents = df.filter("vec_id < 4")
+    cells = {
+        (r.vec_id, r.rank, r.neighbor_id, r.cos_sim)
+        for r in knn_join_cells(df, cents, k=3, nprobe=4).collect()
+    }
+    assert cells == exact and len(exact) == 20 * 3
+
+
+def test_knn_join_cells_multiprobe_recovers_boundary(spark):
+    """A vector whose true nearest neighbor homes in the OTHER cell:
+    nprobe=1 returns the within-cell runner-up, nprobe=2 the true
+    neighbor — the recall knob doing its one job."""
+    from execute_sync_spark.functions.similarity import knn_join_cells
+
+    rows = [
+        (1, "c", [1.0, 0.0]),        # centroid A
+        (2, "c", [0.0, 1.0]),        # centroid B
+        (10, "x", [1.0, 0.05]),      # home A
+        (11, "x", [1.0, 0.3]),       # home A; true NN of 12
+        (12, "x", [0.70, 0.75]),     # home B (barely), true NN = 11
+        (13, "x", [0.05, 1.0]),      # home B
+    ]
+    df = _emb_df(spark, rows)
+    cents = df.filter("vec_id <= 2")
+    corpus = df.filter("vec_id >= 10")
+    one = {r.neighbor_id for r in
+           knn_join_cells(corpus, cents, k=1, nprobe=1).collect()
+           if r.vec_id == 12}
+    two = {r.neighbor_id for r in
+           knn_join_cells(corpus, cents, k=1, nprobe=2).collect()
+           if r.vec_id == 12}
+    assert one == {13} and two == {11}
+
+
+def test_knn_join_cells_single_member_cell(spark):
+    """A cell with one home member offers only the self-pair to its own
+    member — who still gets neighbors from its second probe cell."""
+    from execute_sync_spark.functions.similarity import knn_join_cells
+
+    rows = [
+        (1, "c", [1.0, 0.0]), (2, "c", [0.0, 1.0]),
+        (10, "x", [1.0, 0.01]), (11, "x", [0.9, 0.1]),
+        (12, "x", [0.01, 1.0]),  # alone in cell B
+    ]
+    df = _emb_df(spark, rows)
+    cents = df.filter("vec_id <= 2")
+    corpus = df.filter("vec_id >= 10")
+    out = knn_join_cells(corpus, cents, k=2, nprobe=2).collect()
+    mine = sorted(r.neighbor_id for r in out if r.vec_id == 12)
+    assert mine == [10, 11]
+    assert all(r.neighbor_id != r.vec_id for r in out)
+
+
 def test_shard_assign_complete_balanced_stable(spark):
     """Every doc lands in exactly one shard; positions are 1..n_shard
     contiguous; the whole assignment is invariant under repartitioning."""

@@ -100,6 +100,28 @@ ANNOTATED = {
     "edge relation — per-shingle join fan-out bounded at max_df^2, so "
     "edge-build work grows with vocabulary, not corpus^2; one edge "
     "materialization shared by components + PageRank as above",
+    "curate_dsir_resample": "DSIR's Gumbel top-k draw (round 11): the "
+    "weight relation's own dataflow unchanged underneath, then "
+    "TakeOrderedAndProject for the n-row sample — per-partition heaps "
+    "and an n-row driver merge, NO global sort and no new exchange; "
+    "the Gumbel key is a codegen'd md5-prefix expression, so the drawn "
+    "sample is a pure function of the data",
+    "sim_knn_join": "kNN graph construction (round 11): ONE hash "
+    "exchange on the block key into the per-block BLAS kernel "
+    "(FlatMapGroupsInPandas) — no join operator, no sort; output is "
+    "k rows per vector so downstream stages see O(k*N), never the "
+    "block-quadratic intermediate",
+    "sim_knn_join_cells": "the kNN graph on its DECLARED 100 TB block "
+    "key (round 11): centroid assignment + nprobe fan-out is a "
+    "broadcast BLAS mapInPandas (no exchange), then exactly two hash "
+    "exchanges — cell_id into the per-cell probers x members kernel, "
+    "vec_id for the global top-k merge over <= nprobe*k rows/vector; "
+    "quadratic confined to IVF cells, never label-block^2",
+    "curate_shard_assign": "training shard export (round 11): the scan "
+    "reads ONLY doc_id (ReadSchema pruned — both hashes derive from it "
+    "JVM-side), one hash exchange on the shard key, then the per-shard "
+    "local sort + row_number window; this IS the writer layout at "
+    "100 TB (repartition(n, shard) + sortWithinPartitions)",
 }
 
 
