@@ -1579,6 +1579,56 @@ def ivfpq_topk(
     return _pq_adc_search(pruned, qids, _adc_lut(Q, codebook), k, id_col, probes=probes)
 
 
+def ivfpq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook,
+    k: int = 3,
+    shortlist: int | None = None,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN with exact refinement — the production composition
+    layered on IVF+PQ (the FAISS refine idiom: quantized shortlist, then
+    re-score the few survivors against their ORIGINAL float vectors):
+    ``ivfpq_topk`` produces a ``shortlist`` (default 3k) of candidates
+    per query from 4-byte codes, then ONLY those nq*shortlist rows read
+    their float vectors back and re-rank on exact rounded cosine. This
+    buys back most of the PQ approximation error at the cost of one
+    point-lookup join instead of a full exact scan.
+
+    Scale shape: the shortlist (bounded: nq * shortlist rows) joins the
+    corpus as a BROADCAST — the corpus is never shuffled, the float
+    gather is a broadcast-hash semi-lookup in the same scan, and the
+    final exact scoring + window touch only the shortlist rows. At
+    100 TB with codes in the persisted cell index, stage 1 reads pruned
+    code partitions and stage 2 reads only the collided vectors'
+    row groups."""
+    shortlist = shortlist or 3 * k
+    cand = ivfpq_topk(
+        corpus, queries, centroids, codebook,
+        k=shortlist, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    # shortlist x query-vector pairing is small-by-construction (both
+    # sides bounded); broadcast it into the corpus scan so the float
+    # gather never shuffles the corpus
+    small = cand.select("query_id", "neighbor_id").join(F.broadcast(qv), "query_id")
+    scored = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("nv"))
+        .join(F.broadcast(small), "neighbor_id")
+        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("nv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def build_pq_index(
     corpus: DataFrame,
     centroids: DataFrame,

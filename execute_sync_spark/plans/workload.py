@@ -2283,7 +2283,10 @@ def sim_ivfpq_topk(spark, sf_dir):
     return similarity.ivfpq_topk(emb, queries, centroids, cb, k=3, nprobe=2)
 
 
-SIM_IVFPQ_SQL = f"""
+# shared CTE chain (through `ranked`) for the IVF+PQ family: SIM_IVFPQ_SQL
+# closes it at rank <= 3; the rerank twin keeps a 9-row shortlist and
+# re-scores it exactly
+_IVFPQ_BODY = f"""
     WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cent AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
     assign AS (
@@ -2320,8 +2323,27 @@ SIM_IVFPQ_SQL = f"""
         SELECT query_id, neighbor_id, ROUND(dist, 4) AS adc_dist,
                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY ROUND(dist, 4), neighbor_id) AS INT) AS rank
-        FROM adc)
+        FROM adc)"""
+
+SIM_IVFPQ_SQL = f"""{_IVFPQ_BODY}
     SELECT query_id, neighbor_id, rank, adc_dist FROM ranked WHERE rank <= 3
+"""
+
+SIM_IVFPQ_RERANK_SQL = f"""{_IVFPQ_BODY},
+    short AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 9),
+    rer AS (
+        SELECT s.query_id, s.neighbor_id,
+               ROUND({_COS_RAW.format(a='q.v', b='n.v')}, 4) AS cos_sim
+        FROM short s
+        JOIN c q ON q.vec_id = s.query_id
+        JOIN c n ON n.vec_id = s.neighbor_id),
+    rr AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank2
+        FROM rer)
+    SELECT query_id, neighbor_id, CAST(rank2 AS INT) AS rank, cos_sim
+    FROM rr WHERE rank2 <= 3
 """
 
 
@@ -2365,6 +2387,26 @@ def sim_ivfpq_indexed(spark, sf_dir):
         cb = similarity.pq_codebook(emb.filter(F.col("vec_id") < 16))
         similarity.build_pq_index(emb, centroids, cb, path)
     return similarity.ivfpq_topk_indexed(spark, path, queries, centroids, k=3, nprobe=2)
+
+
+def sim_ivfpq_rerank(spark, sf_dir):
+    """Two-stage ANN: IVF+PQ ADC shortlist (9 candidates/query from
+    4-byte codes), then EXACT cosine re-ranking of only those rows
+    against their original float vectors — the FAISS refine idiom that
+    buys back quantization error for a point-lookup join instead of an
+    exact full scan. functions/similarity.py ivfpq_rerank_topk: the
+    nq*9-row shortlist BROADCASTS into the corpus scan (corpus never
+    shuffles; plan-asserted), exact scoring + the k-row window touch
+    shortlist rows only. Same fixed centroids/sample codebook as the
+    gated IVF+PQ family, so the full two-stage composition — including
+    the exact refinement — is DuckDB-reconstructible and hash-gated."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter(F.col("vec_id") < 10)
+    cb = similarity.pq_codebook(emb.filter(F.col("vec_id") < 16))
+    return similarity.ivfpq_rerank_topk(
+        emb, queries, centroids, cb, k=3, shortlist=9, nprobe=2
+    )
 
 
 def q10_returned_items(spark, sf_dir):
@@ -5141,6 +5183,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_dsir_resample": curate_dsir_resample,
     "sim_knn_join": sim_knn_join,
     "sim_knn_join_cells": sim_knn_join_cells,
+    "sim_ivfpq_rerank": sim_ivfpq_rerank,
     "curate_shard_assign": curate_shard_assign,
     # --- the 36 r08-green rows (the documented round-11 queue) ---
     "q5_revenue_by_nation": q5_revenue_by_nation,
@@ -5179,15 +5222,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_unpivot_measures": q_unpivot_measures,
     "q_string_agg": q_string_agg,
     "q_sessionize": q_sessionize,
-    # --- the 4 r09-green rows filling to 50 (stream_sliding_counts and
+    # --- the 3 r09-green rows filling to 50 (stream_sliding_counts and
     # mm_resize_plan stay so every gated family prefix is represented;
     # sim_range_search / curate_chunk_windows / text_repetition were
     # displaced by the first 6 new ops, dedup_containment_pairs_scaled /
     # text_ccnet_buckets_approx / curate_dsir_weights_hashed by the
-    # next 3, and sim_lsh_indexed by sim_knn_join_cells (sim_ keeps two
-    # members gated) — every displaced family keeps a window member) ---
+    # next 3, sim_lsh_indexed by sim_knn_join_cells, and d_version_churn
+    # by sim_ivfpq_rerank (d2_latest_version + d2_asof_snapshot are
+    # r10-green, so the d-family keeps fresh evidence) — every displaced
+    # family keeps a window member) ---
     "v_variant_shred_sink": v_variant_shred_sink,
-    "d_version_churn": d_version_churn,
     "stream_sliding_counts": stream_sliding_counts_q,
     "mm_resize_plan": mm_resize_plan,
     # -----------------------------------------------------------------
@@ -5195,6 +5239,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rotation queue, oldest evidence first), then the 50 r10-green
     # rows (freshest). Everything below is pytest-oracled on every run.
     "sim_lsh_indexed": sim_lsh_indexed,
+    "d_version_churn": d_version_churn,
     "dedup_containment_pairs_scaled": dedup_containment_pairs_scaled,
     "text_ccnet_buckets_approx": text_ccnet_buckets_approx,
     "curate_dsir_weights_hashed": curate_dsir_weights_hashed,
@@ -5321,6 +5366,7 @@ ORACLES: dict[str, Optional[str]] = {
     "curate_dsir_resample": CURATE_DSIR_RESAMPLE_SQL,
     "sim_knn_join": SIM_KNN_JOIN_SQL,
     "sim_knn_join_cells": SIM_KNN_JOIN_CELLS_SQL,
+    "sim_ivfpq_rerank": SIM_IVFPQ_RERANK_SQL,
     "curate_shard_assign": CURATE_SHARD_ASSIGN_SQL,
     # round-10 new ops
     "graph_doc_pagerank": GRAPH_PAGERANK_SQL,

@@ -421,6 +421,71 @@ def test_knn_join_cells_single_member_cell(spark):
     assert all(r.neighbor_id != r.vec_id for r in out)
 
 
+def test_ivfpq_rerank_exhaustive_shortlist_equals_exact(spark):
+    """With shortlist >= corpus and nprobe >= cells the ADC stage prunes
+    nothing, so exact re-ranking must reproduce brute-force cosine top-k
+    bit-for-bit — the refine stage's correctness anchor."""
+    import numpy as np
+
+    from execute_sync_spark.functions.similarity import (
+        cosine_topk,
+        ivfpq_rerank_topk,
+        pq_codebook,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, "x", [float(x) for x in rng.normal(size=64)]) for i in range(24)
+    ]
+    df = _emb_df(spark, rows)
+    queries = df.filter("vec_id < 4")
+    cents = df.filter("vec_id < 3")
+    cb = pq_codebook(df.filter("vec_id < 16"))
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in ivfpq_rerank_topk(
+            df, queries, cents, cb, k=3, shortlist=30, nprobe=3
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in cosine_topk(df, queries, k=3).collect()
+    }
+    assert got == want and len(got) == 4 * 3
+
+
+def test_ivfpq_rerank_subset_of_shortlist(spark):
+    """The re-ranked winners are always drawn from the ADC shortlist, and
+    exactly k rows per query come back with contiguous ranks."""
+    import numpy as np
+
+    from execute_sync_spark.functions.similarity import (
+        ivfpq_rerank_topk,
+        ivfpq_topk,
+        pq_codebook,
+    )
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (i, "x", [float(x) for x in rng.normal(size=64)]) for i in range(30)
+    ]
+    df = _emb_df(spark, rows)
+    queries = df.filter("vec_id < 5")
+    cents = df.filter("vec_id < 4")
+    cb = pq_codebook(df.filter("vec_id < 16"))
+    short = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_topk(df, queries, cents, cb, k=9, nprobe=2).collect()
+    }
+    out = ivfpq_rerank_topk(df, queries, cents, cb, k=3, shortlist=9, nprobe=2).collect()
+    assert all((r.query_id, r.neighbor_id) in short for r in out)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+    assert all(len(v) == 3 for v in by_q.values())
+
+
 def test_shard_assign_complete_balanced_stable(spark):
     """Every doc lands in exactly one shard; positions are 1..n_shard
     contiguous; the whole assignment is invariant under repartitioning."""

@@ -117,6 +117,12 @@ ANNOTATED = {
     "exchanges — cell_id into the per-cell probers x members kernel, "
     "vec_id for the global top-k merge over <= nprobe*k rows/vector; "
     "quadratic confined to IVF cells, never label-block^2",
+    "sim_ivfpq_rerank": "two-stage ANN refine (round 11): the ADC "
+    "shortlist (mapInPandas over codes, no exchange) broadcasts into "
+    "the corpus scan for the float gather — BroadcastHashJoin, corpus "
+    "never shuffles; the only hash exchanges are the two per-query "
+    "k-row merges. At 100 TB stage 1 reads pruned code partitions and "
+    "stage 2 touches only the collided vectors' row groups",
     "curate_shard_assign": "training shard export (round 11): the scan "
     "reads ONLY doc_id (ReadSchema pruned — both hashes derive from it "
     "JVM-side), one hash exchange on the shard key, then the per-shard "
