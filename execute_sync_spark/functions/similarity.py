@@ -713,8 +713,12 @@ def build_cell_index(
     full scan. The batch_id sub-partition (``__full__`` for the bootstrap
     build) exists so ``append_cell_index`` can fold NEW vectors in
     replay-idempotently — probes prune on cell_id alone and transparently
-    read the union of batches."""
-    cells = assign_cells(corpus, centroids, id_col, vec_col)
+    read the union of batches. Assignment runs on the BLAS batch form
+    (``assign_cells_vectorized``, identical contract/tie-breaks): the
+    expression form's row_number window would re-shuffle the whole
+    corpus on id just to pick each vector's argmax cell — at 100 TB
+    that exchange IS the index-build bottleneck."""
+    cells = assign_cells_vectorized(corpus, centroids, id_col, vec_col)
     (
         cells.withColumn("batch_id", F.lit("__full__"))
         .write.mode("overwrite")
@@ -806,7 +810,7 @@ def append_cell_index(
     cost of one small partition write per batch; compaction, when partial
     files accumulate, is a per-cell rewrite (``compact_index``). Returns
     the cell ids the batch touched."""
-    cells = assign_cells(new_batch, centroids, id_col, vec_col)
+    cells = assign_cells_vectorized(new_batch, centroids, id_col, vec_col)
     touched = index_commit.append(cells, path, index_commit.CELL_SPEC, batch_id)
     return [int(v[0]) for v in touched]
 
@@ -1550,7 +1554,10 @@ def ivfpq_topk(
     import numpy as np
 
     spark = corpus.sparkSession
-    cells = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    # BLAS assignment (identical contract to assign_cells): the expression
+    # form's per-vector argmax window re-shuffles the whole corpus on id —
+    # at 100 TB that exchange dominates the inline assign+encode pass
+    cells = assign_cells_vectorized(corpus, centroids, id_col=id_col, vec_col=vec_col)
     codes = pq_encode(cells, codebook, id_col=id_col, vec_col="v", carry_cols=["cell_id"])
 
     qids, Q = _collect_vecs(queries, id_col, vec_col)
@@ -1651,7 +1658,7 @@ def build_pq_index(
 
     import numpy as np
 
-    cells = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    cells = assign_cells_vectorized(corpus, centroids, id_col=id_col, vec_col=vec_col)
     codes = pq_encode(cells, codebook, id_col=id_col, vec_col="v", carry_cols=["cell_id"])
     (
         codes.withColumn("batch_id", F.lit("__full__"))
@@ -1693,7 +1700,7 @@ def append_pq_index(
         # compact-then-replay guard — see append_cell_index
         return []
     codebook = load_pq_codebook(path)
-    cells = assign_cells(new_batch, centroids, id_col=id_col, vec_col=vec_col)
+    cells = assign_cells_vectorized(new_batch, centroids, id_col=id_col, vec_col=vec_col)
     codes = pq_encode(cells, codebook, id_col=id_col, vec_col="v", carry_cols=["cell_id"])
     codes = codes.withColumn("batch_id", F.lit(str(batch_id)))
     codes.persist()

@@ -390,18 +390,17 @@ def test_knn_join_cells_two_exchanges_no_join(spark):
 
 
 def test_ivfpq_rerank_broadcast_gather_no_corpus_shuffle(spark):
-    """The exact-refine stage adds NO corpus shuffle on top of the ADC
-    stage: the float gather is a BroadcastHashJoin of the bounded
-    shortlist into the corpus scan, and the whole two-stage plan has
-    exactly three hash exchanges — the cell-assignment window inherited
-    from ivfpq_topk's expression form plus the two per-query k-row
-    merges (ADC stage + re-rank window). No sort-merge join anywhere."""
+    """The two-stage plan never shuffles the corpus: BLAS cell
+    assignment + PQ encode are mapInPandas passes (zero exchange), the
+    float gather is a BroadcastHashJoin of the bounded shortlist into
+    the corpus scan, and the only hash exchanges are the two per-query
+    k-row merges (ADC stage + re-rank window). No sort-merge join."""
     from execute_sync_spark.plans import workload
 
     plan = _plan(workload.sim_ivfpq_rerank(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
-    assert plan.count("Exchange hashpartitioning") == 3, plan[:800]
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:800]
 
 
 def test_shard_assign_single_exchange_pruned_scan(spark):
