@@ -343,21 +343,19 @@ def main() -> None:
     # clean sequential measurements.
     from concurrent.futures import ThreadPoolExecutor
 
-    streams = int(os.environ.get("SPARK_GRAFT_BENCH_STREAMS", "8"))
+    # 24 streams, single FIFO pool: the round-11 head-to-head experiment
+    # (BENCH_DETAIL experiments.conc_scaling_r11, tools/conc_experiment.py)
+    # measured per-query FAIR pools at no benefit (36.3 s pooled vs 33.4 s
+    # unpooled at 8 streams) and stream COUNT as the real lever (45 s at 4
+    # -> 24-27 s at 16-32): most queries are dominated by per-job
+    # scheduling latency, so the fix is more in-flight jobs filling idle
+    # cores, not fair-share arbitration between them. 24 measured best;
+    # 16-32 are within session noise (+-15%).
+    streams = int(os.environ.get("SPARK_GRAFT_BENCH_STREAMS", "24"))
 
     def _run(item):
-        name, fn = item
-        # one FAIR pool per query: spark.scheduler.mode=FAIR only
-        # arbitrates BETWEEN pools — the default pool is FIFO inside, so
-        # without this every stream's jobs queue behind the largest
-        # running job and the wall inflates ~2.5x over the seq/streams
-        # ideal (round 11). setLocalProperty is per-thread; cleared in
-        # finally because executor threads are reused across queries.
-        spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
-        try:
-            fn(spark, sf_dir).collect()
-        finally:
-            spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+        _, fn = item
+        fn(spark, sf_dir).collect()
 
     # longest-first (LPT) order shrinks the makespan: the handful of 3-6 s
     # streaming/corpus queries start immediately instead of landing on an

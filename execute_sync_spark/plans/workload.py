@@ -2218,6 +2218,32 @@ def dedup_semantic_sqrt(spark, sf_dir):
 BENCH_EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
 
+def sim_knn_join_sqrt(spark, sf_dir):
+    """kNN graph, the DEPLOYMENT form: IVF cells from ``kmeans_fit_sample``
+    with k ≈ sqrt(N) (the dedup_semantic_sqrt lesson applied to the graph
+    build). The gated sim_knn_join_cells keeps the oracle's FIXED 8
+    centroids, so at 30x data each cell holds 30x more vectors and the
+    per-cell gram matrix is quadratic again (~113x wall measured at 30x) —
+    exactly the fixed-cell trap SemDeDup hit. With k ≈ sqrt(N) the in-cell
+    work totals (N/k)^2 * k * nprobe ≈ nprobe * N^1.5 flops and the
+    exchange stays one pass, so the graph build scales to corpus size.
+    BENCH-ONLY, not driver-gated: k-means centroids are not
+    oracle-reproducible in DuckDB; correctness is pinned by
+    tests/test_round11_ops.py — every reported edge's cos_sim re-verified
+    against exact cosine, ranks contiguous, no self-edges, and the
+    relation is deterministic under repartitioning."""
+    import math
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k_cells = max(8, math.isqrt(n))
+    cents = similarity.kmeans_fit_sample(emb, k=k_cells, iters=10)
+    return similarity.knn_join_cells(emb, cents, k=3, nprobe=2)
+
+
+BENCH_EXTRA_QUERIES["sim_knn_join_sqrt"] = sim_knn_join_sqrt
+
+
 def sim_pq_topk(spark, sf_dir):
     """Product-quantization ANN (Jégou et al. 2011): the corpus is encoded
     once to 4 sub-codebook ids (4 bytes/vector vs 256 for float32 — the

@@ -486,6 +486,47 @@ def test_ivfpq_rerank_subset_of_shortlist(spark):
     assert all(len(v) == 3 for v in by_q.values())
 
 
+def test_knn_join_sqrt_sound_and_deterministic(spark):
+    """The sqrt-cells kNN graph (kmeans centroids, not oracle-expressible):
+    every reported edge's cos_sim equals the exact rounded cosine of that
+    pair, no self-edges, ranks contiguous per vector, and the whole
+    relation is stable under repartitioning (deterministic sample fit)."""
+    import math
+
+    import numpy as np
+
+    from execute_sync_spark.functions.similarity import (
+        kmeans_fit_sample,
+        knn_join_cells,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, "x", [float(x) for x in rng.normal(size=8)]) for i in range(60)
+    ]
+    df = _emb_df(spark, rows)
+    cents = kmeans_fit_sample(df, k=max(8, math.isqrt(60)), iters=10)
+    out = knn_join_cells(df, cents, k=3, nprobe=2).collect()
+    vecs = {i: np.asarray(v) for i, _, v in rows}
+
+    def exact_cos(a, b):
+        c = float(vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
+        return math.floor(abs(c) * 10**4 + 0.5) / 10**4 * (1 if c >= 0 else -1)
+
+    assert out, "graph must be non-empty on a 60-vector corpus"
+    by_v = {}
+    for r in out:
+        assert r.neighbor_id != r.vec_id
+        assert abs(r.cos_sim - exact_cos(r.vec_id, r.neighbor_id)) < 1e-12
+        by_v.setdefault(r.vec_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_v.values())
+
+    cents2 = kmeans_fit_sample(df.repartition(7), k=max(8, math.isqrt(60)), iters=10)
+    out2 = knn_join_cells(df.repartition(5), cents2, k=3, nprobe=2).collect()
+    key = lambda r: (r.vec_id, r.rank, r.neighbor_id, r.cos_sim)  # noqa: E731
+    assert sorted(map(key, out)) == sorted(map(key, out2))
+
+
 def test_shard_assign_complete_balanced_stable(spark):
     """Every doc lands in exactly one shard; positions are 1..n_shard
     contiguous; the whole assignment is invariant under repartitioning."""

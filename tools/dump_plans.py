@@ -117,6 +117,11 @@ ANNOTATED = {
     "exchanges — cell_id into the per-cell probers x members kernel, "
     "vec_id for the global top-k merge over <= nprobe*k rows/vector; "
     "quadratic confined to IVF cells, never label-block^2",
+    "sim_ivfpq_topk": "IVF+PQ inline composition: BLAS cell assignment "
+    "+ PQ encode + ADC scoring are all mapInPandas passes over the "
+    "corpus scan (round 11: the expression-form assignment window that "
+    "re-shuffled the whole corpus on id is gone) — the only exchange "
+    "is the per-query k-row merge",
     "sim_ivfpq_rerank": "two-stage ANN refine (round 11): the ADC "
     "shortlist (mapInPandas over codes, no exchange) broadcasts into "
     "the corpus scan for the float gather — BroadcastHashJoin, corpus "
