@@ -117,6 +117,11 @@ ANNOTATED = {
     "exchanges — cell_id into the per-cell probers x members kernel, "
     "vec_id for the global top-k merge over <= nprobe*k rows/vector; "
     "quadratic confined to IVF cells, never label-block^2",
+    "sim_knn_join_sqrt": "the kNN graph's deployment form (round 11): "
+    "same two-exchange shape as sim_knn_join_cells but the centroid set "
+    "comes from kmeans_fit_sample with k ~ sqrt(N) — cell population "
+    "stays ~sqrt(N) as the corpus grows, so in-cell gram work totals "
+    "~nprobe * N^1.5 flops instead of the fixed-cell form's N^2/cells",
     "sim_ivfpq_topk": "IVF+PQ inline composition: BLAS cell assignment "
     "+ PQ encode + ADC scoring are all mapInPandas passes over the "
     "corpus scan (round 11: the expression-form assignment window that "
@@ -145,8 +150,9 @@ def main() -> None:
         "the property each plan is chosen for at the 100 TB target.",
         "",
     ]
+    bench_set = {**workload.QUERIES, **getattr(workload, "BENCH_EXTRA_QUERIES", {})}
     for name, note in ANNOTATED.items():
-        df = workload.QUERIES[name](spark, SF)
+        df = bench_set[name](spark, SF)
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
