@@ -1848,6 +1848,124 @@ CURATE_PIPELINE_SQL = rf"""
 """
 
 
+def curate_pipeline_fuzzy(spark, sf_dir):
+    """End-to-end curation with NEAR-dup canonical dedup — curate_pipeline's
+    exact-hash window replaced by the fuzzy pipeline a web corpus actually
+    needs: quality gate -> valved-Jaccard near-dup edges (threshold 0.5,
+    max_df valve — the declared 100 TB edge relation) restricted to
+    quality survivors (a link THROUGH a dropped doc does not merge
+    clusters) -> connected components -> one canonical doc per cluster
+    (longest text, tie to lowest id) -> drop docs contaminated vs the
+    src0 eval set -> BPE-ish token count for budget accounting.
+
+    Scale shape: every stage is already individually gated and
+    scale-measured — the max_df valve bounds edge-build work to
+    vocabulary size, components is the capped star-contraction, the
+    canonical pick is one window on cluster_id, contamination broadcasts
+    the eval side. The composition adds only the two semi-joins
+    restricting edges to quality ids (broadcastable: ids only)."""
+    from execute_sync_spark.functions.graph import connected_components
+
+    docs = _docs_wide(spark, sf_dir)
+    t = text.tokens("text")
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    quality = docs.filter(
+        (F.size(t) >= 30) & (n_alpha / F.length("text") >= 0.8)
+    )
+    pairs = dedupe.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_df=_JACCARD_MAX_DF
+    ).select("id_a", "id_b")
+    qids = quality.select("doc_id")
+    qpairs = pairs.join(
+        qids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
+    ).join(qids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+    clusters = connected_components(qpairs, "id_a", "id_b")
+    withc = quality.join(
+        clusters, quality.doc_id == clusters.id, "left"
+    ).select(
+        quality["*"],
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(F.length("text")), F.asc("doc_id")
+    )
+    canon = withc.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    contaminated = dedupe.cross_contamination(
+        canon.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        k=3,
+        min_shared=2,
+    ).select(F.col("train_id").alias("doc_id")).distinct()
+    kept = canon.filter(F.col("source") != "src0").join(
+        F.broadcast(contaminated), "doc_id", "left_anti"
+    )
+    return kept.select(
+        "doc_id",
+        "lang",
+        F.col("cluster_id"),
+        F.regexp_count(F.col("text"), F.lit(text.BPE_TOKEN_RE)).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+CURATE_PIPELINE_FUZZY_SQL = rf"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    keepsh AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+               WHERE df <= {_JACCARD_MAX_DF}),
+    shv AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keepsh USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shv GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM shv a JOIN shv b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5),
+    quality AS (
+        SELECT * FROM documents
+        WHERE LENGTH(regexp_split_to_array(trim(lower(text)), '\s+')) >= 30
+          AND LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) / LENGTH(text) >= 0.8),
+    qpairs AS (
+        SELECT p.id_a, p.id_b FROM pairs p
+        JOIN quality qa ON qa.doc_id = p.id_a
+        JOIN quality qb ON qb.doc_id = p.id_b),
+    edges AS (SELECT id_a AS s, id_b AS d FROM qpairs
+              UNION ALL SELECT id_b, id_a FROM qpairs),
+    walk(id, lab) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, w.lab FROM walk w JOIN edges e ON e.s = w.id),
+    clusters AS (SELECT id, MIN(lab) AS cluster_id FROM walk GROUP BY id),
+    withc AS (
+        SELECT q.*, COALESCE(c.cluster_id, q.doc_id) AS cluster_id
+        FROM quality q LEFT JOIN clusters c ON c.id = q.doc_id),
+    canon AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                         ORDER BY LENGTH(text) DESC, doc_id) AS rn
+            FROM withc)
+        WHERE rn = 1),
+    contaminated AS (
+        SELECT DISTINCT t.doc_id
+        FROM sh t
+        JOIN canon dt ON dt.doc_id = t.doc_id AND dt.source <> 'src0'
+        JOIN sh e ON e.shingle = t.shingle
+        JOIN documents de ON de.doc_id = e.doc_id AND de.source = 'src0'
+        GROUP BY t.doc_id, e.doc_id
+        HAVING COUNT(*) >= 2)
+    SELECT d.doc_id, d.lang, d.cluster_id,
+           CAST(LENGTH(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+    FROM canon d
+    LEFT JOIN contaminated c ON c.doc_id = d.doc_id
+    WHERE d.source <> 'src0' AND c.doc_id IS NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 
@@ -5210,6 +5328,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_knn_join": sim_knn_join,
     "sim_knn_join_cells": sim_knn_join_cells,
     "sim_ivfpq_rerank": sim_ivfpq_rerank,
+    "curate_pipeline_fuzzy": curate_pipeline_fuzzy,
     "curate_shard_assign": curate_shard_assign,
     # --- the 36 r08-green rows (the documented round-11 queue) ---
     "q5_revenue_by_nation": q5_revenue_by_nation,
@@ -5248,16 +5367,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_unpivot_measures": q_unpivot_measures,
     "q_string_agg": q_string_agg,
     "q_sessionize": q_sessionize,
-    # --- the 3 r09-green rows filling to 50 (stream_sliding_counts and
+    # --- the 2 r09-green rows filling to 50 (stream_sliding_counts and
     # mm_resize_plan stay so every gated family prefix is represented;
     # sim_range_search / curate_chunk_windows / text_repetition were
     # displaced by the first 6 new ops, dedup_containment_pairs_scaled /
     # text_ccnet_buckets_approx / curate_dsir_weights_hashed by the
-    # next 3, sim_lsh_indexed by sim_knn_join_cells, and d_version_churn
-    # by sim_ivfpq_rerank (d2_latest_version + d2_asof_snapshot are
-    # r10-green, so the d-family keeps fresh evidence) — every displaced
-    # family keeps a window member) ---
-    "v_variant_shred_sink": v_variant_shred_sink,
+    # next 3, sim_lsh_indexed by sim_knn_join_cells, d_version_churn by
+    # sim_ivfpq_rerank (d2_latest_version + d2_asof_snapshot are
+    # r10-green), and v_variant_shred_sink by curate_pipeline_fuzzy
+    # (v_variant_shred is r10-green) — every displaced family keeps a
+    # window member) ---
     "stream_sliding_counts": stream_sliding_counts_q,
     "mm_resize_plan": mm_resize_plan,
     # -----------------------------------------------------------------
@@ -5266,6 +5385,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows (freshest). Everything below is pytest-oracled on every run.
     "sim_lsh_indexed": sim_lsh_indexed,
     "d_version_churn": d_version_churn,
+    "v_variant_shred_sink": v_variant_shred_sink,
     "dedup_containment_pairs_scaled": dedup_containment_pairs_scaled,
     "text_ccnet_buckets_approx": text_ccnet_buckets_approx,
     "curate_dsir_weights_hashed": curate_dsir_weights_hashed,
@@ -5393,6 +5513,7 @@ ORACLES: dict[str, Optional[str]] = {
     "sim_knn_join": SIM_KNN_JOIN_SQL,
     "sim_knn_join_cells": SIM_KNN_JOIN_CELLS_SQL,
     "sim_ivfpq_rerank": SIM_IVFPQ_RERANK_SQL,
+    "curate_pipeline_fuzzy": CURATE_PIPELINE_FUZZY_SQL,
     "curate_shard_assign": CURATE_SHARD_ASSIGN_SQL,
     # round-10 new ops
     "graph_doc_pagerank": GRAPH_PAGERANK_SQL,

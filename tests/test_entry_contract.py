@@ -27,8 +27,8 @@ def test_oracles_subset_of_queries():
     assert set(qs) - set(oracles) == set()
     # the driver gates the first 50 entries. Round-11 rotation (VERDICT
     # r10 task 4, executing the documented queue): ALL 36 r08-green rows
-    # (the relational core) enter, plus the round's 11 new ops, plus the
-    # 3 oldest remaining r09-green rows filling the window.
+    # (the relational core) enter, plus the round's 12 new ops, plus the
+    # 2 oldest remaining r09-green rows filling the window.
     first50 = set(list(qs)[:50])
     must_gate = {
         # the round-11 new ops gate immediately (never declare a new op
@@ -37,7 +37,7 @@ def test_oracles_subset_of_queries():
         "graph_doc_pagerank_scaled", "graph_centrality_keep_scaled",
         "text_boilerplate_removal", "dedup_lsh_recall", "curate_domain_cap",
         "curate_dsir_resample", "sim_knn_join", "sim_knn_join_cells",
-        "sim_ivfpq_rerank", "curate_shard_assign",
+        "sim_ivfpq_rerank", "curate_pipeline_fuzzy", "curate_shard_assign",
         # the 36 r08-green rows — the relational core IS the queue, so
         # pin all of it (no spot-check: this was the oldest evidence)
         "q5_revenue_by_nation", "q6_forecast_revenue", "q7_volume_shipping",
@@ -54,15 +54,14 @@ def test_oracles_subset_of_queries():
         "q_having_big_customers", "q_conditional_agg", "q_asof_join",
         "q_asof_join_merge", "q_unpivot_measures", "q_string_agg",
         "q_sessionize",
-        # the 3 r09-green fills (sim_range_search, curate_chunk_windows,
+        # the 2 r09-green fills (sim_range_search, curate_chunk_windows,
         # text_repetition displaced by the first 6 new ops,
         # dedup_containment_pairs_scaled / text_ccnet_buckets_approx /
         # curate_dsir_weights_hashed by the next 3, sim_lsh_indexed by
-        # sim_knn_join_cells, d_version_churn by sim_ivfpq_rerank — each
-        # displaced family keeps another gated member;
-        # stream_sliding_counts and mm_resize_plan stay so every family
-        # prefix is represented)
-        "v_variant_shred_sink",
+        # sim_knn_join_cells, d_version_churn by sim_ivfpq_rerank,
+        # v_variant_shred_sink by curate_pipeline_fuzzy — each displaced
+        # family keeps another gated member; stream_sliding_counts and
+        # mm_resize_plan stay so every family prefix is represented)
         "stream_sliding_counts", "mm_resize_plan",
     }
     assert len(must_gate) == 50
