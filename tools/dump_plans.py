@@ -117,6 +117,13 @@ ANNOTATED = {
     "exchanges — cell_id into the per-cell probers x members kernel, "
     "vec_id for the global top-k merge over <= nprobe*k rows/vector; "
     "quadratic confined to IVF cells, never label-block^2",
+    "curate_pipeline_fuzzy": "the fuzzy curation composite (round 11): "
+    "the valved-Jaccard edge build (df-capped inverted-index self-join) "
+    "feeds the checkpointed component closure ONCE; quality gate is a "
+    "pushed filter, the canonical pick one window on cluster_id, and "
+    "decontamination a broadcast semi-join of the eval side — no "
+    "cartesian products, every wide exchange keyed and map-side "
+    "combinable",
     "sim_knn_join_sqrt": "the kNN graph's deployment form (round 11): "
     "same two-exchange shape as sim_knn_join_cells but the centroid set "
     "comes from kmeans_fit_sample with k ~ sqrt(N) — cell population "
