@@ -395,9 +395,18 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.05,
     max_df: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs above ``threshold``,
     via a shingle inverted index (explode + self-equi-join + count).
+
+    ``shingles`` optionally supplies a PRECOMPUTED (id_col, shingle)
+    relation (per-doc-distinct, same k — word_shingles output, typically
+    ``localCheckpoint``ed) so a composite query that also needs the
+    shingle relation elsewhere (e.g. decontamination in
+    curate_pipeline_fuzzy) tokenizes the corpus ONCE and feeds every
+    consumer from the materialized partitions instead of re-running the
+    regex+explode pass per consumer (VERDICT r11 #1).
 
     ``max_df`` is the scale valve: a shingle appearing in d documents
     contributes d^2 join rows, so one stop-phrase shared by a million docs
@@ -407,7 +416,7 @@ def ngram_jaccard_pairs(
     counts only shrink, but ratios can rise because document sizes shrink
     too. Default off for exact semantics (and the oracle). Sizing max_df:
     COVERAGE.md "Scale tuning knobs"."""
-    sh = word_shingles(docs, text_col, id_col, k=shingle_k)
+    sh = shingles if shingles is not None else word_shingles(docs, text_col, id_col, k=shingle_k)
     if max_df is not None:
         # NOTE: no broadcast hint — the kept (df<=max_df) shingle set IS most
         # of the vocabulary at corpus scale (rare shingles dominate any
@@ -557,6 +566,8 @@ def cross_contamination(
     id_col: str = "doc_id",
     k: int = 3,
     min_shared: int = 2,
+    train_shingles: DataFrame | None = None,
+    eval_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Train/eval contamination check: (train_id, eval_id, n_shared) for
     every training document sharing >= ``min_shared`` DISTINCT word k-grams
@@ -568,9 +579,28 @@ def cross_contamination(
     shingle stream never shuffles for the join — each task probes its
     shingles against the broadcast eval inverted index, and map-side partial
     aggregation shrinks the per-(train,eval) intersection counts to one row
-    per pair per task before the only shuffle (the count groupBy)."""
-    t = word_shingles(train, text_col, id_col, k).withColumnRenamed(id_col, "train_id")
-    e = word_shingles(eval_docs, text_col, id_col, k).withColumnRenamed(id_col, "eval_id")
+    per pair per task before the only shuffle (the count groupBy).
+
+    ``train_shingles`` / ``eval_shingles`` optionally supply precomputed
+    (id_col, shingle) relations (word_shingles output, same k) so a
+    composite query shares ONE corpus tokenization pass across consumers;
+    when given, the corresponding docs DataFrame may be None. Passing a
+    train_shingles relation that covers MORE docs than the intended train
+    set is fine when the caller intersects the output with that set
+    afterwards (curate_pipeline_fuzzy does: a full-corpus probe against
+    the broadcast eval index costs only map-side hash lookups — strictly
+    cheaper at 100 TB than shuffling the shingle relation to pre-restrict
+    it to survivors)."""
+    t = (
+        train_shingles
+        if train_shingles is not None
+        else word_shingles(train, text_col, id_col, k)
+    ).withColumnRenamed(id_col, "train_id")
+    e = (
+        eval_shingles
+        if eval_shingles is not None
+        else word_shingles(eval_docs, text_col, id_col, k)
+    ).withColumnRenamed(id_col, "eval_id")
     return (
         t.join(F.broadcast(e), "shingle")
         .groupBy("train_id", "eval_id")

@@ -372,10 +372,18 @@ def kmeans_fit(
     iterations. Deterministic init: the k lowest-id vectors.
     """
     c = corpus.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    # the window runs over the k post-limit rows only; partitionBy(lit)
-    # keeps the spec non-global so WindowExec doesn't warn about it
+    # the window runs over the k post-limit rows only; the partition key is
+    # a NON-FOLDABLE constant (substring(col,0,0)) so the spec survives
+    # optimization and WindowExec doesn't warn (lit(0) folds to global)
     centroids = c.orderBy(id_col).limit(k).select(
-        F.row_number().over(Window.partitionBy(F.lit(0)).orderBy(id_col)).alias("cell_id"), "v"
+        F.row_number()
+        .over(
+            Window.partitionBy(
+                F.substring(F.col(id_col).cast("string"), 0, 0)
+            ).orderBy(id_col)
+        )
+        .alias("cell_id"),
+        "v",
     )
 
     spark = corpus.sparkSession

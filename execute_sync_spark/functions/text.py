@@ -254,7 +254,14 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc(id_col))
+    # rank over the <=k post-limit rows; NON-FOLDABLE constant partition key
+    # (substring(col,0,0) — Catalyst has no simplification for it) so the
+    # spec survives optimization and WindowExec doesn't emit its global-
+    # window warning on every bench run (a plain lit(0) gets constant-folded
+    # back to an unpartitioned window spec)
+    w = Window.partitionBy(F.substring(F.col(id_col).cast("string"), 0, 0)).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
     return scored.withColumn("rank", F.row_number().over(w)).select(
         id_col, "rank", "score", "n_terms_hit"
     )
