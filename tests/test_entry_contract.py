@@ -25,47 +25,46 @@ def test_oracles_subset_of_queries():
     # round 6: every declared query has an oracle (mm_features gained a
     # DuckDB byte-histogram reconstruction, VERDICT r5 #1b)
     assert set(qs) - set(oracles) == set()
-    # the driver gates the first 50 entries. Round-11 rotation (VERDICT
-    # r10 task 4, executing the documented queue): ALL 36 r08-green rows
-    # (the relational core) enter, plus the round's 12 new ops, plus the
-    # 2 oldest remaining r09-green rows filling the window.
+    # the driver gates the first 50 entries. Round-12 rotation (VERDICT
+    # r11 task 2): the 3 new ops gate first, then the r09-green queue
+    # fills oldest-first. The queue held 48 rows (not the 42 VERDICT r11
+    # counted), so 48 + 3 > 50 and full intake is impossible; per the
+    # r11 fill precedent, family representation wins the last slot:
+    # 46 queue rows enter, graph_doc_pagerank (oldest graph_ evidence)
+    # takes slot 50, and mm_features + stream_window_counts (families
+    # covered in-window by the new mm_ ops and the sessionize /
+    # attribution rows) lead slots 51+ as the round-13 queue.
     first50 = set(list(qs)[:50])
     must_gate = {
-        # the round-11 new ops gate immediately (never declare a new op
+        # the round-12 new ops gate immediately (never declare a new op
         # outside the window)
-        "graph_clusters_incremental",
-        "graph_doc_pagerank_scaled", "graph_centrality_keep_scaled",
-        "text_boilerplate_removal", "dedup_lsh_recall", "curate_domain_cap",
-        "curate_dsir_resample", "sim_knn_join", "sim_knn_join_cells",
-        "sim_ivfpq_rerank", "curate_pipeline_fuzzy", "curate_shard_assign",
-        # the 36 r08-green rows — the relational core IS the queue, so
-        # pin all of it (no spot-check: this was the oldest evidence)
-        "q5_revenue_by_nation", "q6_forecast_revenue", "q7_volume_shipping",
-        "q8_market_share", "q10_returned_items", "q11_important_parts",
-        "q12_ship_lag_buckets", "q13_order_count_distribution",
-        "q14_promo_revenue", "q15_top_supplier", "q16_supplier_variety",
-        "q17_small_quantity", "q18_large_volume_customers",
-        "q19_disjunctive_predicates", "q20_supplier_semi_chain",
-        "q22_idle_customers", "q_customers_without_orders",
-        "q_window_top3_orders", "q_window_funcs", "q_rollup_status",
-        "q_distinct_nations", "q_percentiles", "q_pivot_status",
-        "q_cube_qty", "q_grouping_sets", "q_except_intersect",
-        "q_string_funcs", "q_date_funcs", "q_top_supplier_per_nation",
-        "q_having_big_customers", "q_conditional_agg", "q_asof_join",
-        "q_asof_join_merge", "q_unpivot_measures", "q_string_agg",
-        "q_sessionize",
-        # the 2 r09-green fills (sim_range_search, curate_chunk_windows,
-        # text_repetition displaced by the first 6 new ops,
-        # dedup_containment_pairs_scaled / text_ccnet_buckets_approx /
-        # curate_dsir_weights_hashed by the next 3, sim_lsh_indexed by
-        # sim_knn_join_cells, d_version_churn by sim_ivfpq_rerank,
-        # v_variant_shred_sink by curate_pipeline_fuzzy — each displaced
-        # family keeps another gated member; stream_sliding_counts and
-        # mm_resize_plan stay so every family prefix is represented)
-        "stream_sliding_counts", "mm_resize_plan",
+        "sim_knn_join_sqrt_recall", "mm_phash_pairs", "mm_phash_keep",
+        # the 46 oldest r09-green rows of the documented queue
+        "sim_lsh_indexed", "d_version_churn", "v_variant_shred_sink",
+        "dedup_containment_pairs_scaled", "text_ccnet_buckets_approx",
+        "curate_dsir_weights_hashed", "sim_range_search",
+        "curate_chunk_windows", "text_repetition", "q_unpivot_sink",
+        "text_bigram_top", "curate_pack_sequences", "sim_cosine_topk_vec",
+        "curate_weighted_sample", "stream_sessionize_closed",
+        "stream_purchase_attribution", "d2_change_feed",
+        "v_explode_tokens", "curate_stratified_sample", "mm_binary_meta",
+        "curate_mixture_weights", "curate_balanced_sample",
+        "curate_contamination", "text_redact_pii",
+        "dedup_embedding_pairs_expr", "q_event_funnel",
+        "q_recursive_hierarchy", "q_range_band_join", "q_scd2_history",
+        "q_skew_salted_agg", "q_asof_join_banded", "q_approx_distinct",
+        "q1_pricing_summary", "d1_latest_batch", "d3_superseded",
+        "v_shred_props", "dedup_exact", "dedup_minhash_sig",
+        "dedup_lsh_pairs", "dedup_incremental", "dedup_semantic",
+        "text_stats", "text_lang_id", "curate_hash_split",
+        "sim_cosine_topk", "sim_ivf_indexed",
+        # the r10 family-representation fill
+        "graph_doc_pagerank",
     }
     assert len(must_gate) == 50
     assert must_gate <= first50, sorted(must_gate - first50)
+    # the round-13 queue leads slots 51+
+    assert list(qs)[50:52] == ["mm_features", "stream_window_counts"]
     # the extension families stay represented in the window
     for prefix in ("dedup_", "text_", "curate_", "sim_", "mm_", "stream_", "graph_"):
         assert any(k.startswith(prefix) for k in first50), prefix
