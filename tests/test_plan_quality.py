@@ -412,3 +412,44 @@ def test_shard_assign_single_exchange_pruned_scan(spark):
     plan = _plan(workload.curate_shard_assign(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "text" not in plan.split("ReadSchema:")[-1]
+
+
+def test_payload_simhash_single_exchange_partial_agg(spark):
+    """The payload SimHash fold is ONE codegen hash aggregation: the flat
+    gram stream partially aggregates map-side (32 partial_sums collapse
+    each doc to one row per task) before the only exchange."""
+    from execute_sync_spark.functions import multimodal
+    from execute_sync_spark.plans.workload import _docs
+
+    bm = multimodal.binary_with_meta(_docs(spark, SF_DIR))
+    plan = _plan(multimodal.payload_simhash(bm))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:800]
+    assert "partial_sum" in plan
+    assert plan.count("MapInPandas") == 1
+
+
+def test_phash_pairs_decode_runs_once(spark):
+    """mm_phash_pairs consumes the hash relation three ways (band explode
+    + both hamming-join sides); the eager checkpoint means the final plan
+    reads materialized partitions — the Arrow decode pass appears ZERO
+    times — and there is no cartesian product and no pre-join distinct
+    exchange on the 2.4M candidate rows (dedup happens after the hamming
+    filter)."""
+    from execute_sync_spark.plans import workload
+
+    plan = _plan(workload.mm_phash_pairs(spark, SF_DIR))
+    assert "MapInPandas" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_sqrt_recall_truth_side_checkpointed_once(spark):
+    """The exact global kNN graph (the truth side) is eagerly
+    checkpointed and re-read by all three probe levels: the recall plan
+    contains three ExistingRDD scans of it and never a cartesian
+    product; candidate pairing stays inside the per-cell kernels."""
+    from execute_sync_spark.plans import workload
+
+    plan = _plan(workload.sim_knn_join_sqrt_recall(spark, SF_DIR))
+    assert plan.count("Scan ExistingRDD") >= 3
+    assert "CartesianProduct" not in plan

@@ -123,9 +123,22 @@ class FakeConditionalStore:
         return phys
 
     def rename(self, src, dst):
+        src_was_link = os.path.islink(src)
         tgt = self._publish(src)
         self.pointer_swaps += 1
-        os.symlink(tgt, dst)  # conditional PUT: fails if dst name taken
+        try:
+            os.symlink(tgt, dst)  # conditional PUT: fails if dst name taken
+        except FileExistsError:
+            # a lost swap must not destroy the staged NAME: on a real
+            # object store the uploaded object stays addressable at its
+            # staged key when the pointer PUT loses If-None-Match, so the
+            # caller's recovery path (sweep forward-finish / clean retry)
+            # must still see src. Restore it before propagating.
+            if src_was_link:
+                os.symlink(tgt, src)
+            else:
+                os.rename(tgt, src)
+            raise
 
     def rmtree(self, p):
         if os.path.islink(p):

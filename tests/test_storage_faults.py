@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 
 from execute_sync_spark import storage
 from tests.conftest import SF_DIR
-from tests.test_storage_contract import _events, _rows, swap_store  # noqa: F401
+from tests.test_storage_contract import (  # noqa: F401
+    FakeConditionalStore,
+    _events,
+    _rows,
+    swap_store,
+)
 
 
 class RaceInjectingStore(storage.LocalPosixStore):
@@ -199,4 +204,61 @@ def test_lagged_listing_defers_instead_of_misclassifying(spark, tmp_path, swap_s
     assert r.sweep(min_age_s=0) == {"restored": [], "reclaimed": []}
     out = r.sweep(min_age_s=0)
     assert aside in out["restored"]
+    assert _rows(r) == expect
+
+
+# ---------------------------------------------------------------------------
+# round-12 stretch (VERDICT r11 task 8): conditional-PUT conflict — two
+# writers race one pointer swap on the NON-POSIX store. The r11 suite
+# injected raced renames against the POSIX store; here the loss comes out
+# of the conditional store's own If-None-Match semantics.
+
+
+class ConflictConditionalStore(FakeConditionalStore):
+    """``arm(dst_substr, winner_src)``: when a rename targets the armed
+    dst, the WINNER's staged dir takes the pointer first (its own
+    successful conditional PUT), and the delegated swap then loses
+    If-None-Match naturally — no injected exception, the store's own
+    symlink-create conflict is the failure."""
+
+    def __init__(self, physical_root):
+        super().__init__(physical_root)
+        self._armed = None
+        self.conflicts: list[str] = []
+
+    def arm(self, dst_substr: str, winner_src: str) -> None:
+        self._armed = (dst_substr, winner_src)
+
+    def rename(self, src, dst):
+        if self._armed and self._armed[0] in dst:
+            _, winner = self._armed
+            self._armed = None
+            super().rename(winner, dst)  # the concurrent writer wins the swap
+            self.conflicts.append(dst)
+        super().rename(src, dst)
+
+
+def test_compact_conditional_put_conflict_two_writers(spark, tmp_path, swap_store):  # noqa: F811
+    """Two compactors race one day's pointer swap on the conditional
+    store; ours loses AFTER parking the live day aside. The failed
+    commit propagates as the store's own FileExistsError, the staged
+    name survives the lost swap (the object-store contract: a lost
+    If-None-Match leaves the upload addressable), sweep reclaims our
+    aside as debris without touching the winner, and a clean retry
+    compacts the winner's live day normally."""
+    store = swap_store(ConflictConditionalStore(str(tmp_path / "_physical")))
+    r, expect = _rollup_with_two_batches(spark, str(tmp_path / "rollup"))
+
+    winner = str(tmp_path / "winner_day")
+    shutil.copytree(os.path.join(r.path, "day=2024-01-01"), winner)
+    store.arm("/day=2024-01-01", winner_src=winner)
+    with pytest.raises(FileExistsError):
+        r.compact()
+    assert store.conflicts == [os.path.join(r.path, "day=2024-01-01")]
+
+    out = r.sweep(min_age_s=0)
+    assert any(n.startswith("_old_day_2024-01-01") for n in out["reclaimed"])
+    assert not any(n.startswith("_old_day_") for n in out["restored"])
+    assert _rows(r) == expect  # the winner's day is live and untouched
+    assert r.compact() == ["2024-01-01"]  # clean retry compacts normally
     assert _rows(r) == expect
