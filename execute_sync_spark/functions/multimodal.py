@@ -223,29 +223,27 @@ def payload_simhash(binaries: DataFrame, id_col: str = "doc_id", bits: int = PHA
                     g = g * 256 + arr[j : arr.size - k + 1 + j]
                 per_doc.append(g)
             counts = np.array([len(g) for g in per_doc], dtype=np.int64)
-            out = pd.DataFrame(
+            flat = (
+                np.concatenate(per_doc)
+                if len(per_doc)
+                else np.array([], dtype=np.int64)
+            )
+            # gramless payloads (shorter than k) get one null-gram
+            # sentinel row so they still fold to phash 0 downstream;
+            # single-array assembly, no pd.concat (it warns on all-NA)
+            empty = counts == 0
+            n_empty = int(empty.sum())
+            yield pd.DataFrame(
                 {
-                    id_col: np.repeat(ids, counts),
-                    "byte_len": np.repeat(lens, counts),
-                    "g": np.concatenate(per_doc) if len(per_doc) else np.array([], dtype=np.int64),
+                    id_col: np.concatenate([np.repeat(ids, counts), ids[empty]]),
+                    "byte_len": np.concatenate(
+                        [np.repeat(lens, counts), lens[empty]]
+                    ),
+                    "g": np.concatenate(
+                        [flat.astype(np.float64), np.full(n_empty, np.nan)]
+                    ),
                 }
             )
-            empty = counts == 0
-            if empty.any():
-                out = pd.concat(
-                    [
-                        out,
-                        pd.DataFrame(
-                            {
-                                id_col: ids[empty],
-                                "byte_len": lens[empty],
-                                "g": np.full(int(empty.sum()), np.nan),
-                            }
-                        ),
-                    ],
-                    ignore_index=True,
-                )
-            yield out
 
     flat = binaries.select(id_col, "content").mapInPandas(run, schema=out_schema)
     h = h32(F.col("g").cast("string"))

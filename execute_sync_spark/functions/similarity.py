@@ -1904,22 +1904,40 @@ def knn_join_blocked(
         V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            S = _np_round_half_up(Vn @ Vn.T, 4)
-        np.fill_diagonal(S, -np.inf)
         kk = min(k, n - 1)
         if kk <= 0:
             return pd.DataFrame(
                 {id_col: ids[:0], "neighbor_id": ids[:0], "rank": np.array([], dtype=np.int32),
                  "cos_sim": np.array([], dtype=np.float64)}
             )
-        # order: sim DESC, neighbor_id ASC — lexsort keys are last-first
-        order = np.lexsort((np.broadcast_to(ids, (n, n)), -S), axis=1)[:, :kk]
-        rows = np.repeat(ids, kk)
-        cols = ids[order].ravel()
-        sims = np.take_along_axis(S, order, axis=1).ravel()
-        ranks = np.tile(np.arange(1, kk + 1, dtype=np.int32), n)
+        # ROW-CHUNKED gram computation: a block of n vectors needs only a
+        # chunk x n similarity slab at a time, never the full n x n matrix
+        # (round 12: the single-block exact truth side of the kNN recall
+        # row OOM-crashed a worker at 60k vectors — 28.8 GB dense; the
+        # chunked kernel caps worker memory at chunk*n*8 bytes while the
+        # per-row top-k result is identical)
+        chunk = max(1, min(n, 4096, (1 << 27) // max(n, 1)))  # <=1 GB slab
+        out_rows, out_cols, out_sims = [], [], []
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = _np_round_half_up(Vn[lo:hi] @ Vn.T, 4)
+            for i in range(lo, hi):
+                S[i - lo, i] = -np.inf  # no self-edges
+            # order: sim DESC, neighbor_id ASC — lexsort keys are last-first
+            order = np.lexsort(
+                (np.broadcast_to(ids, (hi - lo, n)), -S), axis=1
+            )[:, :kk]
+            out_rows.append(np.repeat(ids[lo:hi], kk))
+            out_cols.append(ids[order].ravel())
+            out_sims.append(np.take_along_axis(S, order, axis=1).ravel())
         return pd.DataFrame(
-            {id_col: rows, "neighbor_id": cols, "rank": ranks, "cos_sim": sims}
+            {
+                id_col: np.concatenate(out_rows),
+                "neighbor_id": np.concatenate(out_cols),
+                "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), n),
+                "cos_sim": np.concatenate(out_sims),
+            }
         )
 
     return (
