@@ -84,6 +84,9 @@ class LeafSpec:
 
 CELL_SPEC = LeafSpec(levels=("cell_id",), aside_prefix="_old_cell_", sweep_hint="sweep_index()")
 LSH_SPEC = LeafSpec(levels=("table", "bucket"), aside_prefix="_old_tb_", sweep_hint="sweep_lsh_index()")
+PHASH_SPEC = LeafSpec(
+    levels=("ci", "cj", "vb"), aside_prefix="_old_ph_", sweep_hint="sweep_phash_index()"
+)
 
 
 def _iter_leaves(fs, path: str, spec: LeafSpec) -> list[tuple[str, ...]]:

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from execute_sync_spark import storage
 from execute_sync_spark.functions import curation, dedupe, graph, multimodal, similarity, text
-from execute_sync_spark.functions.hashing import h32_salted_sql, h32_sql
+from execute_sync_spark.functions.hashing import h32_salted, h32_salted_sql, h32_sql
 from execute_sync_spark.operators import dedup as dedup_ops
 
 # ---------------------------------------------------------------------------
@@ -4841,42 +4841,73 @@ MM_RESIZE_SQL = """
 """
 
 
+# the gated plans run the production valve (drops nothing at gate SF —
+# buckets there are tiny — but the 100 TB skew guard is ON and oracle-
+# mirrored, VERDICT r12 task 1)
+_MM_PHASH_MAX_BUCKET = 1000
+
+
 def mm_phash_pairs(spark, sf_dir):
     """Perceptual-hash near-dup PAIRS over the multimodal payload column
-    (VERDICT r11 task 4 — multimodal joins the dedup family): the opaque
-    binary payloads are Arrow-decoded to sliding 4-byte gram arrays
-    (functions/multimodal.py byte_grams — the image decoder's slot), a
-    32-bit SimHash folds per row JVM-side with ZERO shuffle, and
-    candidates come from the SimHash banding idiom (4 bands x 8 bits —
-    EXACT up to hamming 3 by pigeonhole, so the band join loses nothing
-    at the hamming<=2 threshold). The gram-content hash is
-    position-tolerant where a byte-grid dHash is not (measured: true
-    near-dup payloads 0-2 bits apart, unrelated ~10 of 32 — threshold 2
-    captures every planted near-dup). 100 TB shape: decode is one Arrow pass,
-    the hash relation is checkpointed once (id+hash only — payloads never
-    rescanned), the band self-join is the bucketed equi-join with the
-    max_bucket valve available for band-value skew, and hamming verify
-    touches only candidates. Oracle: full reconstruction — hex byte
-    extraction (the mm_features idiom), LEAD-window gram packing, the
-    32-term SimHash fold, band join, bit_count(xor)."""
+    (VERDICT r11 task 4; banding widened per VERDICT r12 what's-wrong #1):
+    the opaque binary payloads are Arrow-decoded to sliding 4-byte gram
+    arrays (functions/multimodal.py _gram_arrays — the image decoder's
+    slot), a 64-bit SimHash folds per doc JVM-side in one codegen hash
+    aggregation, and candidates come from multi-index banding over PAIRS
+    of the 8 primitive 8-bit bands (C(8,2)=28 combos, 2^16 key values —
+    EXACT up to hamming 6 by pigeonhole, so the banded join loses nothing
+    at the hamming<=5 threshold, while expected bucket size shrinks 256x
+    vs the 8-bit band space that saturated at the 30x block). Measured on
+    the fixture corpus: true near-dups land 0-5 bits apart of 64, the
+    unrelated background starts at 6 and medians ~20 — threshold 5
+    separates them cleanly where 32-bit hamming<=2 admitted background
+    pairs. 100 TB shape: decode is one Arrow pass, the hash relation is
+    checkpointed once (id+hash only — payloads never rescanned), the
+    combo self-join is a bucketed equi-join with the max_bucket valve ON
+    (identical-payload floods and bit-bias skew drop to the valve, oracle-
+    mirrored), and hamming verify touches only candidates. Oracle: full
+    reconstruction — hex byte extraction (the mm_features idiom),
+    LEAD-window gram packing, the 64-term two-hash SimHash fold, band-pair
+    join, bit_count(xor)."""
     bm = multimodal.binary_with_meta(_docs(spark, sf_dir))
-    return multimodal.phash_pairs(bm, max_hamming=2)
+    return multimodal.phash_pairs(bm, max_bucket=_MM_PHASH_MAX_BUCKET)
 
 
 _PHASH_SUMS = ", ".join(
-    f"SUM(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(multimodal.PHASH_BITS)
+    f"SUM(((hlo >> {b}) & 1) * 2 - 1) AS s{b}"
+    if b < 32
+    else f"SUM(((hhi >> {b - 32}) & 1) * 2 - 1) AS s{b}"
+    for b in range(multimodal.PHASH_BITS)
 )
+# bit 63's weight is the signed-long -2^63 (DuckDB refuses 1<<63); the bit
+# terms are disjoint, so summing them reconstructs the two's-complement
+# value, and the b=0..62 prefix of the sum never exceeds 2^63-1
 _PHASH_RECOMBINE = " + ".join(
-    f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)"
+    f"(CASE WHEN s{b} > 0 THEN "
+    + ("(-9223372036854775807 - 1)" if b == 63 else str(2**b))
+    + " ELSE 0 END)"
     for b in range(multimodal.PHASH_BITS)
 )
 
-# Shared CTE chain: payload bytes from hex (mm_features idiom) -> LEAD-packed
-# big-endian 4-byte grams -> portable h32 of the gram's decimal string ->
-# 32-bit SimHash fold -> 4x8-bit bands -> banded candidates -> hamming<=2.
-# Docs shorter than 4 bytes have no grams; COALESCE pins their phash to 0
-# exactly like the engine's empty-array fold.
-_MM_PHASH_CTE = f"""
+
+def _mm_phash_cte(max_bucket: int | None = None) -> str:
+    """Shared oracle CTE chain: payload bytes from hex (the mm_features
+    idiom) -> LEAD-packed big-endian 4-byte grams -> portable h32 of the
+    gram's decimal string (unsalted = bits 0-31, salt-97 = bits 32-63) ->
+    64-term SimHash fold -> 8 primitive 8-bit bands -> C(8,2) band-PAIR
+    combo keys (optionally valved to ``max_bucket``, mirroring the
+    engine's skew guard) -> banded candidates -> hamming<=5. Docs shorter
+    than 4 bytes have no grams; COALESCE pins their phash to 0 exactly
+    like the engine's null-sentinel fold."""
+    valve = ""
+    combos_src = "combos"
+    if max_bucket is not None:
+        valve = f""",
+    kept AS (SELECT ci, cj, v FROM combos
+             GROUP BY ci, cj, v HAVING COUNT(*) <= {max_bucket}),
+    combos_v AS (SELECT c.* FROM combos c JOIN kept USING (ci, cj, v))"""
+        combos_src = "combos_v"
+    return f"""
     b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
                  hex(encode(text)) AS hx
           FROM documents),
@@ -4895,27 +4926,36 @@ _MM_PHASH_CTE = f"""
         FROM byteval
         WINDOW w AS (PARTITION BY doc_id ORDER BY i)
         QUALIFY i + 4 <= byte_len),
-    ghash AS (SELECT doc_id, {h32_sql('CAST(g AS VARCHAR)')} AS h FROM grams),
+    ghash AS (SELECT doc_id, {h32_sql('CAST(g AS VARCHAR)')} AS hlo,
+                     {h32_salted_sql('CAST(g AS VARCHAR)', multimodal.PHASH_SALT)} AS hhi
+              FROM grams),
     sums AS (SELECT doc_id, {_PHASH_SUMS} FROM ghash GROUP BY doc_id),
     ph AS (
         SELECT b.doc_id,
                COALESCE(s.phv, 0) AS phash
         FROM b LEFT JOIN (SELECT doc_id, CAST({_PHASH_RECOMBINE} AS BIGINT) AS phv
                           FROM sums) s USING (doc_id)),
-    bands AS (SELECT doc_id, bi, (phash >> CAST(8 * bi AS INT)) & 255 AS bv
-              FROM ph, range(4) t(bi)),
+    prim AS (SELECT doc_id, bi, (phash >> CAST(8 * bi AS INT)) & 255 AS bv
+             FROM ph, range({multimodal.PHASH_BANDS}) t(bi)),
+    combos AS (SELECT pa.doc_id, pa.bi AS ci, pb.bi AS cj,
+                      pa.bv * 256 + pb.bv AS v
+               FROM prim pa JOIN prim pb
+                 ON pa.doc_id = pb.doc_id AND pa.bi < pb.bi){valve},
     cand AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b USING (bi, bv)
-        WHERE a.doc_id < b.doc_id),
+        SELECT DISTINCT ca.doc_id AS id_a, cb.doc_id AS id_b
+        FROM {combos_src} ca JOIN {combos_src} cb USING (ci, cj, v)
+        WHERE ca.doc_id < cb.doc_id),
     phpairs AS (
         SELECT c.id_a, c.id_b,
                CAST(bit_count(xor(pa.phash, pb.phash)) AS INT) AS hamming
         FROM cand c
         JOIN ph pa ON pa.doc_id = c.id_a
         JOIN ph pb ON pb.doc_id = c.id_b
-        WHERE bit_count(xor(pa.phash, pb.phash)) <= 2)
+        WHERE bit_count(xor(pa.phash, pb.phash)) <= {multimodal.PHASH_MAX_HAMMING})
 """
+
+
+_MM_PHASH_CTE = _mm_phash_cte(_MM_PHASH_MAX_BUCKET)
 
 MM_PHASH_PAIRS_SQL = f"""
     WITH {_MM_PHASH_CTE}
@@ -4935,7 +4975,7 @@ def mm_phash_keep(spark, sf_dir):
     from execute_sync_spark.functions.graph import connected_components
 
     bm = multimodal.binary_with_meta(_docs(spark, sf_dir))
-    pairs = multimodal.phash_pairs(bm, max_hamming=2)
+    pairs = multimodal.phash_pairs(bm, max_bucket=_MM_PHASH_MAX_BUCKET)
     clusters = connected_components(pairs, "id_a", "id_b")
     docs = _docs(spark, sf_dir).select(
         "doc_id",
@@ -4977,6 +5017,63 @@ MM_PHASH_KEEP_SQL = f"""
         FROM j)
     SELECT doc_id, cluster_id, CAST(n_members AS BIGINT) AS n_members, byte_len
     FROM r WHERE rn = 1
+"""
+
+
+def _phash_index_path(sf_dir: str) -> str:
+    """Deterministic per-testdata cache location for the persisted phash
+    band index, fingerprinted on the documents table's (mtime, size) — the
+    ``_ivf_index_path`` idiom, so regenerated testdata invalidates the
+    cache instead of silently probing stale fingerprints."""
+    import hashlib
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        fp = "missing"
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{fp}".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"ess_phash_index_{key}")
+
+
+def mm_phash_indexed(spark, sf_dir):
+    """Perceptual near-dup LOOKUP against the PERSISTED Hamming-band index
+    (VERDICT r12 task 4 — multimodal joins the persisted-ANN family):
+    ``build_phash_index`` pays the Arrow decode + 64-bit SimHash fold once
+    at ingest (cached here per testdata fingerprint); the probe for a
+    small query payload set reads ONLY the queries' (ci, cj, vb)
+    partitions via partition pruning with the per-combo v IN (...) list
+    pushed into v-sorted row groups (plan-asserted in
+    tests/test_plan_quality.py), then hamming-verifies JVM-side — at
+    100 TB near-dup image lookup is an index probe, not a corpus
+    self-join. Semantics equal restricting the in-flight banding to the
+    query ids, so the oracle is the shared phash CTE restricted to the
+    query side and the driver checks agreement between the two physical
+    paths (the sim_lsh_indexed precedent)."""
+    docs = _docs(spark, sf_dir)
+    bm = multimodal.binary_with_meta(docs)
+    path = _phash_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        multimodal.build_phash_index(bm, path)
+    queries = multimodal.binary_with_meta(docs.filter(F.col("doc_id") < 40))
+    return multimodal.phash_neighbors_indexed(spark, path, queries)
+
+
+MM_PHASH_INDEXED_SQL = f"""
+    WITH {_mm_phash_cte()},
+    qc AS (SELECT * FROM combos WHERE doc_id < 40),
+    icand AS (
+        SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS neighbor_id
+        FROM qc q JOIN combos c USING (ci, cj, v)
+        WHERE c.doc_id != q.doc_id)
+    SELECT i.query_id, i.neighbor_id,
+           CAST(bit_count(xor(pa.phash, pb.phash)) AS INT) AS hamming
+    FROM icand i
+    JOIN ph pa ON pa.doc_id = i.query_id
+    JOIN ph pb ON pb.doc_id = i.neighbor_id
+    WHERE bit_count(xor(pa.phash, pb.phash)) <= {multimodal.PHASH_MAX_HAMMING}
 """
 
 
@@ -5433,44 +5530,55 @@ SIM_KNN_JOIN_CELLS_SQL = f"""
 """
 
 
+# the recall row's truth side: deterministic hash-sample of the query
+# vectors (1-in-5 at test SF; at 100 TB the modulus scales to target ~1k
+# queries — recall estimation never needs the full corpus as queries)
+_RECALL_SAMPLE_MOD = 5
+
+
 def sim_knn_join_sqrt_recall(spark, sf_dir):
     """Driver-oracle evidence for the √N kNN DEPLOYMENT form (VERDICT r11
-    task 3, the ``text_ccnet_buckets_approx`` agreement-row precedent):
+    task 3; truth side SAMPLED per VERDICT r12 what's-wrong #2):
     ``sim_knn_join_sqrt``'s k-means cells are not DuckDB-expressible, so
-    this row measures its edge recall against the EXACT global kNN graph
-    (single-block ``knn_join_blocked`` — at test SF the whole corpus is
-    one BLAS block; at 100 TB the truth side samples, exactly as
-    ``dedup_lsh_recall``'s does) at nprobe = 2, 4, 8 and pins the two
-    driver-checkable contracts:
+    this row measures its edge recall against the exact top-k of a
+    deterministic HASH-SAMPLE of query vectors computed against the FULL
+    corpus — O(q·N) BLAS via the queries-vs-corpus kernel
+    (``cosine_topk_vectorized``), embarrassingly parallel, never the
+    O(N²) all-pairs graph that OOM'd the 30x refresh — at nprobe =
+    2, 4, 8, pinning the two driver-checkable contracts:
 
     - ``recall_lift_ok``: recall ≥ 1.5 × (nprobe / k_cells) — an IVF
       probe must beat scanning the same FRACTION of a randomly
       partitioned corpus by ≥1.5×. The synthetic embeddings are i.i.d.
       (only ~10% of true 3-NN pairs share a label, the chance rate), the
-      hardest case for any space-partitioning index; measured lift here
-      is 2–6× (absolute recall 0.29–0.77 rising with nprobe). On real
-      clustered embeddings absolute recall runs far higher — the dial,
-      not the ceiling, is the contract.
+      hardest case for any space-partitioning index; the dial, not the
+      ceiling, is the contract. Vacuously TRUE when the sample has no
+      exact edges (ADVICE r12: the empty-input zero guard, mirroring the
+      oracle's unconditional TRUE).
     - ``recall_monotone_ok``: recall is non-decreasing in nprobe (the
       knob a deployment actually turns; with nprobe ≥ k_cells the
       result equals the exact graph, pinned in tests/test_round2_ops).
 
-    The oracle reproduces n_vectors and the exact-graph edge count and
-    pins both booleans TRUE — a hash mismatch means the √N form's recall
-    collapsed below the random-partition baseline or lost monotonicity.
-    The truth side is eagerly localCheckpointed once and reused by all
-    three probe levels."""
+    The oracle reproduces n_vectors, n_queries, and the sampled exact
+    edge count and pins both booleans TRUE — a hash mismatch means the
+    √N form's recall collapsed below the random-partition baseline or
+    lost monotonicity. The truth side is eagerly localCheckpointed once
+    and reused by all three probe levels; the √N probe side is the
+    production full-graph build (what a deployment materializes), with
+    recall measured on its restriction to the sampled queries."""
     import math
 
     emb = _t(spark, sf_dir, "embeddings")
     n = emb.count()
     k_cells = max(8, math.isqrt(n))
     cents = similarity.kmeans_fit_sample(emb, k=k_cells, iters=10)
+    qs = emb.filter(
+        h32_salted(F.col("vec_id").cast("string"), 53) % _RECALL_SAMPLE_MOD == 0
+    )
+    nq = qs.count()
     exact = (
-        similarity.knn_join_blocked(
-            emb.withColumn("__g", F.lit(0)), k=3, block_col="__g"
-        )
-        .select("vec_id", "neighbor_id")
+        similarity.cosine_topk_vectorized(emb, qs, k=3)
+        .select(F.col("query_id").alias("vec_id"), "neighbor_id")
         .localCheckpoint(eager=True)
     )
     per_probe = []
@@ -5482,6 +5590,7 @@ def sim_knn_join_sqrt_recall(spark, sf_dir):
             exact.join(ap, ["vec_id", "neighbor_id"], "left").agg(
                 F.lit(nprobe).cast("int").alias("nprobe"),
                 F.lit(n).cast("long").alias("n_vectors"),
+                F.lit(nq).cast("long").alias("n_queries"),
                 F.count("*").cast("long").alias("n_exact_edges"),
                 (F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.count("*")).alias(
                     "__recall"
@@ -5494,35 +5603,48 @@ def sim_knn_join_sqrt_recall(spark, sf_dir):
     w = Window.partitionBy(
         F.substring(F.col("nprobe").cast("string"), 0, 0)
     ).orderBy("nprobe")
+    vacuous = F.col("n_exact_edges") == 0  # empty sample -> contracts hold
     return cur.select(
         "nprobe",
         "n_vectors",
+        "n_queries",
         "n_exact_edges",
         (
-            F.col("__recall")
-            >= F.col("nprobe").cast("double") / F.lit(float(k_cells)) * 1.5
+            vacuous
+            | (
+                F.col("__recall")
+                >= F.col("nprobe").cast("double") / F.lit(float(k_cells)) * 1.5
+            )
         ).alias("recall_lift_ok"),
-        (F.col("__recall") >= F.coalesce(F.lag("__recall").over(w), F.lit(0.0))).alias(
-            "recall_monotone_ok"
-        ),
+        (
+            vacuous
+            | (
+                F.col("__recall")
+                >= F.coalesce(F.lag("__recall").over(w), F.lit(0.0))
+            )
+        ).alias("recall_monotone_ok"),
     )
 
 
 SIM_KNN_SQRT_RECALL_SQL = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM e
+          WHERE {h32_salted_sql('CAST(vec_id AS VARCHAR)', 53)} % {_RECALL_SAMPLE_MOD} = 0),
     scored AS (
-        SELECT a.vec_id, b.vec_id AS neighbor_id,
-               ROUND({_COS_RAW.format(a='a.v', b='b.v')}, 4) AS cos_sim
-        FROM e a JOIN e b ON a.vec_id != b.vec_id),
+        SELECT q.vec_id, b.vec_id AS neighbor_id,
+               ROUND({_COS_RAW.format(a='q.v', b='b.v')}, 4) AS cos_sim
+        FROM q JOIN e b ON b.vec_id != q.vec_id),
     ranked AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                      ORDER BY cos_sim DESC, neighbor_id) AS rank
         FROM scored),
     ex AS (SELECT vec_id, neighbor_id FROM ranked WHERE rank <= 3),
     agg AS (SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_vectors,
+                   CAST((SELECT COUNT(*) FROM q) AS BIGINT) AS n_queries,
                    CAST(COUNT(*) AS BIGINT) AS n_exact_edges
             FROM ex)
-    SELECT CAST(t.nprobe AS INT) AS nprobe, a.n_vectors, a.n_exact_edges,
+    SELECT CAST(t.nprobe AS INT) AS nprobe, a.n_vectors, a.n_queries,
+           a.n_exact_edges,
            TRUE AS recall_lift_ok, TRUE AS recall_monotone_ok
     FROM agg a, (VALUES (2), (4), (8)) t(nprobe)
     ORDER BY nprobe
@@ -5557,27 +5679,88 @@ CURATE_SHARD_ASSIGN_SQL = f"""
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -----------------------------------------------------------------
     # Slots 1-50: the driver's CORRECTNESS gate covers the first 50
-    # entries of this dict. Round-12 rotation (VERDICT r11 task 2):
-    # the round's 3 new ops gate first (new ops never declare outside
-    # the window), then the r09-green queue fills oldest-first. The
-    # documented queue was 48 rows, not the 42 VERDICT r11 counted, so
-    # 48 + 3 > 50: full intake is arithmetically impossible this round.
-    # Resolution (the r11 fill precedent — family representation wins
-    # the last slot): 46 oldest r09 rows enter, graph_doc_pagerank
-    # (oldest graph_ evidence, r10) takes slot 50 so every extension
-    # family prefix stays gated, and the queue's last two rows
-    # (mm_features, stream_window_counts — their families are covered
-    # in-window by the new mm_ ops and the sessionize/attribution
-    # rows) lead slots 51+ as the round-13 queue. curate_pipeline_fuzzy
-    # changed plan shape this round (shared shingle pass) but NOT
-    # semantics; it is hash-verified against its unchanged DuckDB
-    # oracle on every pytest run, so it stays in the r11 block rather
-    # than displacing two more queue rows.
-    # --- round-12 new ops ---
+    # entries of this dict. Round-13 rotation (recomputed from the
+    # CORRECTNESS_r*.json files per the r12 precedent — latest-green
+    # distribution entering this round: r09:2 / r10:49 / r11:50 /
+    # r12:50): the round's 1 new op (mm_phash_indexed) gates first,
+    # then the 3 rows whose SEMANTICS changed this round re-gate
+    # (mm_phash_pairs/keep moved to the 64-bit band-pair fingerprint,
+    # sim_knn_join_sqrt_recall's truth side is now sampled — a changed
+    # oracle must never sit outside the window), then the r09+r10
+    # queue fills oldest-first: mm_features + stream_window_counts
+    # (r09) and 44 of the 49 r10-green rows. 4 + 2 + 49 > 50, so per
+    # the family-representation precedent the 5 deferred rows are all
+    # sim_ (the queue's most-populous family, 9 r10 rows): sim_ivf_topk,
+    # sim_ivf_multiprobe, sim_lsh_topk, sim_pq_topk, sim_quantized_topk
+    # — each variant's family stays in-window (sim_ivfpq_topk /
+    # sim_ivfpq_indexed / sim_lsh_multiprobe / sim_recall_at_k gate,
+    # plus the re-gated recall row) — and they lead slots 51+ as the
+    # round-14 queue.
+    # --- round-13 new op ---
+    "mm_phash_indexed": mm_phash_indexed,
+    # --- round-13 semantics changes (re-gate) ---
     "sim_knn_join_sqrt_recall": sim_knn_join_sqrt_recall,
     "mm_phash_pairs": mm_phash_pairs,
     "mm_phash_keep": mm_phash_keep,
-    # --- the 46 oldest r09-green rows (the documented queue) ---
+    # --- the r09 queue head ---
+    "mm_features": mm_features,
+    "stream_window_counts": stream_window_counts_q,
+    # --- 44 of the 49 r10-green queue rows ---
+    "graph_centrality_keep": graph_centrality_keep,
+    "dedup_jaccard_pairs": dedup_jaccard_pairs,
+    "dedup_simhash": dedup_simhash,
+    "dedup_substring_spans": dedup_substring_spans,
+    "dedup_span_removal": dedup_span_removal,
+    "dedup_embedding_pairs": dedup_embedding_pairs,
+    "dedup_clusters": dedup_clusters,
+    "dedup_canonical_keep": dedup_canonical_keep,
+    "curate_leakage_safe_split": curate_leakage_safe_split,
+    "text_token_count": text_token_count,
+    "text_fingerprint": text_fingerprint,
+    "text_tfidf_top_term": text_tfidf_top_term,
+    "text_unigram_logprob": text_unigram_logprob,
+    "text_bm25_topk": text_bm25_topk,
+    "curate_bloom_contamination": curate_bloom_contamination,
+    "curate_quality_rules": curate_quality_rules,
+    "curate_pipeline": curate_pipeline,
+    "sim_ivfpq_topk": sim_ivfpq_topk,
+    "sim_ivfpq_indexed": sim_ivfpq_indexed,
+    "sim_lsh_multiprobe": sim_lsh_multiprobe,
+    "sim_recall_at_k": sim_recall_at_k,
+    "stream_sessionize_flushed": stream_sessionize_flushed,
+    "stream_enrich_join": stream_enrich_join,
+    "stream_dedup": stream_dedup,
+    "d2_latest_version": d2_latest_version,
+    "d2_asof_snapshot": d2_asof_snapshot,
+    "ingest_roundtrip": ingest_roundtrip,
+    "v_variant_shred": v_variant_shred,
+    "q_merge_upsert": q_merge_upsert,
+    "q9_profit_by_nation_year": q9_profit_by_nation_year,
+    "q21_waiting_supplier": q21_waiting_supplier,
+    "q_gapfill_timeseries": q_gapfill_timeseries,
+    "q_cohort_retention": q_cohort_retention,
+    "text_ccnet_buckets": text_ccnet_buckets,
+    "curate_dsir_weights": curate_dsir_weights,
+    "curate_token_budget": curate_token_budget,
+    "text_corpus_stats": text_corpus_stats,
+    "dedup_containment_pairs": dedup_containment_pairs,
+    "q_rolling_revenue": q_rolling_revenue,
+    "dedup_jaccard_pairs_scaled": dedup_jaccard_pairs_scaled,
+    "mm_frame_sample": mm_frame_sample,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q3_top_orders": q3_top_orders,
+    "q4_priority_exists": q4_priority_exists,
+    # -----------------------------------------------------------------
+    # Slots 51+: the round-14 rotation queue leads (the 5 r10 sim_
+    # rows deferred by the family-representation rule above), then the
+    # r11/r12-green blocks (freshest evidence last). Everything below
+    # is pytest-oracled on every run.
+    "sim_ivf_topk": sim_ivf_topk,
+    "sim_ivf_multiprobe": sim_ivf_multiprobe,
+    "sim_lsh_topk": sim_lsh_topk,
+    "sim_pq_topk": sim_pq_topk,
+    "sim_quantized_topk": sim_quantized_topk,
+    # --- r12-green rows ---
     "sim_lsh_indexed": sim_lsh_indexed,
     "d_version_churn": d_version_churn,
     "v_variant_shred_sink": v_variant_shred_sink,
@@ -5624,66 +5807,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_hash_split": curate_hash_split,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ivf_indexed": sim_ivf_indexed,
-    # --- r10 fill: keeps graph_ represented in the window ---
     "graph_doc_pagerank": graph_doc_pagerank,
-    # -----------------------------------------------------------------
-    # Slots 51+: the round-13 rotation queue leads (oldest evidence
-    # first: the 2 r09 rows the round-12 window could not fit, then
-    # the r10-green rows), then the r11-green block (freshest).
-    # Everything below is pytest-oracled on every run.
-    "mm_features": mm_features,
-    "stream_window_counts": stream_window_counts_q,
-    # --- r10-green rows ---
-    "graph_centrality_keep": graph_centrality_keep,
-    "dedup_jaccard_pairs": dedup_jaccard_pairs,
-    "dedup_simhash": dedup_simhash,
-    "dedup_substring_spans": dedup_substring_spans,
-    "dedup_span_removal": dedup_span_removal,
-    "dedup_embedding_pairs": dedup_embedding_pairs,
-    "dedup_clusters": dedup_clusters,
-    "dedup_canonical_keep": dedup_canonical_keep,
-    "curate_leakage_safe_split": curate_leakage_safe_split,
-    "text_token_count": text_token_count,
-    "text_fingerprint": text_fingerprint,
-    "text_tfidf_top_term": text_tfidf_top_term,
-    "text_unigram_logprob": text_unigram_logprob,
-    "text_bm25_topk": text_bm25_topk,
-    "curate_bloom_contamination": curate_bloom_contamination,
-    "curate_quality_rules": curate_quality_rules,
-    "curate_pipeline": curate_pipeline,
-    "sim_ivf_topk": sim_ivf_topk,
-    "sim_ivf_multiprobe": sim_ivf_multiprobe,
-    "sim_quantized_topk": sim_quantized_topk,
-    "sim_pq_topk": sim_pq_topk,
-    "sim_ivfpq_topk": sim_ivfpq_topk,
-    "sim_lsh_topk": sim_lsh_topk,
-    "sim_lsh_multiprobe": sim_lsh_multiprobe,
-    "stream_sessionize_flushed": stream_sessionize_flushed,
-    "stream_enrich_join": stream_enrich_join,
-    "d2_latest_version": d2_latest_version,
-    "d2_asof_snapshot": d2_asof_snapshot,
-    "ingest_roundtrip": ingest_roundtrip,
-    "v_variant_shred": v_variant_shred,
-    "q_merge_upsert": q_merge_upsert,
-    "q9_profit_by_nation_year": q9_profit_by_nation_year,
-    "q21_waiting_supplier": q21_waiting_supplier,
-    "q_gapfill_timeseries": q_gapfill_timeseries,
-    "q_cohort_retention": q_cohort_retention,
-    "sim_ivfpq_indexed": sim_ivfpq_indexed,
-    "text_ccnet_buckets": text_ccnet_buckets,
-    "curate_dsir_weights": curate_dsir_weights,
-    "curate_token_budget": curate_token_budget,
-    "text_corpus_stats": text_corpus_stats,
-    "dedup_containment_pairs": dedup_containment_pairs,
-    "q_rolling_revenue": q_rolling_revenue,
-    "sim_recall_at_k": sim_recall_at_k,
-    "dedup_jaccard_pairs_scaled": dedup_jaccard_pairs_scaled,
-    "mm_frame_sample": mm_frame_sample,
-    "stream_dedup": stream_dedup,
-    "q2_min_cost_supplier": q2_min_cost_supplier,
-    "q3_top_orders": q3_top_orders,
-    "q4_priority_exists": q4_priority_exists,
-    # --- r11-green rows (freshest driver evidence) ---
+    # --- r11-green rows ---
     "graph_clusters_incremental": graph_clusters_incremental,
     "graph_doc_pagerank_scaled": graph_doc_pagerank_scaled,
     "graph_centrality_keep_scaled": graph_centrality_keep_scaled,
@@ -5754,7 +5879,12 @@ BENCH_EXTRA_QUERIES["dedup_semantic_sqrt"] = dedup_semantic_sqrt
 BENCH_EXTRA_QUERIES["text_ccnet_buckets_approx_pure"] = text_ccnet_buckets_approx_pure
 
 ORACLES: dict[str, Optional[str]] = {
-    # round-12 new ops
+    # round-13 new op (shared phash CTE restricted to the query side —
+    # the driver checks agreement between the persisted-index probe and
+    # the in-flight banding)
+    "mm_phash_indexed": MM_PHASH_INDEXED_SQL,
+    # round-12 new ops (pairs/keep/recall re-oracled in round 13: 64-bit
+    # band-pair fingerprint + valve; sampled truth side)
     "sim_knn_join_sqrt_recall": SIM_KNN_SQRT_RECALL_SQL,
     "mm_phash_pairs": MM_PHASH_PAIRS_SQL,
     "mm_phash_keep": MM_PHASH_KEEP_SQL,

@@ -25,46 +25,50 @@ def test_oracles_subset_of_queries():
     # round 6: every declared query has an oracle (mm_features gained a
     # DuckDB byte-histogram reconstruction, VERDICT r5 #1b)
     assert set(qs) - set(oracles) == set()
-    # the driver gates the first 50 entries. Round-12 rotation (VERDICT
-    # r11 task 2): the 3 new ops gate first, then the r09-green queue
-    # fills oldest-first. The queue held 48 rows (not the 42 VERDICT r11
-    # counted), so 48 + 3 > 50 and full intake is impossible; per the
-    # r11 fill precedent, family representation wins the last slot:
-    # 46 queue rows enter, graph_doc_pagerank (oldest graph_ evidence)
-    # takes slot 50, and mm_features + stream_window_counts (families
-    # covered in-window by the new mm_ ops and the sessionize /
-    # attribution rows) lead slots 51+ as the round-13 queue.
+    # the driver gates the first 50 entries. Round-13 rotation
+    # (recomputed from the CORRECTNESS_r*.json files; entering
+    # distribution r09:2 / r10:49 / r11:50 / r12:50): the 1 new op
+    # gates first, then the 3 rows whose SEMANTICS changed this round
+    # re-gate (64-bit band-pair phash; sampled recall truth side — a
+    # changed oracle never sits outside the window), then the queue
+    # fills oldest-first: the 2 r09 rows and 44 of the 49 r10 rows.
+    # 4 + 2 + 49 > 50; per the family-representation precedent the 5
+    # deferred rows are all sim_ (the queue's most-populous family,
+    # each variant's family still in-window), leading slots 51+ as
+    # the round-14 queue.
     first50 = set(list(qs)[:50])
     must_gate = {
-        # the round-12 new ops gate immediately (never declare a new op
-        # outside the window)
+        # the round-13 new op + the 3 semantics re-gates
+        "mm_phash_indexed",
         "sim_knn_join_sqrt_recall", "mm_phash_pairs", "mm_phash_keep",
-        # the 46 oldest r09-green rows of the documented queue
-        "sim_lsh_indexed", "d_version_churn", "v_variant_shred_sink",
-        "dedup_containment_pairs_scaled", "text_ccnet_buckets_approx",
-        "curate_dsir_weights_hashed", "sim_range_search",
-        "curate_chunk_windows", "text_repetition", "q_unpivot_sink",
-        "text_bigram_top", "curate_pack_sequences", "sim_cosine_topk_vec",
-        "curate_weighted_sample", "stream_sessionize_closed",
-        "stream_purchase_attribution", "d2_change_feed",
-        "v_explode_tokens", "curate_stratified_sample", "mm_binary_meta",
-        "curate_mixture_weights", "curate_balanced_sample",
-        "curate_contamination", "text_redact_pii",
-        "dedup_embedding_pairs_expr", "q_event_funnel",
-        "q_recursive_hierarchy", "q_range_band_join", "q_scd2_history",
-        "q_skew_salted_agg", "q_asof_join_banded", "q_approx_distinct",
-        "q1_pricing_summary", "d1_latest_batch", "d3_superseded",
-        "v_shred_props", "dedup_exact", "dedup_minhash_sig",
-        "dedup_lsh_pairs", "dedup_incremental", "dedup_semantic",
-        "text_stats", "text_lang_id", "curate_hash_split",
-        "sim_cosine_topk", "sim_ivf_indexed",
-        # the r10 family-representation fill
-        "graph_doc_pagerank",
+        # the r09 queue head
+        "mm_features", "stream_window_counts",
+        # 44 of the 49 r10-green queue rows
+        "graph_centrality_keep", "dedup_jaccard_pairs", "dedup_simhash",
+        "dedup_substring_spans", "dedup_span_removal",
+        "dedup_embedding_pairs", "dedup_clusters", "dedup_canonical_keep",
+        "curate_leakage_safe_split", "text_token_count",
+        "text_fingerprint", "text_tfidf_top_term", "text_unigram_logprob",
+        "text_bm25_topk", "curate_bloom_contamination",
+        "curate_quality_rules", "curate_pipeline", "sim_ivfpq_topk",
+        "sim_ivfpq_indexed", "sim_lsh_multiprobe", "sim_recall_at_k",
+        "stream_sessionize_flushed", "stream_enrich_join", "stream_dedup",
+        "d2_latest_version", "d2_asof_snapshot", "ingest_roundtrip",
+        "v_variant_shred", "q_merge_upsert", "q9_profit_by_nation_year",
+        "q21_waiting_supplier", "q_gapfill_timeseries",
+        "q_cohort_retention", "text_ccnet_buckets", "curate_dsir_weights",
+        "curate_token_budget", "text_corpus_stats",
+        "dedup_containment_pairs", "q_rolling_revenue",
+        "dedup_jaccard_pairs_scaled", "mm_frame_sample",
+        "q2_min_cost_supplier", "q3_top_orders", "q4_priority_exists",
     }
     assert len(must_gate) == 50
     assert must_gate <= first50, sorted(must_gate - first50)
-    # the round-13 queue leads slots 51+
-    assert list(qs)[50:52] == ["mm_features", "stream_window_counts"]
+    # the round-14 queue (the 5 deferred r10 sim_ rows) leads slots 51+
+    assert list(qs)[50:55] == [
+        "sim_ivf_topk", "sim_ivf_multiprobe", "sim_lsh_topk",
+        "sim_pq_topk", "sim_quantized_topk",
+    ]
     # the extension families stay represented in the window
     for prefix in ("dedup_", "text_", "curate_", "sim_", "mm_", "stream_", "graph_"):
         assert any(k.startswith(prefix) for k in first50), prefix

@@ -137,8 +137,10 @@ def test_phash_near_dup_found_unrelated_not(spark):
 
 def test_phash_banding_exact_vs_bruteforce(spark):
     """Banded candidate generation loses NOTHING at the default
-    threshold: pairs == brute-force hamming<=2 over all payload pairs
-    (4 bands x 8 bits is pigeonhole-exact to hamming 3)."""
+    threshold: pairs == brute-force hamming<=PHASH_MAX_HAMMING over all
+    payload pairs (C(8,2) band-PAIR combos are pigeonhole-exact to
+    hamming 6: 6 flipped bits leave >= 2 of the 8 primitive bands
+    intact, so some combo key still collides)."""
     texts = [BASE]
     texts += [BASE.replace("dusty", w) for w in ("muddy", "sunny", "foggy")]
     texts += [f"unrelated filler number {i} with its own words entirely" for i in range(6)]
@@ -150,9 +152,10 @@ def test_phash_banding_exact_vs_bruteforce(spark):
     for i in ids:
         for j in ids:
             if i < j:
-                d = bin(ph[i] ^ ph[j]).count("1")
-                if d <= 2:
+                d = bin((ph[i] ^ ph[j]) & 0xFFFFFFFFFFFFFFFF).count("1")
+                if d <= multimodal.PHASH_MAX_HAMMING:
                     want.add((i, j, d))
+    assert want, "fixture lost its planted near-dups"
     assert got == want
 
 
