@@ -39,6 +39,7 @@ def stream_cluster_maintenance(
     src: str = "id_a",
     dst: str = "id_b",
     available_now: bool = True,
+    schema=None,
 ):
     """Maintain a persisted cluster state from a parquet edge-feed
     directory. Each discovered file becomes one micro-batch handed to
@@ -46,12 +47,33 @@ def stream_cluster_maintenance(
     batch==drop parity, mirroring ``stream_sync``). The state at
     ``state_path`` must exist (``graph.build_cluster_state`` — possibly
     over an empty base edge set). Returns the number of batches applied
-    when draining with ``availableNow``, else the streaming query."""
+    when draining with ``availableNow``, else the streaming query.
+
+    ``schema``: explicit edge schema (StructType or DDL string). When
+    omitted it is inferred from files already present in the feed, and —
+    the routine case of starting the maintenance stream BEFORE the first
+    edge file lands (ADVICE r12) — falls back to the canonical
+    ``(src long, dst long)`` edge shape instead of throwing on the empty
+    or not-yet-created directory."""
+    from pyspark.errors import AnalysisException
+
     from execute_sync_spark.functions.graph import update_cluster_state
 
-    # streaming file sources need an explicit schema; infer it once from
-    # the files already present (an edge feed is homogeneous by contract)
-    schema = spark.read.parquet(edges_dir).schema
+    # streaming file sources need an explicit schema; when none is given,
+    # infer it once from the files already present (an edge feed is
+    # homogeneous by contract), or fall back to the canonical edge shape
+    # for an empty/not-yet-created feed
+    if schema is None:
+        try:
+            schema = spark.read.parquet(edges_dir).schema
+        except AnalysisException:
+            schema = f"{src} long, {dst} long"
+    # the maintenance stream owns its watch dir: materialize it when the
+    # stream starts before the first edge file lands, or the file source
+    # itself throws PATH_NOT_FOUND (Hadoop FS mkdirs — works on any DFS,
+    # no-op when present)
+    hpath = spark._jvm.org.apache.hadoop.fs.Path(edges_dir)
+    hpath.getFileSystem(spark._jsc.hadoopConfiguration()).mkdirs(hpath)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

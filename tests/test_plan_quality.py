@@ -443,6 +443,32 @@ def test_phash_pairs_decode_runs_once(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_phash_indexed_probe_prunes_partitions(spark, tmp_path):
+    """The persisted phash band index (build_phash_index: parquet
+    partitioned by (ci, cj, vb, batch_id)) must turn a probe into a
+    PARTITION-PRUNED scan — the queries' combo keys resolve at the file
+    listing (ci/cj/vb are partition columns) and the per-combo v IN (...)
+    lists push into the v-sorted row groups, so a probe reads only the
+    collided sub-buckets, never the full 28-times-corpus tree. Also: the
+    probe's decode runs on the QUERY side only — the scan side of the
+    plan has no Arrow pass."""
+    from execute_sync_spark.functions import multimodal
+    from execute_sync_spark.plans.workload import _docs
+
+    bm = multimodal.binary_with_meta(_docs(spark, SF_DIR))
+    idx = multimodal.build_phash_index(bm, str(tmp_path / "ph_idx"))
+    queries = multimodal.binary_with_meta(
+        _docs(spark, SF_DIR).filter(F.col("doc_id") < 5)
+    )
+    probe = multimodal.phash_neighbors_indexed(spark, idx, queries)
+    plan = _formatted(probe)
+    pf = [l for l in plan.splitlines() if "PartitionFilters:" in l][0]
+    assert "ci#" in pf and "cj#" in pf and "vb#" in pf, pf
+    pushed = [l for l in plan.splitlines() if "PushedFilters:" in l][0]
+    assert "In(v, [" in pushed, pushed
+    assert "MapInPandas" not in plan  # query fingerprints were collected
+
+
 def test_knn_sqrt_recall_truth_side_checkpointed_once(spark):
     """The exact global kNN graph (the truth side) is eagerly
     checkpointed and re-read by all three probe levels: the recall plan

@@ -149,20 +149,31 @@ ANNOTATED = {
     "JVM-side), one hash exchange on the shard key, then the per-shard "
     "local sort + row_number window; this IS the writer layout at "
     "100 TB (repartition(n, shard) + sortWithinPartitions)",
-    "mm_phash_pairs": "payload perceptual-hash near-dup (round 12): the "
-    "Arrow gram-decode + 32-bit SimHash fold materialize ONCE behind an "
-    "eager checkpoint (the plan reads Scan ExistingRDD — no MapInPandas "
-    "below), band explode self-joins on (band_idx, band_val) with "
-    "ReusedExchange covering both sides, and the hamming verify joins "
-    "the tiny hash relation map-side; dedup runs AFTER the hamming "
-    "filter so the 2.4M-row candidate stream never shuffles for a "
-    "distinct",
+    "mm_phash_pairs": "payload perceptual-hash near-dup (round 13 "
+    "widening): the Arrow gram-decode + 64-bit SimHash fold materialize "
+    "ONCE behind an eager checkpoint (the plan reads Scan ExistingRDD — "
+    "no MapInPandas below), the C(8,2) band-PAIR combo explode "
+    "self-joins on (ci, cj, v) — a 2^16 key space per combo, so "
+    "candidates scale with true collisions, not corpus^2/256 — with the "
+    "max_bucket valve semi-join ahead of it and ReusedExchange covering "
+    "both sides; the hamming verify joins the tiny hash relation "
+    "map-side and dedup runs AFTER the hamming filter",
     "sim_knn_join_sqrt_recall": "the sqrt(N) kNN form's driver evidence "
-    "(round 12): the exact global kNN graph (single-block BLAS kernel) "
-    "is checkpointed once and re-read by all three nprobe levels' "
+    "(round 13 reshape): the truth side is exact top-k for a HASH-SAMPLE "
+    "of query vectors against the full corpus — the broadcast "
+    "queries-vs-corpus BLAS kernel, O(q*N), never the O(N^2) all-pairs "
+    "graph — checkpointed once and re-read by all three nprobe levels' "
     "left joins; each approx branch keeps sim_knn_join_cells' "
     "two-exchange shape; the contract booleans fold in 1-row aggregates "
     "unioned at the end — no cartesian products anywhere",
+    "mm_phash_indexed": "near-dup lookup against the PERSISTED phash "
+    "band index (round 13): the queries' combo keys resolve as "
+    "PartitionFilters on (ci, cj, vb) at the file listing and the "
+    "per-combo v IN (...) lists push into v-sorted row groups; the "
+    "scan side has NO Arrow pass (query fingerprints are collected "
+    "driver-side, bounded at 28 rows/query) and candidates "
+    "broadcast-join the query combo set — at 100 TB a probe reads "
+    "<= 28q sub-buckets, never the corpus",
 }
 
 
