@@ -5530,10 +5530,14 @@ SIM_KNN_JOIN_CELLS_SQL = f"""
 """
 
 
-# the recall row's truth side: deterministic hash-sample of the query
-# vectors (1-in-5 at test SF; at 100 TB the modulus scales to target ~1k
-# queries — recall estimation never needs the full corpus as queries)
-_RECALL_SAMPLE_MOD = 5
+# the recall row's truth side: a FIXED budget of hash-ordered query
+# vectors (the first q by salted portable hash, ties to vec_id — a
+# deterministic simple random sample both engines reproduce). A fixed
+# FRACTION would keep the truth side O(N^2/k); the fixed budget makes it
+# O(q*N) — linear in the corpus — which is the shape that survives the
+# 30x block and 100 TB (recall estimation never needs every vector as a
+# query)
+_RECALL_SAMPLE_Q = 100
 
 
 def sim_knn_join_sqrt_recall(spark, sf_dir):
@@ -5572,9 +5576,11 @@ def sim_knn_join_sqrt_recall(spark, sf_dir):
     n = emb.count()
     k_cells = max(8, math.isqrt(n))
     cents = similarity.kmeans_fit_sample(emb, k=k_cells, iters=10)
-    qs = emb.filter(
-        h32_salted(F.col("vec_id").cast("string"), 53) % _RECALL_SAMPLE_MOD == 0
-    )
+    # TakeOrderedAndProject — per-partition heaps + a q-row driver merge,
+    # never a global sort
+    qs = emb.orderBy(
+        h32_salted(F.col("vec_id").cast("string"), 53), F.col("vec_id")
+    ).limit(_RECALL_SAMPLE_Q)
     nq = qs.count()
     exact = (
         similarity.cosine_topk_vectorized(emb, qs, k=3)
@@ -5629,7 +5635,8 @@ def sim_knn_join_sqrt_recall(spark, sf_dir):
 SIM_KNN_SQRT_RECALL_SQL = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     q AS (SELECT vec_id, v FROM e
-          WHERE {h32_salted_sql('CAST(vec_id AS VARCHAR)', 53)} % {_RECALL_SAMPLE_MOD} = 0),
+          ORDER BY {h32_salted_sql('CAST(vec_id AS VARCHAR)', 53)}, vec_id
+          LIMIT {_RECALL_SAMPLE_Q}),
     scored AS (
         SELECT q.vec_id, b.vec_id AS neighbor_id,
                ROUND({_COS_RAW.format(a='q.v', b='b.v')}, 4) AS cos_sim
