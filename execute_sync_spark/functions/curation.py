@@ -351,3 +351,52 @@ def shard_assign(
         docs.select(id_col, shard.alias("shard"), okey.alias("order_key"))
         .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
     )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    temperature: float = 0.7,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled domain mixture weights — the multilingual/
+    multi-domain rebalancing rule used by large pretraining runs (mT5,
+    XLM-R style): a domain's share of the training mix is proportional to
+    ``n_tokens ** T`` with T in (0, 1], which up-weights small domains and
+    damps dominant ones (T=1 reproduces natural proportions; T->0
+    approaches uniform). Emits, per domain: its natural token share, its
+    temperature-scaled mix weight, the resulting ``sample_factor``
+    (mix_weight / natural_share — >1 means the domain is repeated/epoched,
+    <1 means it is subsampled), and the expected token count the mix
+    assigns it.
+
+    Scale shape: one map-side-combined per-domain aggregate (the ONLY
+    corpus-scale pass — a narrow token-count expression, no explode); the
+    corpus totals arrive as a broadcast 1-row cross join, and everything
+    after runs on the domain-count relation (tens of rows at any corpus
+    size). Deterministic: integer token counts aggregate exactly, and the
+    double-valued shares are rounded at 6 dp only after the divisions."""
+    from execute_sync_spark.functions.text import tokens as _tokens
+
+    if not 0 < temperature <= 1:
+        raise ValueError(f"temperature must be in (0, 1], got {temperature}")
+    counts = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(_tokens(text_col))).cast("long").alias("n_tokens"),
+    )
+    scaled = F.pow(F.col("n_tokens").cast("double"), F.lit(float(temperature)))
+    totals = counts.select(scaled.alias("__s"), F.col("n_tokens")).agg(
+        F.sum("__s").alias("__pow_total"),
+        F.sum("n_tokens").cast("double").alias("__tok_total"),
+    )
+    mix = scaled / F.col("__pow_total")
+    natural = F.col("n_tokens") / F.col("__tok_total")
+    return counts.crossJoin(F.broadcast(totals)).select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        F.round(natural, 6).alias("natural_share"),
+        F.round(mix, 6).alias("mix_weight"),
+        F.round(mix / natural, 6).alias("sample_factor"),
+        F.round(mix * F.col("__tok_total"), 2).alias("expected_tokens"),
+    )

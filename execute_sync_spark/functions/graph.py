@@ -509,3 +509,59 @@ def update_cluster_state(
         for k in set(write_buckets) - have:
             storage.STORE.rmtree(os.path.join(d, f"bucket={k}"))
     return spark.read.schema(labels_schema).parquet(labels_dir).select("id", "cluster_id")
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    UNDIRECTED edge list — community detection for corpus curation:
+    unlike connected components (which glue everything reachable into one
+    blob), LPA splits a near-dup/citation/link graph into densely-
+    connected communities, the granularity used for topic balancing,
+    per-community canonical selection, and contamination blast-radius
+    analysis. Every node starts labeled with its own id; each synchronous
+    round re-labels every node with the MOST FREQUENT label among its
+    neighbors, ties broken by the smallest label — a deterministic vote
+    (classic LPA breaks ties randomly; the min-tie-break makes the
+    fixed-iteration result reproducible across engines and reruns, which
+    an oracle-gated pipeline requires).
+
+    Spark-first shape: the edge list is symmetrized + deduplicated ONCE
+    and eagerly materialized (same rationale as ``pagerank`` above); each
+    of the ``iters`` fixed rounds is ONE join keyed on the same src column
+    (exchange reuse) + one map-side-combined (node, label) count + one
+    per-node top-1 window — all hash-partitioned on node, never a global
+    sort. At 100 TB: edges bucketed by src, labels localCheckpointed every
+    few rounds to cut lineage; cost per round is O(|E|) independent of
+    community structure (contrast the unbounded-iteration forms —
+    fixed-round LPA is the production setting, convergence is asymptotic
+    anyway). Nodes are the edge endpoints, as in ``pagerank`` (a
+    singleton has no neighbors to vote, and callers carry singletons
+    through with a left join, as connected_components' helper does)."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    sym = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    node_t = edges.schema[src_col].dataType.simpleString()
+    labels = sym.select("src").distinct().select(
+        "src", F.col("src").alias("lab")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("__c"), F.asc("lab"))
+    for _ in range(iters):
+        votes = (
+            sym.join(labels, "src")
+            .groupBy(F.col("dst").alias("node"), F.col("lab"))
+            .agg(F.count("*").alias("__c"))
+        )
+        labels = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("node").alias("src"), "lab")
+        )
+    return labels.select(F.col("src").alias("node"), F.col("lab").alias("community"))

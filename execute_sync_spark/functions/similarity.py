@@ -15,6 +15,8 @@
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
@@ -2081,4 +2083,65 @@ def knn_join_cells(
         local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_col, "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def rrf_fuse(
+    legs: list[tuple[str, DataFrame, str, str]],
+    k: int = 20,
+    c: int = 60,
+    out_id: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009) of
+    N independently-ranked retrieval legs — the standard hybrid-search
+    combiner (lexical BM25 + dense ANN is the ubiquitous pair): each leg
+    contributes ``1/(c + rank)`` for the documents it ranked, missing legs
+    contribute 0, and the fused list re-ranks by the summed score. RRF is
+    score-scale-free (only ranks matter), which is exactly why it works
+    across heterogeneous retrievers without calibration.
+
+    ``legs`` is ``[(name, ranked_df, id_col, rank_col), ...]``; each
+    ranked_df is a per-retriever top-k relation (id + 1-based rank). The
+    output carries one ``<name>_rank`` column per leg (NULL where the leg
+    missed the doc), the 6-dp ``rrf_score``, and the fused 1-based
+    ``rank``, trimmed to the top ``k``.
+
+    Scale shape: the expensive work happened upstream in the legs (the
+    inverted-index BM25 probe, the partition-pruned ANN probe — each
+    already 100 TB-designed in this package); fusion itself touches only
+    N tiny top-k relations, so the chain of full-outer joins and the final
+    rank run on at most N*k rows — broadcast-trivial, no corpus-scale
+    shuffle, nothing on the driver. Determinism: 1/(c+rank) is exact IEEE
+    arithmetic on small integers summed in the legs' declared order, ties
+    break on id."""
+    parts = []
+    for name, df, id_col, rank_col in legs:
+        parts.append(
+            df.select(
+                F.col(id_col).cast("long").alias(out_id),
+                F.col(rank_col).cast("int").alias(f"{name}_rank"),
+            )
+        )
+    fused = functools.reduce(lambda a, b: a.join(b, out_id, "full_outer"), parts)
+    score = None
+    for name, *_ in legs:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(c)) + F.col(f"{name}_rank")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    # non-foldable constant partition key (see bm25_topk): the fused
+    # relation is <= N*k rows, so the "global" window is a single tiny task
+    w = Window.partitionBy(F.substring(F.col(out_id).cast("string"), 0, 0)).orderBy(
+        F.desc("__rrf"), F.asc(out_id)
+    )
+    return (
+        fused.withColumn("__rrf", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            out_id,
+            *[f"{name}_rank" for name, *_ in legs],
+            F.round(F.col("__rrf"), 6).alias("rrf_score"),
+            "rank",
+        )
     )

@@ -1585,7 +1585,13 @@ _BM25_NORM = "(t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s._avgdl))"
 # list here would silently desynchronize the oracle from the engine query)
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
-TEXT_BM25_SQL = rf"""
+def _bm25_sql(k: int = 20) -> str:
+    """BM25 oracle for the fixed 3-term query, parameterized only by the
+    top-k cutoff: ONE body shared by the text_bm25_topk oracle (k=20) and
+    the RRF fusion oracle's lexical leg (k=50) — two literals would
+    silently desynchronize (the ADVICE r6 lesson applied to the whole
+    statement, not just the term list)."""
+    return rf"""
     WITH tok AS (
         SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
         FROM documents),
@@ -1605,8 +1611,11 @@ TEXT_BM25_SQL = rf"""
         SELECT doc_id, score, n_terms_hit,
                CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
         FROM scored)
-    SELECT doc_id, rank, score, n_terms_hit FROM ranked WHERE rank <= 20
+    SELECT doc_id, rank, score, n_terms_hit FROM ranked WHERE rank <= {k}
 """
+
+
+TEXT_BM25_SQL = _bm25_sql(20)
 
 
 def text_redact_pii(spark, sf_dir):
@@ -5683,28 +5692,188 @@ CURATE_SHARD_ASSIGN_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# round-13 ops: hybrid retrieval fusion, temperature mixture, LPA communities
+
+_RRF_K = 20
+_RRF_LEG_K = 50
+_RRF_QUERY_VEC = 0
+
+
+def sim_hybrid_rrf(spark, sf_dir):
+    """Hybrid search: Reciprocal Rank Fusion of a lexical BM25 leg and a
+    dense cosine leg — the standard two-retriever stack of every modern
+    RAG/search pipeline (rank-only fusion needs no score calibration
+    between heterogeneous retrievers). The BM25 leg ranks the fixed 3-term
+    query's top-50; the dense leg ranks vector 0's top-50 exact cosine
+    neighbors; fusion scores 1/(60+rank) per leg (functions/similarity.py
+    rrf_fuse). At 100 TB each leg is this package's already-scale-designed
+    kernel (inverted-index postings probe; partition-pruned ANN probe) and
+    the fusion itself joins two 50-row relations — no corpus-scale work."""
+    docs = _docs_wide(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = text.bm25_topk(docs, _BM25_TERMS, k=_RRF_LEG_K)
+    vec = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") == _RRF_QUERY_VEC), k=_RRF_LEG_K
+    )
+    return similarity.rrf_fuse(
+        [("bm25", lex, "doc_id", "rank"), ("vec", vec, "neighbor_id", "rank")],
+        k=_RRF_K,
+    )
+
+
+SIM_HYBRID_RRF_SQL = f"""
+    WITH lex AS (SELECT doc_id, rank AS bm25_rank FROM ({_bm25_sql(_RRF_LEG_K)})),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qv AS (SELECT v AS q FROM e WHERE vec_id = {_RRF_QUERY_VEC}),
+    scored AS (
+        SELECT e.vec_id AS doc_id,
+               ROUND({_COS_RAW.format(a='qv.q', b='e.v')}, 4) AS cos_sim
+        FROM e CROSS JOIN qv WHERE e.vec_id != {_RRF_QUERY_VEC}),
+    vec AS (
+        SELECT doc_id, vec_rank FROM (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS INT)
+                       AS vec_rank
+            FROM scored)
+        WHERE vec_rank <= {_RRF_LEG_K}),
+    fused AS (
+        SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.bm25_rank, v.vec_rank,
+               COALESCE(1.0 / (60.0 + l.bm25_rank), 0.0)
+                   + COALESCE(1.0 / (60.0 + v.vec_rank), 0.0) AS rrf
+        FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id),
+    ranked AS (
+        SELECT doc_id, bm25_rank, vec_rank, ROUND(rrf, 6) AS rrf_score,
+               CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank
+        FROM fused)
+    SELECT doc_id, bm25_rank, vec_rank, rrf_score, rank
+    FROM ranked WHERE rank <= {_RRF_K}
+"""
+
+
+_MIX_TEMPERATURE = 0.7
+
+
+def curate_temperature_mix(spark, sf_dir):
+    """Temperature-scaled domain mixture (the mT5/XLM-R rebalancing rule):
+    per-source mix weight proportional to n_tokens^0.7, with the resulting
+    sample factor (epochs for small domains, subsampling for dominant
+    ones) and expected token allocation. ONE corpus-scale pass (a narrow
+    per-row token-count aggregate); everything downstream runs on the
+    tens-of-rows domain relation (functions/curation.py
+    temperature_mixture)."""
+    return curation.temperature_mixture(
+        _docs(spark, sf_dir), temperature=_MIX_TEMPERATURE
+    )
+
+
+CURATE_TEMPERATURE_MIX_SQL = rf"""
+    WITH c AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1),
+    t AS (SELECT SUM(POWER(CAST(n_tokens AS DOUBLE), {_MIX_TEMPERATURE}))
+                     AS pow_total,
+                 CAST(SUM(n_tokens) AS DOUBLE) AS tok_total
+          FROM c)
+    SELECT source, n_docs, n_tokens,
+           ROUND(n_tokens / t.tok_total, 6) AS natural_share,
+           ROUND(POWER(CAST(n_tokens AS DOUBLE), {_MIX_TEMPERATURE}) / t.pow_total,
+                 6) AS mix_weight,
+           ROUND((POWER(CAST(n_tokens AS DOUBLE), {_MIX_TEMPERATURE}) / t.pow_total)
+                 / (n_tokens / t.tok_total), 6) AS sample_factor,
+           ROUND((POWER(CAST(n_tokens AS DOUBLE), {_MIX_TEMPERATURE}) / t.pow_total)
+                 * t.tok_total, 2) AS expected_tokens
+    FROM c CROSS JOIN t
+"""
+
+
+_LPA_ITERS = 3
+
+
+def graph_label_propagation(spark, sf_dir):
+    """Label-propagation community detection over the VALVED document
+    near-dup graph (edges = the max_df-capped jaccard relation — the
+    100 TB edge build, same input as graph_doc_pagerank_scaled): 3
+    synchronous mode-vote rounds with min-label tie-break
+    (functions/graph.py label_propagation). Where connected components
+    answer "what is reachable", LPA answers "what is densely related" —
+    the granularity for topic balancing and contamination blast-radius.
+    Deterministic by construction, so the DuckDB oracle unrolls the same
+    3 rounds. Final community sizes via one count window on the label."""
+    edges = dedupe.ngram_jaccard_pairs(
+        _docs_wide(spark, sf_dir), threshold=0.05, max_df=_JACCARD_MAX_DF
+    )
+    labels = graph.label_propagation(edges, src_col="id_a", dst_col="id_b",
+                                     iters=_LPA_ITERS)
+    w = Window.partitionBy("community")
+    return labels.select(
+        F.col("node").alias("doc_id"), "community"
+    ).withColumn("community_size", F.count(F.lit(1)).over(w).cast("long"))
+
+
+def _lpa_sql(iters: int = _LPA_ITERS, pairs_sql: str | None = None) -> str:
+    """Unrolled synchronous-LPA SQL twin of graph.label_propagation over a
+    jaccard-pair edge relation — generated programmatically so the round
+    count stays one constant shared with the Spark side (the pagerank
+    oracle's pattern)."""
+    if pairs_sql is None:
+        pairs_sql = DEDUP_JACCARD_SCALED_SQL
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""v{i} AS (
+        SELECT e.dst AS node, p.lab AS lab, COUNT(*) AS c
+        FROM e JOIN s{i - 1} p ON p.node = e.src GROUP BY 1, 2),
+    s{i} AS (
+        SELECT node, lab FROM (
+            SELECT node, lab,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY c DESC, lab) AS rn
+            FROM v{i}) WHERE rn = 1)"""
+        )
+    return f"""
+    WITH pairs AS ({pairs_sql}),
+    e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    s0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
+    {','.join(steps)}
+    SELECT node AS doc_id, lab AS community,
+           CAST(COUNT(*) OVER (PARTITION BY lab) AS BIGINT) AS community_size
+    FROM s{iters}
+"""
+
+
+GRAPH_LPA_SQL = _lpa_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -----------------------------------------------------------------
     # Slots 1-50: the driver's CORRECTNESS gate covers the first 50
     # entries of this dict. Round-13 rotation (recomputed from the
     # CORRECTNESS_r*.json files per the r12 precedent — latest-green
     # distribution entering this round: r09:2 / r10:49 / r11:50 /
-    # r12:50): the round's 1 new op (mm_phash_indexed) gates first,
+    # r12:50): the round's 4 new ops (mm_phash_indexed, sim_hybrid_rrf,
+    # curate_temperature_mix, graph_label_propagation) gate first,
     # then the 3 rows whose SEMANTICS changed this round re-gate
     # (mm_phash_pairs/keep moved to the 64-bit band-pair fingerprint,
     # sim_knn_join_sqrt_recall's truth side is now sampled — a changed
     # oracle must never sit outside the window), then the r09+r10
     # queue fills oldest-first: mm_features + stream_window_counts
-    # (r09) and 44 of the 49 r10-green rows. 4 + 2 + 49 > 50, so per
-    # the family-representation precedent the 5 deferred rows are all
+    # (r09) and 41 of the 49 r10-green rows. 7 + 2 + 49 > 50, so per
+    # the family-representation precedent the 8 deferred rows are all
     # sim_ (the queue's most-populous family, 9 r10 rows): sim_ivf_topk,
-    # sim_ivf_multiprobe, sim_lsh_topk, sim_pq_topk, sim_quantized_topk
-    # — each variant's family stays in-window (sim_ivfpq_topk /
-    # sim_ivfpq_indexed / sim_lsh_multiprobe / sim_recall_at_k gate,
-    # plus the re-gated recall row) — and they lead slots 51+ as the
-    # round-14 queue.
-    # --- round-13 new op ---
+    # sim_ivf_multiprobe, sim_lsh_topk, sim_pq_topk, sim_quantized_topk,
+    # sim_ivfpq_topk, sim_ivfpq_indexed, sim_lsh_multiprobe — the sim_
+    # family stays in-window three times over (sim_recall_at_k gates,
+    # plus the re-gated recall row and the new rrf row) — and they lead
+    # slots 51+ as the round-14 queue.
+    # --- round-13 new ops ---
     "mm_phash_indexed": mm_phash_indexed,
+    "sim_hybrid_rrf": sim_hybrid_rrf,
+    "curate_temperature_mix": curate_temperature_mix,
+    "graph_label_propagation": graph_label_propagation,
     # --- round-13 semantics changes (re-gate) ---
     "sim_knn_join_sqrt_recall": sim_knn_join_sqrt_recall,
     "mm_phash_pairs": mm_phash_pairs,
@@ -5712,7 +5881,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- the r09 queue head ---
     "mm_features": mm_features,
     "stream_window_counts": stream_window_counts_q,
-    # --- 44 of the 49 r10-green queue rows ---
+    # --- 41 of the 49 r10-green queue rows ---
     "graph_centrality_keep": graph_centrality_keep,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_simhash": dedup_simhash,
@@ -5730,9 +5899,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_bloom_contamination": curate_bloom_contamination,
     "curate_quality_rules": curate_quality_rules,
     "curate_pipeline": curate_pipeline,
-    "sim_ivfpq_topk": sim_ivfpq_topk,
-    "sim_ivfpq_indexed": sim_ivfpq_indexed,
-    "sim_lsh_multiprobe": sim_lsh_multiprobe,
     "sim_recall_at_k": sim_recall_at_k,
     "stream_sessionize_flushed": stream_sessionize_flushed,
     "stream_enrich_join": stream_enrich_join,
@@ -5758,7 +5924,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q3_top_orders": q3_top_orders,
     "q4_priority_exists": q4_priority_exists,
     # -----------------------------------------------------------------
-    # Slots 51+: the round-14 rotation queue leads (the 5 r10 sim_
+    # Slots 51+: the round-14 rotation queue leads (the 8 r10 sim_
     # rows deferred by the family-representation rule above), then the
     # r11/r12-green blocks (freshest evidence last). Everything below
     # is pytest-oracled on every run.
@@ -5767,6 +5933,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_lsh_topk": sim_lsh_topk,
     "sim_pq_topk": sim_pq_topk,
     "sim_quantized_topk": sim_quantized_topk,
+    "sim_ivfpq_topk": sim_ivfpq_topk,
+    "sim_ivfpq_indexed": sim_ivfpq_indexed,
+    "sim_lsh_multiprobe": sim_lsh_multiprobe,
     # --- r12-green rows ---
     "sim_lsh_indexed": sim_lsh_indexed,
     "d_version_churn": d_version_churn,
@@ -5886,10 +6055,13 @@ BENCH_EXTRA_QUERIES["dedup_semantic_sqrt"] = dedup_semantic_sqrt
 BENCH_EXTRA_QUERIES["text_ccnet_buckets_approx_pure"] = text_ccnet_buckets_approx_pure
 
 ORACLES: dict[str, Optional[str]] = {
-    # round-13 new op (shared phash CTE restricted to the query side —
-    # the driver checks agreement between the persisted-index probe and
-    # the in-flight banding)
+    # round-13 new ops (mm_phash_indexed: shared phash CTE restricted to
+    # the query side — the driver checks agreement between the
+    # persisted-index probe and the in-flight banding)
     "mm_phash_indexed": MM_PHASH_INDEXED_SQL,
+    "sim_hybrid_rrf": SIM_HYBRID_RRF_SQL,
+    "curate_temperature_mix": CURATE_TEMPERATURE_MIX_SQL,
+    "graph_label_propagation": GRAPH_LPA_SQL,
     # round-12 new ops (pairs/keep/recall re-oracled in round 13: 64-bit
     # band-pair fingerprint + valve; sampled truth side)
     "sim_knn_join_sqrt_recall": SIM_KNN_SQRT_RECALL_SQL,

@@ -27,31 +27,31 @@ def test_oracles_subset_of_queries():
     assert set(qs) - set(oracles) == set()
     # the driver gates the first 50 entries. Round-13 rotation
     # (recomputed from the CORRECTNESS_r*.json files; entering
-    # distribution r09:2 / r10:49 / r11:50 / r12:50): the 1 new op
-    # gates first, then the 3 rows whose SEMANTICS changed this round
+    # distribution r09:2 / r10:49 / r11:50 / r12:50): the 4 new ops
+    # gate first, then the 3 rows whose SEMANTICS changed this round
     # re-gate (64-bit band-pair phash; sampled recall truth side — a
     # changed oracle never sits outside the window), then the queue
-    # fills oldest-first: the 2 r09 rows and 44 of the 49 r10 rows.
-    # 4 + 2 + 49 > 50; per the family-representation precedent the 5
+    # fills oldest-first: the 2 r09 rows and 41 of the 49 r10 rows.
+    # 7 + 2 + 49 > 50; per the family-representation precedent the 8
     # deferred rows are all sim_ (the queue's most-populous family,
-    # each variant's family still in-window), leading slots 51+ as
-    # the round-14 queue.
+    # the family still in-window three times over), leading slots 51+
+    # as the round-14 queue.
     first50 = set(list(qs)[:50])
     must_gate = {
-        # the round-13 new op + the 3 semantics re-gates
-        "mm_phash_indexed",
+        # the round-13 new ops + the 3 semantics re-gates
+        "mm_phash_indexed", "sim_hybrid_rrf", "curate_temperature_mix",
+        "graph_label_propagation",
         "sim_knn_join_sqrt_recall", "mm_phash_pairs", "mm_phash_keep",
         # the r09 queue head
         "mm_features", "stream_window_counts",
-        # 44 of the 49 r10-green queue rows
+        # 41 of the 49 r10-green queue rows
         "graph_centrality_keep", "dedup_jaccard_pairs", "dedup_simhash",
         "dedup_substring_spans", "dedup_span_removal",
         "dedup_embedding_pairs", "dedup_clusters", "dedup_canonical_keep",
         "curate_leakage_safe_split", "text_token_count",
         "text_fingerprint", "text_tfidf_top_term", "text_unigram_logprob",
         "text_bm25_topk", "curate_bloom_contamination",
-        "curate_quality_rules", "curate_pipeline", "sim_ivfpq_topk",
-        "sim_ivfpq_indexed", "sim_lsh_multiprobe", "sim_recall_at_k",
+        "curate_quality_rules", "curate_pipeline", "sim_recall_at_k",
         "stream_sessionize_flushed", "stream_enrich_join", "stream_dedup",
         "d2_latest_version", "d2_asof_snapshot", "ingest_roundtrip",
         "v_variant_shred", "q_merge_upsert", "q9_profit_by_nation_year",
@@ -64,10 +64,11 @@ def test_oracles_subset_of_queries():
     }
     assert len(must_gate) == 50
     assert must_gate <= first50, sorted(must_gate - first50)
-    # the round-14 queue (the 5 deferred r10 sim_ rows) leads slots 51+
-    assert list(qs)[50:55] == [
+    # the round-14 queue (the 8 deferred r10 sim_ rows) leads slots 51+
+    assert list(qs)[50:58] == [
         "sim_ivf_topk", "sim_ivf_multiprobe", "sim_lsh_topk",
-        "sim_pq_topk", "sim_quantized_topk",
+        "sim_pq_topk", "sim_quantized_topk", "sim_ivfpq_topk",
+        "sim_ivfpq_indexed", "sim_lsh_multiprobe",
     ]
     # the extension families stay represented in the window
     for prefix in ("dedup_", "text_", "curate_", "sim_", "mm_", "stream_", "graph_"):

@@ -199,3 +199,101 @@ def test_get_decoder_auto_falls_back_without_pil():
         multimodal.pil_decode(b"\x89PNG")
     with pytest.raises(ValueError):
         multimodal.get_decoder("nope")
+
+
+# ---------------------------------------------------------------------------
+# round-13 batch 2: RRF fusion, temperature mixture, LPA communities
+
+
+def test_rrf_fuse_overlap_beats_single_leg(spark):
+    from execute_sync_spark.functions.similarity import rrf_fuse
+
+    # doc 1 appears in both legs at modest ranks; docs 2/3 top one leg each
+    lex = spark.createDataFrame(
+        [(2, 1), (1, 2), (4, 3)], "doc_id long, rank int"
+    )
+    vec = spark.createDataFrame(
+        [(3, 1), (1, 2), (5, 3)], "nid long, rank int"
+    )
+    out = rrf_fuse(
+        [("bm25", lex, "doc_id", "rank"), ("vec", vec, "nid", "rank")], k=10
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    # two 1/(60+2) contributions beat any single 1/(60+1)
+    assert out[0].doc_id == 1 and out[0].rank == 1
+    assert by_id[1].bm25_rank == 2 and by_id[1].vec_rank == 2
+    # single-leg docs carry a NULL rank for the missing leg
+    assert by_id[2].vec_rank is None and by_id[3].bm25_rank is None
+    # equal single-leg scores tie-break on doc_id: 2 (rank1) and 3 (rank1)
+    assert by_id[2].rank == 2 and by_id[3].rank == 3
+    assert len(out) == 5
+
+
+def test_rrf_fuse_k_trims_and_scores_sum(spark):
+    from execute_sync_spark.functions.similarity import rrf_fuse
+
+    lex = spark.createDataFrame([(i, i) for i in range(1, 8)], "doc_id long, rank int")
+    vec = spark.createDataFrame([(1, 1)], "doc_id long, rank int")
+    out = rrf_fuse(
+        [("a", lex, "doc_id", "rank"), ("b", vec, "doc_id", "rank")], k=3
+    ).collect()
+    assert len(out) == 3
+    assert abs(out[0].rrf_score - round(1 / 61 + 1 / 61, 6)) < 1e-9
+
+
+def test_temperature_mixture_t1_is_natural_and_weights_sum(spark):
+    from execute_sync_spark.functions.curation import temperature_mixture
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "big"), (2, "e f g h", "big"), (3, "i j", "small")],
+        "doc_id long, text string, source string",
+    )
+    nat = temperature_mixture(docs, temperature=1.0).collect()
+    for r in nat:
+        assert abs(r.sample_factor - 1.0) < 1e-6  # T=1 == natural mix
+    t = {r.source: r for r in temperature_mixture(docs, temperature=0.5).collect()}
+    assert abs(sum(r.mix_weight for r in t.values()) - 1.0) < 1e-5
+    # temperature < 1 up-weights the small domain, damps the big one
+    assert t["small"].sample_factor > 1.0 > t["big"].sample_factor
+    assert t["big"].n_tokens == 8 and t["small"].n_tokens == 2
+    with pytest.raises(ValueError):
+        temperature_mixture(docs, temperature=0.0)
+
+
+def test_label_propagation_two_triangles(spark):
+    from execute_sync_spark.functions.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+        "src long, dst long",
+    )
+    labs = {r.node: r.community for r in label_propagation(edges, iters=3).collect()}
+    # each triangle converges to one community; the two stay distinct
+    assert labs[1] == labs[2] == labs[3]
+    assert labs[10] == labs[11] == labs[12]
+    assert labs[1] != labs[10]
+    assert len(labs) == 6
+
+
+def test_label_propagation_bridge_keeps_dense_sides(spark):
+    from execute_sync_spark.functions.graph import label_propagation
+
+    # two triangles joined by ONE bridge edge: unlike connected components
+    # (one blob), 3 LPA rounds keep the dense sides in separate communities
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        "src long, dst long",
+    )
+    labs = {r.node: r.community for r in label_propagation(edges, iters=3).collect()}
+    assert labs[1] == labs[2]
+    assert labs[10] == labs[11] == labs[12]
+    assert labs[1] != labs[11]
+
+
+def test_label_propagation_empty_edges(spark):
+    from execute_sync_spark.functions.graph import label_propagation
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    out = label_propagation(edges, iters=3)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["node", "community"]
