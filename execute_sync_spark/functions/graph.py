@@ -534,7 +534,7 @@ def label_propagation(
     and eagerly materialized (same rationale as ``pagerank`` above); each
     of the ``iters`` fixed rounds is ONE join keyed on the same src column
     (exchange reuse) + one map-side-combined (node, label) count + one
-    per-node top-1 window — all hash-partitioned on node, never a global
+    per-node argmax aggregation — all hash-partitioned on node, never a
     sort. At 100 TB: edges bucketed by src, labels localCheckpointed every
     few rounds to cut lineage; cost per round is O(|E|) independent of
     community structure (contrast the unbounded-iteration forms —
@@ -548,11 +548,15 @@ def label_propagation(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    node_t = edges.schema[src_col].dataType.simpleString()
     labels = sym.select("src").distinct().select(
         "src", F.col("src").alias("lab")
     )
-    w = Window.partitionBy("node").orderBy(F.desc("__c"), F.asc("lab"))
+    # per-round top-1 = max_by over a (count, -label) struct: an argmax
+    # hash aggregation with map-side partials — one exchange, no sort at
+    # any width (a per-node row_number window would sort every partition).
+    # -label is order-reversing for this package's non-negative ids (a
+    # MIN_LONG id would wrap; no caller has one).
+    tie = F.struct(F.col("__c").alias("c"), (-F.col("lab")).alias("nl"))
     for _ in range(iters):
         votes = (
             sym.join(labels, "src")
@@ -560,8 +564,8 @@ def label_propagation(
             .agg(F.count("*").alias("__c"))
         )
         labels = (
-            votes.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
+            votes.groupBy("node")
+            .agg(F.max_by(F.col("lab"), tie).alias("lab"))
             .select(F.col("node").alias("src"), "lab")
         )
     return labels.select(F.col("src").alias("node"), F.col("lab").alias("community"))
