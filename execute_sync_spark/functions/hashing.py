@@ -37,3 +37,16 @@ def h32_sql(expr: str) -> str:
 
 def h32_salted_sql(expr: str, salt: int) -> str:
     return h32_sql(f"'{salt}#' || {expr}")
+
+
+def h32_py(s: str) -> int:
+    """Python twin of ``h32`` for DRIVER-side bucket computation (e.g. a
+    probe pruning a persisted index to a literal key set): identical to
+    the JVM/DuckDB forms on any UTF-8 string."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+
+def h32_salted_py(s: str, salt: int) -> int:
+    return h32_py(f"{salt}#{s}")

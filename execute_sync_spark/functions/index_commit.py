@@ -87,6 +87,9 @@ LSH_SPEC = LeafSpec(levels=("table", "bucket"), aside_prefix="_old_tb_", sweep_h
 PHASH_SPEC = LeafSpec(
     levels=("ci", "cj", "vb"), aside_prefix="_old_ph_", sweep_hint="sweep_phash_index()"
 )
+BM25_SPEC = LeafSpec(
+    levels=("tb",), aside_prefix="_old_tok_", sweep_hint="sweep_bm25_index()"
+)
 
 
 def _iter_leaves(fs, path: str, spec: LeafSpec) -> list[tuple[str, ...]]:

@@ -479,3 +479,26 @@ def test_knn_sqrt_recall_truth_side_checkpointed_once(spark):
     plan = _plan(workload.sim_knn_join_sqrt_recall(spark, SF_DIR))
     assert plan.count("Scan ExistingRDD") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_indexed_probe_prunes_partitions(spark, tmp_path):
+    """The persisted BM25 postings index (build_bm25_index: parquet
+    partitioned by (tb, batch_id)) must turn a query into a
+    PARTITION-PRUNED scan — the terms' token buckets resolve at the file
+    listing (tb is a partition column, computed driver-side with the
+    portable hash's Python twin) and token IN (...) pushes into the
+    token-sorted row groups, so a q-term probe reads <= q of the 64
+    buckets, never the whole postings tree."""
+    from execute_sync_spark.functions import text as text_fns
+    from execute_sync_spark.plans.workload import _docs
+
+    idx = str(tmp_path / "bm25_idx")
+    text_fns.build_bm25_index(_docs(spark, SF_DIR).select("doc_id", "text"), idx)
+    probe = text_fns.bm25_topk_indexed(
+        spark, idx, ["vector", "merge", "filter"], k=20
+    )
+    plan = _formatted(probe)
+    pf = [l for l in plan.splitlines() if "PartitionFilters:" in l]
+    assert any("tb#" in l for l in pf), pf
+    pushed = [l for l in plan.splitlines() if "PushedFilters:" in l]
+    assert any("In(token, [" in l for l in pushed), pushed

@@ -297,3 +297,106 @@ def test_label_propagation_empty_edges(spark):
     out = label_propagation(edges, iters=3)
     assert out.collect() == []
     assert [f.name for f in out.schema.fields] == ["node", "community"]
+
+
+# ---------------------------------------------------------------------------
+# round-13 batch 3: persisted BM25 postings index
+
+from execute_sync_spark.functions import text as text_fns
+
+BM25_DOCS = [
+    (0, "vector search with a filter and a merge step"),
+    (1, "merge the vector index then filter the merge output"),
+    (2, "the caravan rolls through the dusty town at midnight"),
+    (3, "filter coffee tastes better than espresso some say"),
+    (4, "vector vector vector"),
+    (5, "an unrelated document about mountains and rivers"),
+]
+BM25_TERMS = ["vector", "merge", "filter"]
+
+
+def _bm25_docs(spark, rows=None, start_id=0):
+    rows = BM25_DOCS if rows is None else rows
+    return spark.createDataFrame(
+        [(start_id + i if isinstance(r, str) else r[0],
+          r if isinstance(r, str) else r[1]) for i, r in enumerate(rows)],
+        "doc_id long, text string",
+    )
+
+
+def _ranked(df):
+    return [(r.doc_id, r.rank, r.score, r.n_terms_hit) for r in df.collect()]
+
+
+def test_bm25_index_probe_matches_inflight(spark, tmp_path):
+    docs = _bm25_docs(spark)
+    path = str(tmp_path / "bm25_idx")
+    text_fns.build_bm25_index(docs, path)
+    got = _ranked(text_fns.bm25_topk_indexed(spark, path, BM25_TERMS, k=4))
+    want = _ranked(text_fns.bm25_topk(docs, BM25_TERMS, k=4))
+    assert want, "fixture lost its matching docs"
+    assert got == want
+
+
+def test_bm25_index_append_replay_and_compact(spark, tmp_path):
+    """Appended batches fold in incrementally with EXACT corpus stats
+    (N, avgdl are sums over per-batch stats rows, not approximations):
+    probe == in-flight over the union corpus after every step."""
+    docs = _bm25_docs(spark)
+    path = str(tmp_path / "bm25_idx")
+    text_fns.build_bm25_index(docs, path)
+    newb = _bm25_docs(
+        spark, ["a fresh vector document that should merge into rankings"],
+        start_id=100,
+    )
+    union = docs.unionByName(newb)
+    touched = text_fns.append_bm25_index(newb, path, batch_id="b1")
+    assert touched
+    want = _ranked(text_fns.bm25_topk(union, BM25_TERMS, k=5))
+    got = _ranked(text_fns.bm25_topk_indexed(spark, path, BM25_TERMS, k=5))
+    assert got == want
+    assert any(d == 100 for (d, _, _, _) in got)
+    # replay: dynamic overwrite, stats value-identical — nothing changes
+    text_fns.append_bm25_index(newb, path, batch_id="b1")
+    assert _ranked(text_fns.bm25_topk_indexed(spark, path, BM25_TERMS, k=5)) == want
+    # compact and re-probe: identical ranking
+    assert text_fns.compact_bm25_index(spark, path)
+    assert _ranked(text_fns.bm25_topk_indexed(spark, path, BM25_TERMS, k=5)) == want
+    # a batch already absorbed by compaction is skipped on replay
+    assert text_fns.append_bm25_index(newb, path, batch_id="b1") == []
+
+
+def test_bm25_index_missing_path_and_empty_cases(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        text_fns.bm25_topk_indexed(spark, str(tmp_path / "nope"), BM25_TERMS)
+    # empty corpus -> empty result with the contract schema
+    path = str(tmp_path / "empty_idx")
+    text_fns.build_bm25_index(_bm25_docs(spark, []), path)
+    out = text_fns.bm25_topk_indexed(spark, path, BM25_TERMS)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "rank", "score", "n_terms_hit"
+    ]
+    # empty term set -> empty
+    full = str(tmp_path / "full_idx")
+    text_fns.build_bm25_index(_bm25_docs(spark), full)
+    assert text_fns.bm25_topk_indexed(spark, full, []).collect() == []
+
+
+def test_bm25_index_stranded_leaf_fails_loudly(spark, tmp_path):
+    from execute_sync_spark.functions import index_commit
+    from execute_sync_spark import storage
+
+    path = str(tmp_path / "bm25_idx")
+    text_fns.build_bm25_index(_bm25_docs(spark), path)
+    spec = index_commit.BM25_SPEC
+    postings = os.path.join(path, "postings")
+    leaves = index_commit._iter_leaves(storage.STORE, postings, spec)
+    victim = leaves[0]
+    live = os.path.join(postings, spec.rel(victim))
+    aside = os.path.join(postings, spec.aside_name(spec.key(victim), "test"))
+    os.rename(live, aside)
+    with pytest.raises(RuntimeError, match="stranded"):
+        text_fns.bm25_topk_indexed(spark, path, BM25_TERMS)
+    text_fns.sweep_bm25_index(path)
+    assert text_fns.bm25_topk_indexed(spark, path, BM25_TERMS).count() >= 0
