@@ -156,7 +156,6 @@ PHASH_GRAM_K = 4
 PHASH_BITS = 64
 PHASH_BANDS = 8  # primitive 8-bit bands; candidates join on C(8,2) band PAIRS
 PHASH_MAX_HAMMING = 5  # fixture near-dups land 0-5; banding exact to 6
-PHASH_SALT = 97  # salt deriving the high 32 hash bits from the same digest family
 _PHASH_COMBOS = [(i, j) for i in range(PHASH_BANDS) for j in range(i + 1, PHASH_BANDS)]
 
 
@@ -216,18 +215,17 @@ def payload_simhash(binaries: DataFrame, id_col: str = "doc_id", bits: int = PHA
     row per task before the only shuffle, ~N x bits longs). A higher-order
     ``aggregate``-expression fold was measured 3x slower here: lambda
     functions are interpreted per element, while the exploded fold stays
-    in codegen. Gram hashing is the portable md5-prefix h32 over the
-    gram's decimal string — bits 0-31 from the unsalted hash, bits 32-63
-    from the PHASH_SALT-salted one (two draws from one digest family) —
-    so DuckDB reproduces every bit (functions/hashing). Payloads shorter
+    in codegen. Gram hashing is the portable md5 digest of the gram's
+    decimal string, BOTH 32-bit halves of one digest (hex chars 1-8 =
+    bits 0-31, chars 9-16 = bits 32-63; codegen subexpression elimination
+    computes md5 once per gram) — so DuckDB reproduces every bit
+    (functions/hashing conventions). Payloads shorter
     than the gram width emit one null-gram sentinel row (an explicit
     nullable Int64, not a NaN smuggled through a float cast — ADVICE r12)
     and fold to phash 0. Bit 63's recombine term is the signed long
     -2^63, so a 64-bit phash with the top bit set is simply negative —
     band extraction masks after the arithmetic shift and hamming uses
     bit_count(xor), both sign-safe in Spark and DuckDB."""
-    from execute_sync_spark.functions.hashing import h32, h32_salted
-
     k = PHASH_GRAM_K
     out_schema = T.StructType(
         [
@@ -272,11 +270,21 @@ def payload_simhash(binaries: DataFrame, id_col: str = "doc_id", bits: int = PHA
 
     flat = binaries.select(id_col, "content").mapInPandas(run, schema=out_schema)
     g_str = F.col("g").cast("string")
+    # both 32-bit halves of ONE md5 digest: hex chars 1-8 -> bits 0-31,
+    # chars 9-16 -> bits 32-63. Whole-stage codegen's subexpression
+    # elimination computes the digest once per gram row, so the 64-bit
+    # fingerprint costs ONE md5 instead of the previous two salted draws.
+    # At fixture payload sizes the end-to-end win is small (the Arrow gram
+    # emission and the 64-way fold dominate); the digest share grows with
+    # payload bytes, so the halving matters for real media payloads. Each
+    # half casts as an unsigned 32-bit value — no signed-overflow trap on
+    # either engine.
+    digest = F.md5(g_str)
     hashed = flat.select(
         id_col,
         "byte_len",
-        h32(g_str).alias("hlo"),
-        h32_salted(g_str, PHASH_SALT).alias("hhi"),
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long").alias("hlo"),
+        F.conv(F.substring(digest, 9, 8), 16, 10).cast("long").alias("hhi"),
     )
 
     def _bit(b: int):

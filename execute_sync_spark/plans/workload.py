@@ -4901,9 +4901,9 @@ _PHASH_RECOMBINE = " + ".join(
 
 def _mm_phash_cte(max_bucket: int | None = None) -> str:
     """Shared oracle CTE chain: payload bytes from hex (the mm_features
-    idiom) -> LEAD-packed big-endian 4-byte grams -> portable h32 of the
-    gram's decimal string (unsalted = bits 0-31, salt-97 = bits 32-63) ->
-    64-term SimHash fold -> 8 primitive 8-bit bands -> C(8,2) band-PAIR
+    idiom) -> LEAD-packed big-endian 4-byte grams -> ONE portable md5 per
+    gram, both 32-bit halves (hex 1-8 = bits 0-31, hex 9-16 = bits 32-63)
+    -> 64-term SimHash fold -> 8 primitive 8-bit bands -> C(8,2) band-PAIR
     combo keys (optionally valved to ``max_bucket``, mirroring the
     engine's skew guard) -> banded candidates -> hamming<=5. Docs shorter
     than 4 bytes have no grams; COALESCE pins their phash to 0 exactly
@@ -4935,9 +4935,11 @@ def _mm_phash_cte(max_bucket: int | None = None) -> str:
         FROM byteval
         WINDOW w AS (PARTITION BY doc_id ORDER BY i)
         QUALIFY i + 4 <= byte_len),
-    ghash AS (SELECT doc_id, {h32_sql('CAST(g AS VARCHAR)')} AS hlo,
-                     {h32_salted_sql('CAST(g AS VARCHAR)', multimodal.PHASH_SALT)} AS hhi
-              FROM grams),
+    gd AS (SELECT doc_id, md5(CAST(g AS VARCHAR)) AS d FROM grams),
+    ghash AS (SELECT doc_id,
+                     CAST(CAST('0x' || substr(d, 1, 8) AS UBIGINT) AS BIGINT) AS hlo,
+                     CAST(CAST('0x' || substr(d, 9, 8) AS UBIGINT) AS BIGINT) AS hhi
+              FROM gd),
     sums AS (SELECT doc_id, {_PHASH_SUMS} FROM ghash GROUP BY doc_id),
     ph AS (
         SELECT b.doc_id,
@@ -5043,7 +5045,11 @@ def _phash_index_path(sf_dir: str) -> str:
         fp = f"{st.st_mtime_ns}_{st.st_size}"
     except OSError:
         fp = "missing"
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{fp}".encode()).hexdigest()[:12]
+    # v2: the 64-bit fingerprint moved to both halves of ONE md5 digest —
+    # the code version is part of the cache key because a cached index
+    # holds MATERIALIZED fingerprints: probing an old-fingerprint index
+    # with new-fingerprint queries would silently return garbage
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{fp}:v2".encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"ess_phash_index_{key}")
 
 
@@ -5862,7 +5868,10 @@ def _bm25_index_path(sf_dir: str) -> str:
         fp = f"{st.st_mtime_ns}_{st.st_size}"
     except OSError:
         fp = "missing"
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{fp}".encode()).hexdigest()[:12]
+    # :v1 — the postings layout/tokenizer version is part of the key (the
+    # _phash_index_path v2 lesson: cached indexes hold materialized
+    # derivations, so code revisions must invalidate them)
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{fp}:v1".encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"ess_bm25_index_{key}")
 
 

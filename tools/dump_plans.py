@@ -174,6 +174,24 @@ ANNOTATED = {
     "driver-side, bounded at 28 rows/query) and candidates "
     "broadcast-join the query combo set — at 100 TB a probe reads "
     "<= 28q sub-buckets, never the corpus",
+    "sim_hybrid_rrf": "RRF hybrid search (round 13): the BM25 leg keeps "
+    "its pre-shuffle isin postings filter and the dense leg its "
+    "broadcast nested-loop scoring; the fusion itself is a full-outer "
+    "join of two <= 50-row relations plus one tiny rank window — no "
+    "corpus-scale exchange added by the combiner",
+    "graph_label_propagation": "LPA communities (round 13): valved edge "
+    "relation materialized once (Scan ExistingRDD), each of the 3 "
+    "rounds is one same-key join + a map-side-combined (node, label) "
+    "count + a max_by ARGMAX aggregation (partial_max_by map-side — no "
+    "per-node sort window anywhere); final community sizes are one "
+    "count window on the label",
+    "text_bm25_indexed": "BM25 against the PERSISTED postings index "
+    "(round 13): the query terms' token buckets resolve as "
+    "PartitionFilters on tb at the file listing (computed driver-side "
+    "with the portable hash's Python twin) and token IN (...) pushes "
+    "into token-sorted row groups; (N, avgdl) fold from the tiny "
+    "per-batch stats rows as a broadcast 1-row cross join — per-query "
+    "cost tracks term selectivity, not corpus size",
 }
 
 
