@@ -403,3 +403,96 @@ def test_bm25_index_stranded_leaf_fails_loudly(spark, tmp_path):
         text_fns.bm25_topk_indexed(spark, path, BM25_TERMS)
     text_fns.sweep_bm25_index(path)
     assert text_fns.bm25_topk_indexed(spark, path, BM25_TERMS).count() >= 0
+
+
+# ---------------------------------------------------------------------------
+# round-13 batch 4: streaming-fed phash index maintenance
+
+
+def _write_payload_feed(spark, tmp_path, name, texts, start_id):
+    import os as _os
+
+    feed = str(tmp_path / "feed")
+    bm = _binaries(spark, texts, start_id=start_id).select("doc_id", "content")
+    bm.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"_stage_{name}"))
+    _os.makedirs(feed, exist_ok=True)
+    import glob, shutil
+
+    src = glob.glob(str(tmp_path / f"_stage_{name}" / "*.parquet"))[0]
+    shutil.copy(src, _os.path.join(feed, f"{name}.parquet"))
+    return feed
+
+
+def test_stream_phash_maintenance_matches_inflight(spark, tmp_path):
+    """After any prefix of micro-batches, probing the streamed index ==
+    the in-flight banding over base + delivered payloads (restricted to
+    the query ids); restart with the same checkpoint is a no-op and a
+    late file folds in."""
+    from execute_sync_spark.streaming.phash import stream_phash_maintenance
+
+    path = str(tmp_path / "ph_idx")
+    ckpt = str(tmp_path / "ckpt")
+    multimodal.build_phash_index(_binaries(spark, TEXTS), path)
+    # two feed files: one more near-dup of BASE + one unrelated payload
+    feed = _write_payload_feed(
+        spark, tmp_path, "b0", [BASE.replace("silk", "salt")], start_id=100
+    )
+    _write_payload_feed(
+        spark, tmp_path, "b1", ["totally different content here"], start_id=200
+    )
+    n = stream_phash_maintenance(spark, feed, path, ckpt)
+    assert n == 2
+    queries = _binaries(spark, [BASE])
+    got = _probe_set(spark, path, queries)
+    union = _binaries(spark, TEXTS).unionByName(
+        _binaries(spark, [BASE.replace("silk", "salt")], start_id=100)
+    ).unionByName(
+        _binaries(spark, ["totally different content here"], start_id=200)
+    )
+    want = _inflight_restricted(spark, union, {0})
+    assert got == want
+    assert any(n_ == 100 for (_, n_, _) in got), got
+    # restart with the same checkpoint, no new files: nothing reprocessed
+    assert stream_phash_maintenance(spark, feed, path, ckpt) == 0
+    assert _probe_set(spark, path, queries) == want
+    # a third file folds in incrementally
+    _write_payload_feed(
+        spark, tmp_path, "b2", [BASE.replace("dusty", "salty")], start_id=300
+    )
+    assert stream_phash_maintenance(spark, feed, path, ckpt) == 1
+    got3 = _probe_set(spark, path, queries)
+    assert any(n_ == 300 for (_, n_, _) in got3), got3
+
+
+def test_stream_phash_maintenance_compact_mid_stream(spark, tmp_path):
+    """Compaction between micro-batches keeps the probe relation intact
+    and later epochs still fold in (fresh epoch ids are never absorbed)."""
+    from execute_sync_spark.streaming.phash import stream_phash_maintenance
+
+    path = str(tmp_path / "ph_idx")
+    ckpt = str(tmp_path / "ckpt")
+    multimodal.build_phash_index(_binaries(spark, TEXTS), path)
+    feed = _write_payload_feed(
+        spark, tmp_path, "b0", [BASE.replace("silk", "salt")], start_id=100
+    )
+    assert stream_phash_maintenance(spark, feed, path, ckpt) == 1
+    queries = _binaries(spark, [BASE])
+    before = _probe_set(spark, path, queries)
+    assert multimodal.compact_phash_index(spark, path)
+    assert _probe_set(spark, path, queries) == before
+    _write_payload_feed(
+        spark, tmp_path, "b1", [BASE.replace("dusty", "salty")], start_id=300
+    )
+    assert stream_phash_maintenance(spark, feed, path, ckpt) == 1
+    assert any(n_ == 300 for (_, n_, _) in _probe_set(spark, path, queries))
+
+
+def test_stream_phash_maintenance_starts_on_empty_feed(spark, tmp_path):
+    """The maintenance stream can start before the first payload file
+    lands (the stream_cluster_maintenance startup contract)."""
+    from execute_sync_spark.streaming.phash import stream_phash_maintenance
+
+    path = str(tmp_path / "ph_idx")
+    multimodal.build_phash_index(_binaries(spark, TEXTS), path)
+    feed = str(tmp_path / "never_created_feed")
+    assert stream_phash_maintenance(spark, feed, path, str(tmp_path / "ck")) == 0
