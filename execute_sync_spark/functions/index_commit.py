@@ -342,8 +342,12 @@ def sweep(path: str, spec: LeafSpec, min_age_s: float = 0.0) -> dict[str, list[s
     ``{path}_compact_<pid>`` suffix) and only if that staged leaf already
     carries its manifest — any other staging dir is a stale snapshot from
     an earlier crashed run and restoring it would silently drop appended
-    batches; otherwise the aside rolls back. Leftover asides and staging
-    tmps are reclaimed.
+    batches; otherwise the aside rolls back. When the LIVE dir reappeared
+    inside the window (a concurrent writer), the aside is reclaimed only
+    to the extent live's batch dirs + manifest COVER it — uncovered
+    batches merge back in, so a concurrent APPENDER's recreated leaf
+    (round-13 fault axis) never costs the pre-compact batches. Leftover
+    asides and staging tmps are reclaimed.
 
     ``min_age_s`` guards a MULTI-PROCESS deployment: another process
     mid-compact has FRESH asides and a fresh staging dir — sweep only
@@ -398,8 +402,72 @@ def sweep(path: str, spec: LeafSpec, min_age_s: float = 0.0) -> dict[str, list[s
         rel = spec.rel(spec.key_to_values(key))
         live = os.path.join(path, rel)
         if fs.isdir(live):
+            # a live dir reappearing inside the swap window has TWO
+            # explanations, and they demand opposite recoveries: a winning
+            # concurrent COMPACTOR (live is complete — its manifest covers
+            # every batch the aside holds; reclaim the aside as debris) or
+            # a concurrent APPENDER (live holds ONLY the new batch; blind
+            # reclaim would silently drop every pre-compact batch). Decide
+            # by COVERAGE, not existence: reclaim only what live provably
+            # covers (raw batch_id dirs + its manifest ledger) and move
+            # the uncovered remainder back in — batch dirs are disjoint by
+            # name, so the merges are collision-free renames.
+            live_names = set(fs.listdir(live))
+            covered = {
+                b[len("batch_id="):]
+                for b in live_names
+                if b.startswith("batch_id=") and b != "batch_id=__compacted__"
+            }
+            try:
+                covered |= set(
+                    json.loads(fs.read_text(os.path.join(live, MANIFEST))).get(
+                        "batches", []
+                    )
+                )
+            except (OSError, ValueError):
+                pass
+            moved = False
+            for b in sorted(fs.listdir(aside)):
+                if not b.startswith("batch_id="):
+                    continue
+                bid = b[len("batch_id="):]
+                if bid == "__compacted__":
+                    try:
+                        folded = set(
+                            json.loads(
+                                fs.read_text(os.path.join(aside, MANIFEST))
+                            ).get("batches", [])
+                        )
+                    except (OSError, ValueError):
+                        folded = set()
+                    if folded and folded <= covered:
+                        continue  # live's ledger covers it: safe debris
+                    if "batch_id=__compacted__" in live_names:
+                        # both sides compacted yet live does not cover the
+                        # aside — only reachable with a damaged manifest;
+                        # surface it instead of guessing which copy wins
+                        raise RuntimeError(
+                            f"sweep: leaf {rel} has compacted data in both "
+                            f"the live dir and aside {n} and the live "
+                            "manifest does not cover the aside — manual "
+                            "reconciliation required"
+                        )
+                    fs.rename(os.path.join(aside, b), os.path.join(live, b))
+                    moved = True
+                elif bid not in covered:
+                    fs.rename(os.path.join(aside, b), os.path.join(live, b))
+                    moved = True
+            if moved and not fs.isfile(os.path.join(live, MANIFEST)):
+                # carry the replay ledger with the data it describes
+                try:
+                    fs.rename(
+                        os.path.join(aside, MANIFEST),
+                        os.path.join(live, MANIFEST),
+                    )
+                except OSError:
+                    pass
             fs.rmtree(aside)
-            reclaimed.append(n)
+            (restored if moved else reclaimed).append(n)
             continue
         staged = os.path.join(f"{path}_compact_{pid}", rel)
         if fs.isdir(staged) and fs.isfile(os.path.join(staged, MANIFEST)):

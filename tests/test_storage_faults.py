@@ -262,3 +262,95 @@ def test_compact_conditional_put_conflict_two_writers(spark, tmp_path, swap_stor
     assert _rows(r) == expect  # the winner's day is live and untouched
     assert r.compact() == ["2024-01-01"]  # clean retry compacts normally
     assert _rows(r) == expect
+
+
+# round-13 fault axis: an APPENDER races the compactor's swap window. The
+# r10-r12 injections put a second COMPACTOR on the other side of the race
+# (live dir = a complete copy); an appender's recreated leaf holds ONLY
+# its new batch, so the old "live exists -> reclaim the aside" rule would
+# silently drop every pre-compact batch. sweep() now reclaims by
+# COVERAGE: what live's batch dirs + manifest prove, and merges the rest
+# back in.
+
+
+class AppendInWindowStore(storage.LocalPosixStore):
+    """``arm(aside_substr, planted_batch_src, live_dst, batch_name)``:
+    when the compactor parks the armed leaf aside (rename whose dst
+    contains the substring), the concurrent appender's batch physically
+    lands at the recreated live path — so the compactor's staged->live
+    rename then fails naturally (ENOTEMPTY), exactly the
+    dynamic-overwrite write racing the swap window."""
+
+    def __init__(self):
+        self._armed = None
+        self.planted: list[str] = []
+
+    def arm(self, aside_substr, planted_src, live_dst, batch_name):
+        self._armed = (aside_substr, planted_src, live_dst, batch_name)
+
+    def rename(self, src, dst):
+        super().rename(src, dst)
+        if self._armed and self._armed[0] in dst:
+            _, planted, live, bname = self._armed
+            self._armed = None
+            os.makedirs(live)
+            os.rename(planted, os.path.join(live, bname))
+            self.planted.append(live)
+
+
+def test_index_append_during_compact_window_is_not_lost(spark, tmp_path, swap_store):  # noqa: F811
+    """An append lands in a leaf between compact's two renames: the
+    compactor fails loudly, and sweep must preserve BOTH the appended
+    batch (in the recreated live dir) and every pre-compact batch (in
+    the aside) — the coverage-merge rule, not blind reclaim."""
+    from execute_sync_spark.functions import similarity
+
+    store = swap_store(AppendInWindowStore())
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 4)
+    idx = similarity.build_cell_index(
+        emb.filter(F.col("vec_id") < 40), centroids, str(tmp_path / "ivf")
+    )
+    similarity.append_cell_index(
+        emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 60)),
+        centroids, idx, batch_id=7,
+    )
+    n_total = spark.read.parquet(idx).count()
+
+    # stage the racer: lift one leaf's batch-7 dir out of the index; the
+    # armed store will land it back as the appender's write inside the
+    # swap window
+    cell = next(
+        c[len("cell_id="):]
+        for c in sorted(storage.STORE.listdir(idx))
+        if c.startswith("cell_id=")
+        and storage.STORE.isdir(os.path.join(idx, c, "batch_id=7"))
+    )
+    live = os.path.join(idx, f"cell_id={cell}")
+    stash = str(tmp_path / "racer_batch")
+    os.rename(os.path.join(live, "batch_id=7"), stash)
+    assert spark.read.parquet(idx).count() < n_total
+
+    store.arm(f"_old_cell_{cell}_", stash, live, "batch_id=7")
+    with pytest.raises(OSError):
+        similarity.compact_index(spark, idx)
+    assert store.planted  # the race actually happened
+
+    out = similarity.sweep_index(idx, min_age_s=0)
+    # the armed leaf was MERGED (uncovered pre-compact batches moved back
+    # beside the appender's batch), not reclaimed as debris
+    assert any(f"_old_cell_{cell}_" in x for x in out["restored"])
+    assert not any(f"_old_cell_{cell}_" in x for x in out["reclaimed"])
+    assert spark.read.parquet(idx).count() == n_total  # nothing lost
+    live_batches = sorted(storage.STORE.listdir(live))
+    assert any(b == "batch_id=7" for b in live_batches)
+    assert any(b.startswith("batch_id=") and b != "batch_id=7" for b in live_batches)
+
+    # a clean retry compacts everything, and the folded manifest then
+    # absorbs a replay of batch 7
+    assert similarity.compact_index(spark, idx)
+    assert spark.read.parquet(idx).count() == n_total
+    assert similarity.append_cell_index(
+        emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 60)),
+        centroids, idx, batch_id=7,
+    ) == []
