@@ -400,3 +400,50 @@ def temperature_mixture(
         F.round(mix / natural, 6).alias("sample_factor"),
         F.round(mix * F.col("__tok_total"), 2).alias("expected_tokens"),
     )
+
+
+def apply_mixture(
+    docs: DataFrame,
+    factors: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    factor_col: str = "sample_factor",
+    salt: int = 71,
+) -> DataFrame:
+    """Turn per-domain sampling factors into the ACTUAL training corpus —
+    the application step after ``temperature_mixture``: a domain with
+    factor f contributes ``floor(f)`` full epochs of every document plus
+    one more copy for the deterministic ``frac(f)``-fraction of documents
+    (portable-hash unit draw keyed on the id — the same example gets the
+    same epoch count on every engine, rerun, and partitioning, unlike
+    ``df.sample``). f < 1 degenerates to plain deterministic subsampling;
+    f = 1 is the identity corpus. Emits one row per (document, epoch)
+    with the document's total copy count.
+
+    Scale shape: the factor relation is domains-sized and BROADCASTS into
+    the corpus scan; the expansion is a per-row ``sequence`` + explode —
+    output rows ≈ Σ_d f_d·|d| (exactly the token budget the mixture
+    planned), no shuffle anywhere. At 100 TB this runs inside the shard
+    writer: expansion, shard assignment, and the per-shard sort compose
+    into the one export shuffle (curate_shard_assign)."""
+    fac = factors.select(group_col, F.col(factor_col).cast("double"))
+    unit = h32_salted(F.col(id_col).cast("string"), salt) / F.lit(2.0 ** 32)
+    n_full = F.floor(F.col(factor_col)).cast("int")
+    frac = F.col(factor_col) - F.floor(F.col(factor_col))
+    n_copies = (n_full + F.when(unit < frac, 1).otherwise(0)).cast("int")
+    expanded = (
+        docs.select(id_col, group_col)
+        .join(F.broadcast(fac), group_col)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            n_copies.alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 0)
+    )
+    return expanded.select(
+        id_col,
+        group_col,
+        F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("epoch"),
+        "n_copies",
+    ).select(id_col, group_col, "epoch", "n_copies")

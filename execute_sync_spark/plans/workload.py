@@ -5795,6 +5795,40 @@ CURATE_TEMPERATURE_MIX_SQL = rf"""
 """
 
 
+def curate_apply_mixture(spark, sf_dir):
+    """The mixture APPLICATION step — temperature weights turned into the
+    actual training corpus: every document repeats floor(f) times for its
+    domain's sample factor f, plus one more copy for the deterministic
+    hash-fraction frac(f) of documents (functions/curation.py
+    apply_mixture; the same example gets the same epoch count on every
+    engine and rerun). Factors broadcast into the corpus scan; the
+    expansion is a per-row sequence+explode — no shuffle; output mass =
+    what curate_temperature_mix planned."""
+    docs = _docs(spark, sf_dir)
+    mix = curation.temperature_mixture(docs, temperature=_MIX_TEMPERATURE)
+    return curation.apply_mixture(docs, mix)
+
+
+_APPLY_MIX_SALT = 71
+
+CURATE_APPLY_MIXTURE_SQL = rf"""
+    WITH mix AS (SELECT source, sample_factor
+                 FROM ({CURATE_TEMPERATURE_MIX_SQL})),
+    j AS (SELECT d.doc_id, d.source, m.sample_factor
+          FROM documents d JOIN mix m USING (source)),
+    k AS (SELECT doc_id, source,
+                 CAST(FLOOR(sample_factor)
+                      + CASE WHEN {h32_salted_sql('CAST(doc_id AS VARCHAR)', _APPLY_MIX_SALT)}
+                                  / 4294967296.0
+                             < sample_factor - FLOOR(sample_factor)
+                             THEN 1 ELSE 0 END AS INT) AS n_copies
+          FROM j)
+    SELECT doc_id, source,
+           CAST(unnest(range(1, n_copies + 1)) AS INT) AS epoch, n_copies
+    FROM k WHERE n_copies > 0
+"""
+
+
 _LPA_ITERS = 3
 
 
@@ -5902,29 +5936,33 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # entries of this dict. Round-13 rotation (recomputed from the
     # CORRECTNESS_r*.json files per the r12 precedent — latest-green
     # distribution entering this round: r09:2 / r10:49 / r11:50 /
-    # r12:50): the round's 5 new ops (mm_phash_indexed, sim_hybrid_rrf,
+    # r12:50): the round's 6 new ops (mm_phash_indexed, sim_hybrid_rrf,
     # curate_temperature_mix, graph_label_propagation,
-    # text_bm25_indexed) gate first, then the 3 rows whose SEMANTICS
+    # text_bm25_indexed, curate_apply_mixture) gate first, then the
+    # 3 rows whose SEMANTICS
     # changed this round re-gate (mm_phash_pairs/keep moved to the
     # 64-bit band-pair fingerprint, sim_knn_join_sqrt_recall's truth
     # side is now sampled — a changed oracle must never sit outside the
     # window), then the r09+r10 queue fills oldest-first: mm_features +
-    # stream_window_counts (r09) and 40 of the 49 r10-green rows.
-    # 8 + 2 + 49 > 50, so per the family-representation precedent the 9
+    # stream_window_counts (r09) and 39 of the 49 r10-green rows.
+    # 9 + 2 + 49 > 50, so per the family-representation precedent the 10
     # deferred rows come from the queue's most-populous families: all 8
     # r10 sim_ rows (sim_ivf_topk, sim_ivf_multiprobe, sim_lsh_topk,
     # sim_pq_topk, sim_quantized_topk, sim_ivfpq_topk,
     # sim_ivfpq_indexed, sim_lsh_multiprobe — the family stays
     # in-window three times over: sim_recall_at_k gates, plus the
-    # re-gated recall row and the new rrf row) and 1 text_ row
+    # re-gated recall row and the new rrf row), 1 text_ row
     # (text_token_count; text_ still gates six times over incl. both
-    # bm25 physical paths) — they lead slots 51+ as the round-14 queue.
+    # bm25 physical paths), and 1 dedup_ row (dedup_simhash; dedup_
+    # was the most-populous remaining family at 9 rows and still gates
+    # eight times over) — they lead slots 51+ as the round-14 queue.
     # --- round-13 new ops ---
     "mm_phash_indexed": mm_phash_indexed,
     "sim_hybrid_rrf": sim_hybrid_rrf,
     "curate_temperature_mix": curate_temperature_mix,
     "graph_label_propagation": graph_label_propagation,
     "text_bm25_indexed": text_bm25_indexed,
+    "curate_apply_mixture": curate_apply_mixture,
     # --- round-13 semantics changes (re-gate) ---
     "sim_knn_join_sqrt_recall": sim_knn_join_sqrt_recall,
     "mm_phash_pairs": mm_phash_pairs,
@@ -5935,7 +5973,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- 41 of the 49 r10-green queue rows ---
     "graph_centrality_keep": graph_centrality_keep,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
-    "dedup_simhash": dedup_simhash,
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_span_removal": dedup_span_removal,
     "dedup_embedding_pairs": dedup_embedding_pairs,
@@ -5988,6 +6025,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivfpq_indexed": sim_ivfpq_indexed,
     "sim_lsh_multiprobe": sim_lsh_multiprobe,
     "text_token_count": text_token_count,
+    "dedup_simhash": dedup_simhash,
     # --- r12-green rows ---
     "sim_lsh_indexed": sim_lsh_indexed,
     "d_version_churn": d_version_churn,
@@ -6113,6 +6151,7 @@ ORACLES: dict[str, Optional[str]] = {
     "mm_phash_indexed": MM_PHASH_INDEXED_SQL,
     "sim_hybrid_rrf": SIM_HYBRID_RRF_SQL,
     "text_bm25_indexed": TEXT_BM25_SQL,
+    "curate_apply_mixture": CURATE_APPLY_MIXTURE_SQL,
     "curate_temperature_mix": CURATE_TEMPERATURE_MIX_SQL,
     "graph_label_propagation": GRAPH_LPA_SQL,
     # round-12 new ops (pairs/keep/recall re-oracled in round 13: 64-bit

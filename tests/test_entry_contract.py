@@ -27,25 +27,27 @@ def test_oracles_subset_of_queries():
     assert set(qs) - set(oracles) == set()
     # the driver gates the first 50 entries. Round-13 rotation
     # (recomputed from the CORRECTNESS_r*.json files; entering
-    # distribution r09:2 / r10:49 / r11:50 / r12:50): the 5 new ops
+    # distribution r09:2 / r10:49 / r11:50 / r12:50): the 6 new ops
     # gate first, then the 3 rows whose SEMANTICS changed this round
     # re-gate (64-bit band-pair phash; sampled recall truth side — a
     # changed oracle never sits outside the window), then the queue
-    # fills oldest-first: the 2 r09 rows and 40 of the 49 r10 rows.
-    # 8 + 2 + 49 > 50; per the family-representation precedent the 9
+    # fills oldest-first: the 2 r09 rows and 39 of the 49 r10 rows.
+    # 9 + 2 + 49 > 50; per the family-representation precedent the 10
     # deferred rows come from the queue's most-populous families (all
-    # 8 r10 sim_ rows + text_token_count; both families stay in-window
-    # several times over), leading slots 51+ as the round-14 queue.
+    # 8 r10 sim_ rows + text_token_count + dedup_simhash; every family
+    # stays in-window several times over), leading slots 51+ as the
+    # round-14 queue.
     first50 = set(list(qs)[:50])
     must_gate = {
         # the round-13 new ops + the 3 semantics re-gates
         "mm_phash_indexed", "sim_hybrid_rrf", "curate_temperature_mix",
         "graph_label_propagation", "text_bm25_indexed",
+        "curate_apply_mixture",
         "sim_knn_join_sqrt_recall", "mm_phash_pairs", "mm_phash_keep",
         # the r09 queue head
         "mm_features", "stream_window_counts",
-        # 40 of the 49 r10-green queue rows
-        "graph_centrality_keep", "dedup_jaccard_pairs", "dedup_simhash",
+        # 39 of the 49 r10-green queue rows
+        "graph_centrality_keep", "dedup_jaccard_pairs",
         "dedup_substring_spans", "dedup_span_removal",
         "dedup_embedding_pairs", "dedup_clusters", "dedup_canonical_keep",
         "curate_leakage_safe_split",
@@ -64,11 +66,12 @@ def test_oracles_subset_of_queries():
     }
     assert len(must_gate) == 50
     assert must_gate <= first50, sorted(must_gate - first50)
-    # the round-14 queue (8 deferred r10 sim_ rows + 1 text_) leads 51+
-    assert list(qs)[50:59] == [
+    # the round-14 queue (8 deferred r10 sim_ + text_ + dedup_) leads 51+
+    assert list(qs)[50:60] == [
         "sim_ivf_topk", "sim_ivf_multiprobe", "sim_lsh_topk",
         "sim_pq_topk", "sim_quantized_topk", "sim_ivfpq_topk",
         "sim_ivfpq_indexed", "sim_lsh_multiprobe", "text_token_count",
+        "dedup_simhash",
     ]
     # the extension families stay represented in the window
     for prefix in ("dedup_", "text_", "curate_", "sim_", "mm_", "stream_", "graph_"):

@@ -496,3 +496,43 @@ def test_stream_phash_maintenance_starts_on_empty_feed(spark, tmp_path):
     multimodal.build_phash_index(_binaries(spark, TEXTS), path)
     feed = str(tmp_path / "never_created_feed")
     assert stream_phash_maintenance(spark, feed, path, str(tmp_path / "ck")) == 0
+
+
+def test_apply_mixture_identity_and_epochs(spark):
+    """T=1 factors are the identity corpus (every doc exactly once);
+    factor > 1 epochs every doc floor(f) times plus a deterministic
+    hash-fraction extra copy; factor < 1 subsamples; epoch numbering is
+    1..n_copies."""
+    from execute_sync_spark.functions.curation import apply_mixture
+
+    docs = spark.createDataFrame(
+        [(i, "big") for i in range(40)] + [(100 + i, "small") for i in range(10)],
+        "doc_id long, source string",
+    )
+    ident = spark.createDataFrame(
+        [("big", 1.0), ("small", 1.0)], "source string, sample_factor double"
+    )
+    out = apply_mixture(docs, ident).collect()
+    assert len(out) == 50 and all(r.epoch == 1 and r.n_copies == 1 for r in out)
+
+    fac = spark.createDataFrame(
+        [("big", 0.5), ("small", 2.5)], "source string, sample_factor double"
+    )
+    rows = apply_mixture(docs, fac).collect()
+    big = [r for r in rows if r.source == "big"]
+    small = [r for r in rows if r.source == "small"]
+    # factor 0.5: a strict hash-subset of the 40 docs, one epoch each
+    assert 0 < len(big) < 40 and all(r.n_copies == 1 for r in big)
+    # factor 2.5: every small doc at least twice, some three times;
+    # epochs number 1..n_copies contiguously
+    per_doc = {}
+    for r in small:
+        per_doc.setdefault(r.doc_id, []).append(r.epoch)
+    assert set(per_doc) == {100 + i for i in range(10)}
+    for d_, eps in per_doc.items():
+        assert sorted(eps) == list(range(1, len(eps) + 1))
+        assert len(eps) in (2, 3)
+    assert any(len(e) == 3 for e in per_doc.values())
+    # determinism: a rerun is identical
+    again = apply_mixture(docs, fac).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
