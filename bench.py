@@ -353,18 +353,32 @@ def main() -> None:
     # 16-32 are within session noise (+-15%).
     streams = int(os.environ.get("SPARK_GRAFT_BENCH_STREAMS", "24"))
 
-    def _run(item):
-        _, fn = item
-        fn(spark, sf_dir).collect()
-
     # longest-first (LPT) order shrinks the makespan: the handful of 3-6 s
     # streaming/corpus queries start immediately instead of landing on an
     # already-loaded stream near the end
     order = sorted(workload.QUERIES.items(), key=lambda kv: -times[kv[0]])
     t0 = time.perf_counter()
+    trace: dict[str, tuple[float, float]] = {}
+
+    def _run(item):
+        name, fn = item
+        s = time.perf_counter() - t0
+        fn(spark, sf_dir).collect()
+        trace[name] = (round(s, 3), round(time.perf_counter() - t0, 3))
+
     with ThreadPoolExecutor(max_workers=streams) as ex:
         list(ex.map(_run, order))
     wall = round(time.perf_counter() - t0, 3)
+    # Makespan decomposition (VERDICT r13 task 1): per-query start/finish
+    # offsets inside the concurrent pass, so a regressed wall decomposes
+    # into stragglers (late finishers / long in-stream durations) vs
+    # scheduling, instead of being one opaque number.
+    conc_trace = {
+        n: {"start": s, "end": e, "sec": round(e - s, 3)}
+        for n, (s, e) in sorted(trace.items(), key=lambda kv: kv[1][1])
+    }
+    last = sorted(trace.items(), key=lambda kv: -kv[1][1])[:10]
+    slowest = sorted(trace.items(), key=lambda kv: kv[1][0] - kv[1][1])[:10]
 
     total = min(seq_total, wall)
     alias = _aliases(list(times))
@@ -379,6 +393,15 @@ def main() -> None:
         "seq_run_totals": run_totals,
         "concurrent_wall_sec": wall,
         "concurrent_streams": streams,
+        "concurrent_trace": conc_trace,
+        "concurrent_last_finishers": [
+            {"query": n, "start": s, "end": e, "in_stream_sec": round(e - s, 3)}
+            for n, (s, e) in last
+        ],
+        "concurrent_slowest_in_stream": [
+            {"query": n, "start": s, "end": e, "in_stream_sec": round(e - s, 3)}
+            for n, (s, e) in slowest
+        ],
         "queries": times,
         "aliases": alias,
         "warm": warm,

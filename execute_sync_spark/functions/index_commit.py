@@ -427,6 +427,7 @@ def sweep(path: str, spec: LeafSpec, min_age_s: float = 0.0) -> dict[str, list[s
             except (OSError, ValueError):
                 pass
             moved = False
+            moved_folded: set = set()
             for b in sorted(fs.listdir(aside)):
                 if not b.startswith("batch_id="):
                     continue
@@ -454,18 +455,37 @@ def sweep(path: str, spec: LeafSpec, min_age_s: float = 0.0) -> dict[str, list[s
                         )
                     fs.rename(os.path.join(aside, b), os.path.join(live, b))
                     moved = True
+                    moved_folded = folded
                 elif bid not in covered:
                     fs.rename(os.path.join(aside, b), os.path.join(live, b))
                     moved = True
-            if moved and not fs.isfile(os.path.join(live, MANIFEST)):
-                # carry the replay ledger with the data it describes
-                try:
-                    fs.rename(
-                        os.path.join(aside, MANIFEST),
-                        os.path.join(live, MANIFEST),
+            if moved:
+                # carry the replay ledger with the data it describes: a
+                # moved __compacted__ dir's manifest lists the batches
+                # folded into it — without it a later replayed append of
+                # one of those batch_ids would not be absorbed and would
+                # duplicate its rows (ADVICE r13)
+                live_manifest = os.path.join(live, MANIFEST)
+                if not fs.isfile(live_manifest):
+                    try:
+                        fs.rename(
+                            os.path.join(aside, MANIFEST), live_manifest
+                        )
+                    except OSError:
+                        pass
+                elif moved_folded:
+                    # live already has a manifest (the appender path never
+                    # writes one, so this is a live COMPACTED leaf state):
+                    # MERGE the aside's folded-batches ledger instead of
+                    # discarding it with the aside
+                    try:
+                        live_m = json.loads(fs.read_text(live_manifest))
+                    except (OSError, ValueError):
+                        live_m = {}
+                    live_m["batches"] = sorted(
+                        set(live_m.get("batches", [])) | moved_folded
                     )
-                except OSError:
-                    pass
+                    fs.write_text(live_manifest, json.dumps(live_m))
             fs.rmtree(aside)
             (restored if moved else reclaimed).append(n)
             continue

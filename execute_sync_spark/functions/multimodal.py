@@ -146,17 +146,33 @@ def extract_features(binaries: DataFrame, id_col: str = "doc_id", backend: str =
 # admitted noise pairs (measured: most of the 202 gated sf0.01 pairs sat
 # at 64-bit distance 6-19, i.e. background). The 64-bit hash separates
 # the fixture's true near-dups (0-5) from noise (>=6) cleanly, and
-# candidates join on PAIRS of 8-bit bands — C(8,2)=28 combos with 2^16
-# key values each (multi-index hashing): hamming <= 6 leaves >= 2 of the
-# 8 primitive bands intact by pigeonhole, so some combo matches and the
-# banded join is EXACT at the max_hamming=5 default while expected bucket
-# size shrinks 256x vs the 8-bit band space.
+# candidates join on PAIRS of 8-bit bands (multi-index hashing) with 2^16
+# key values each, so expected bucket size shrinks 256x vs the 8-bit band
+# space. The pair family is the 12-combo covering design at _PHASH_COMBOS
+# (VERDICT r13 task 2) — exact at the max_hamming=5 default by the
+# pigeonhole argument documented there.
 
 PHASH_GRAM_K = 4
 PHASH_BITS = 64
-PHASH_BANDS = 8  # primitive 8-bit bands; candidates join on C(8,2) band PAIRS
-PHASH_MAX_HAMMING = 5  # fixture near-dups land 0-5; banding exact to 6
-_PHASH_COMBOS = [(i, j) for i in range(PHASH_BANDS) for j in range(i + 1, PHASH_BANDS)]
+PHASH_BANDS = 8  # primitive 8-bit bands; candidates join on same-half band PAIRS
+PHASH_MAX_HAMMING = 5  # fixture near-dups land 0-5; banding exact to exactly 5
+# Covering family of band pairs (VERDICT r13 task 2, cost cut): hamming <= 5
+# touches at most 5 of the 8 primitive bands, leaving >= 3 intact; any 3
+# bands have two on the same half of the {0-3}/{4-7} split (pigeonhole over
+# two halves), and every same-half pair is in the family — so some combo key
+# still collides and the banded join stays EXACT at the max_hamming=5
+# default. 12 combos instead of the full C(8,2)=28 (the minimum possible:
+# a covering family's complement graph must be triangle-free, and Turán's
+# bound caps a triangle-free graph on 8 vertices at 16 edges -> >= 12
+# pairs), cutting the candidate explode + self-join 2.3x. NOT exact at
+# hamming 6 (6 flips can leave only 2 intact bands on opposite halves) —
+# the full-C(8,2) era's hamming-6 slack is traded for the constant.
+_PHASH_COMBOS = [
+    (i, j)
+    for i in range(PHASH_BANDS)
+    for j in range(i + 1, PHASH_BANDS)
+    if (i < PHASH_BANDS // 2) == (j < PHASH_BANDS // 2)
+]
 
 
 def _gram_arrays(contents, k: int = PHASH_GRAM_K) -> list[np.ndarray]:
@@ -204,34 +220,72 @@ def byte_grams(binaries: DataFrame, id_col: str = "doc_id", k: int = PHASH_GRAM_
     return binaries.select(id_col, "content").mapInPandas(run, schema=out_schema)
 
 
+# Cross-batch gram-digest memo, per Python worker (workers are reused
+# across queries): gram int -> 64 unpacked fingerprint bits (uint8). A
+# replica-heavy corpus re-hashes the same grams constantly; the memo turns
+# those into dict hits. Capped so 30x-synthesis gram vocabularies cannot
+# grow a worker past ~100 MB — on overflow the memo clears (it is a cache,
+# not state).
+_PHASH_MEMO: dict = {}
+_PHASH_MEMO_CAP = 500_000
+
+
+def _phash_bits_for(uniq: np.ndarray) -> np.ndarray:
+    """(len(uniq) x 64) uint8 matrix of fingerprint bits for the given
+    UNIQUE gram values — bit b of the row is bit b of the gram's 64-bit
+    hash, where the hash is both 32-bit halves of ONE md5 digest of the
+    gram's decimal string (hex chars 1-8 = bits 0-31, chars 9-16 = bits
+    32-63 — the portable convention DuckDB reproduces exactly, see
+    functions/hashing). Byte order [3,2,1,0,7,6,5,4] + bitorder='little'
+    lays the digest's big-endian halves out LSB-first."""
+    import hashlib
+
+    out = np.empty((len(uniq), PHASH_BITS), dtype=np.uint8)
+    memo = _PHASH_MEMO
+    for i, gv in enumerate(uniq):
+        row = memo.get(gv)
+        if row is None:
+            d = hashlib.md5(str(gv).encode()).digest()[:8]
+            row = np.unpackbits(
+                np.frombuffer(d, dtype=np.uint8)[[3, 2, 1, 0, 7, 6, 5, 4]],
+                bitorder="little",
+            )
+            if len(memo) >= _PHASH_MEMO_CAP:
+                memo.clear()
+            memo[gv] = row
+        out[i] = row
+    return out
+
+
 def payload_simhash(binaries: DataFrame, id_col: str = "doc_id", bits: int = PHASH_BITS) -> DataFrame:
     """(id, byte_len, phash): ``bits``-wide SimHash over the payload's
     4-byte grams.
 
-    Dataflow: one Arrow pass emits the grams FLAT — (id, byte_len, gram)
-    rows built by np.repeat/np.concatenate, no per-row Python lists — then
-    the per-bit +-1 fold is a single whole-stage-codegen hash aggregation
-    (``bits`` SUM columns; map-side partial agg collapses each doc to one
-    row per task before the only shuffle, ~N x bits longs). A higher-order
-    ``aggregate``-expression fold was measured 3x slower here: lambda
-    functions are interpreted per element, while the exploded fold stays
-    in codegen. Gram hashing is the portable md5 digest of the gram's
-    decimal string, BOTH 32-bit halves of one digest (hex chars 1-8 =
-    bits 0-31, chars 9-16 = bits 32-63; codegen subexpression elimination
-    computes md5 once per gram) — so DuckDB reproduces every bit
-    (functions/hashing conventions). Payloads shorter
-    than the gram width emit one null-gram sentinel row (an explicit
-    nullable Int64, not a NaN smuggled through a float cast — ADVICE r12)
-    and fold to phash 0. Bit 63's recombine term is the signed long
-    -2^63, so a 64-bit phash with the top bit set is simply negative —
-    band extraction masks after the arithmetic shift and hamming uses
-    bit_count(xor), both sign-safe in Spark and DuckDB."""
+    Dataflow (VERDICT r13 task 2 — the 64-bit fold's constant): ONE Arrow
+    pass decodes grams (``_gram_arrays``) and folds the SimHash in numpy,
+    emitting a single (id, byte_len, phash) row per payload — the
+    per-byte gram rows never cross into the JVM and the fold needs no
+    shuffle at all (the previous shape shipped ~byte_len rows per doc
+    through md5 + a 64-SUM codegen aggregation; at fixture payload sizes
+    that JVM stage dominated the family's cost). Per batch, grams dedup
+    across docs via np.unique — md5 runs once per DISTINCT gram per batch
+    (measured ~1.7x duplication within docs alone), backed by the
+    cross-batch ``_PHASH_MEMO``. The per-doc fold is a (m x 64) slice-sum:
+    votes = sum over gram occurrences of (bit ? +1 : -1), bit b of the
+    phash set iff votes_b > 0 — bit-identical to the previous JVM fold
+    and to the DuckDB oracle's 64-term SUM reconstruction. Gram hashing
+    is the portable md5 of the gram's decimal string, both 32-bit halves
+    of one digest (hex 1-8 = bits 0-31, 9-16 = bits 32-63). Payloads
+    shorter than the gram width fold to phash 0. Bit 63's weight is the
+    signed long -2^63, so a phash with the top bit set is simply
+    negative — band extraction masks after the arithmetic shift and
+    hamming uses bit_count(xor), both sign-safe in Spark and DuckDB."""
     k = PHASH_GRAM_K
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), False),
             T.StructField("byte_len", T.LongType(), False),
-            T.StructField("g", T.LongType(), True),
+            T.StructField("phash", T.LongType(), False),
         ]
     )
 
@@ -246,82 +300,42 @@ def payload_simhash(binaries: DataFrame, id_col: str = "doc_id", bits: int = PHA
                 if len(per_doc)
                 else np.array([], dtype=np.int64)
             )
-            # gramless payloads (shorter than k) get one null-gram
-            # sentinel row so they still fold to phash 0 downstream;
-            # the sentinel is an explicit pandas Int64 NA, not a float
-            # NaN coerced through LongType (ADVICE r12)
-            empty = counts == 0
-            n_empty = int(empty.sum())
-            g_col = pd.array(
-                np.concatenate([flat, np.zeros(n_empty, dtype=np.int64)]),
-                dtype="Int64",
+            uniq, inv = np.unique(flat, return_inverse=True)
+            # +-1 vote rows, one per distinct gram in the batch
+            signs = (
+                _phash_bits_for(uniq)[:, :bits].astype(np.int32) * 2 - 1
+                if uniq.size
+                else np.empty((0, bits), dtype=np.int32)
             )
-            if n_empty:
-                g_col[len(flat):] = pd.NA
+            phashes = np.zeros(len(ids), dtype=np.uint64)
+            weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64))
+            off = 0
+            for di, m in enumerate(counts):
+                if m == 0:
+                    continue  # gramless payload folds to phash 0
+                votes = signs[inv[off : off + m]].sum(axis=0, dtype=np.int64)
+                phashes[di] = weights[votes > 0].sum()
+                off += m
             yield pd.DataFrame(
                 {
-                    id_col: np.concatenate([np.repeat(ids, counts), ids[empty]]),
-                    "byte_len": np.concatenate(
-                        [np.repeat(lens, counts), lens[empty]]
-                    ),
-                    "g": g_col,
+                    id_col: ids,
+                    "byte_len": lens,
+                    # two's-complement view: bit 63 set -> negative long
+                    "phash": phashes.astype(np.int64),
                 }
             )
 
-    flat = binaries.select(id_col, "content").mapInPandas(run, schema=out_schema)
-    g_str = F.col("g").cast("string")
-    # both 32-bit halves of ONE md5 digest: hex chars 1-8 -> bits 0-31,
-    # chars 9-16 -> bits 32-63. Whole-stage codegen's subexpression
-    # elimination computes the digest once per gram row, so the 64-bit
-    # fingerprint costs ONE md5 instead of the previous two salted draws.
-    # At fixture payload sizes the end-to-end win is small (the Arrow gram
-    # emission and the 64-way fold dominate); the digest share grows with
-    # payload bytes, so the halving matters for real media payloads. Each
-    # half casts as an unsigned 32-bit value — no signed-overflow trap on
-    # either engine.
-    digest = F.md5(g_str)
-    hashed = flat.select(
-        id_col,
-        "byte_len",
-        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long").alias("hlo"),
-        F.conv(F.substring(digest, 9, 8), 16, 10).cast("long").alias("hhi"),
-    )
-
-    def _bit(b: int):
-        src, sh = ("hlo", b) if b < 32 else ("hhi", b - 32)
-        return (F.shiftright(src, sh).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
-
-    sums = hashed.groupBy(id_col, "byte_len").agg(
-        *[
-            F.sum(
-                F.when(F.col("hlo").isNotNull(), _bit(b)).otherwise(
-                    F.lit(0).cast("long")
-                )
-            ).alias(f"s{b}")
-            for b in range(bits)
-        ]
-    )
-    phash = None
-    for b in range(bits):
-        # bit 63's weight is the signed long -2^63: the terms are disjoint
-        # bits, so summing them reconstructs the two's-complement value
-        weight = -(2 ** 63) if b == 63 else 2 ** b
-        term = F.when(F.col(f"s{b}") > 0, F.lit(weight).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        phash = term if phash is None else phash + term
-    return sums.select(id_col, "byte_len", phash.alias("phash"))
+    return binaries.select(id_col, "content").mapInPandas(run, schema=out_schema)
 
 
 def phash_combos(ph: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, ci, cj, v): one row per C(8,2)=28 ordered PAIR of the phash's
-    8 primitive 8-bit bands, ``v`` the pair's concatenated 16-bit value —
-    the multi-index-hashing candidate key shared by the in-flight pair
-    finder and the persisted index. A pair of hashes within hamming 6
-    leaves >= 2 primitive bands intact (pigeonhole over 8 bands), so they
-    collide on at least one combo: exact to hamming 6 with a 2^16 key
-    space per combo. Band extraction is arithmetic-shift + mask, sign-safe
-    for phashes with bit 63 set."""
+    """(id, ci, cj, v): one row per combo in the 12-pair covering family
+    ``_PHASH_COMBOS`` over the phash's 8 primitive 8-bit bands, ``v`` the
+    pair's concatenated 16-bit value — the multi-index-hashing candidate
+    key shared by the in-flight pair finder and the persisted index.
+    Exact at hamming <= PHASH_MAX_HAMMING by the covering argument at
+    ``_PHASH_COMBOS``. Band extraction is arithmetic-shift + mask,
+    sign-safe for phashes with bit 63 set."""
     prim = [
         F.shiftright(F.col("phash"), 8 * i).bitwiseAND(F.lit(255))
         for i in range(PHASH_BANDS)
@@ -352,10 +366,11 @@ def phash_pairs(
     ``max_hamming`` of PHASH_BITS bits.
 
     Candidate generation is multi-index SimHash banding (``phash_combos``:
-    C(8,2) pairs of 8-bit bands, 16-bit combo keys — EXACT to hamming 6 by
-    pigeonhole, so the banded join loses nothing at the default threshold
-    while the key space is 2^16, not the 2^8 that saturated at scale:
-    VERDICT r12 what's-wrong #1). The hash relation is eagerly
+    the 12-pair covering family over the 8 primitive 8-bit bands, 16-bit
+    combo keys — EXACT at the hamming<=5 default by the pigeonhole
+    argument at ``_PHASH_COMBOS``, while the key space is 2^16, not the
+    2^8 that saturated at scale: VERDICT r12 what's-wrong #1). The hash
+    relation is eagerly
     localCheckpointed once: the Arrow decode pass runs a single time and
     the combo explode + both sides of the hamming join read materialized
     partitions. ``max_bucket`` is the 100 TB valve (same contract as
@@ -409,11 +424,11 @@ def phash_pairs(
 #
 # Layout: rows (id, phash, ci, cj, v) partitioned by (ci, cj, vb,
 # batch_id), where vb = v >> 12 sub-buckets each combo's 2^16 value space
-# into 16 partition dirs (<= 28 x 16 = 448 leaves — real partition
+# into 16 partition dirs (<= 12 x 16 = 192 leaves — real partition
 # pruning without a 2^16-dirs-per-combo small-file explosion), and rows
 # are sorted by v inside each leaf so the probe's pushed v IN (...)
 # filter also skips row groups. A probe for q query payloads reads at
-# most 28*q leaves; appends land new batches under their own batch_id
+# most 12*q leaves; appends land new batches under their own batch_id
 # sub-partitions replay-idempotently (same protocol and crash story as
 # the LSH/IVF/PQ indexes).
 
@@ -500,8 +515,9 @@ def phash_neighbors_indexed(
 
     The query payloads are fingerprinted in-flight (one Arrow pass over
     the query set only) and their combo keys collected to the driver
-    (bounded: 28 rows per query — the probe-set contract every indexed
-    probe here shares); the scan then prunes to the queries' (ci, cj, vb)
+    (bounded: len(_PHASH_COMBOS)=12 rows per query — the probe-set
+    contract every indexed probe here shares); the scan then prunes to
+    the queries' (ci, cj, vb)
     partitions with the per-combo v IN (...) list pushed into the sorted
     row groups. Candidates broadcast-join the (tiny) query combo set and
     hamming-verify JVM-side; no corpus self-join anywhere."""
@@ -525,7 +541,7 @@ def phash_neighbors_indexed(
     if not q_rows:
         return _empty()
 
-    # driver-side combo keys for the probe filter (28 per query)
+    # driver-side combo keys for the probe filter (12 per query)
     per_combo_vals: dict[tuple[int, int], set[int]] = {c: set() for c in _PHASH_COMBOS}
     q_combos = []
     for r in q_rows:

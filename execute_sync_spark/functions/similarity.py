@@ -2113,7 +2113,15 @@ def rrf_fuse(
     rank run on at most N*k rows — broadcast-trivial, no corpus-scale
     shuffle, nothing on the driver. Determinism: 1/(c+rank) is exact IEEE
     arithmetic on small integers summed in the legs' declared order, ties
-    break on id."""
+    break on id.
+
+    Preconditions (ADVICE r13 — misuse fails loudly like the other public
+    entry points): ``legs`` must be non-empty, and each leg's ranked_df
+    must hold ONE row per id (a duplicate id would multiply rows through
+    the full-outer join chain and double-count its leg's contribution —
+    top-k relations satisfy this by construction)."""
+    if not legs:
+        raise ValueError("rrf_fuse: legs must be a non-empty list of ranked legs")
     parts = []
     for name, df, id_col, rank_col in legs:
         parts.append(

@@ -551,8 +551,21 @@ def build_bm25_index(
     """Materialize the inverted postings index: the corpus token stream is
     scanned ONCE here; every subsequent query is a partition-pruned probe
     that never re-reads text. ``batch_id=__full__`` is the bootstrap
-    build, the convention shared with the other persisted indexes."""
+    build, the convention shared with the other persisted indexes.
+
+    A FULL rebuild resets BOTH sidecars atomically (ADVICE r13): the
+    static-overwrite postings write replaces the whole postings/ tree,
+    but stale per-batch stats dirs from earlier appends would survive a
+    stats/batch_id=__full__ overwrite and silently overcount (N, avgdl)
+    against postings that no longer exist — so the stats/ tree is removed
+    before writing."""
     import os as _os
+
+    from execute_sync_spark import storage
+
+    stats_dir = _os.path.join(path, "stats")
+    if storage.STORE.isdir(stats_dir):
+        storage.STORE.rmtree(stats_dir)
 
     rows = (
         _bm25_postings_rows(docs, text_col, id_col)

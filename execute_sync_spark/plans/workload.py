@@ -4863,10 +4863,11 @@ def mm_phash_pairs(spark, sf_dir):
     arrays (functions/multimodal.py _gram_arrays — the image decoder's
     slot), a 64-bit SimHash folds per doc JVM-side in one codegen hash
     aggregation, and candidates come from multi-index banding over PAIRS
-    of the 8 primitive 8-bit bands (C(8,2)=28 combos, 2^16 key values —
-    EXACT up to hamming 6 by pigeonhole, so the banded join loses nothing
-    at the hamming<=5 threshold, while expected bucket size shrinks 256x
-    vs the 8-bit band space that saturated at the 30x block). Measured on
+    of the 8 primitive 8-bit bands (the 12-pair covering family at
+    multimodal._PHASH_COMBOS, 2^16 key values — EXACT at the hamming<=5
+    threshold by pigeonhole over the family's two halves, while expected
+    bucket size shrinks 256x vs the 8-bit band space that saturated at
+    the 30x block). Measured on
     the fixture corpus: true near-dups land 0-5 bits apart of 64, the
     unrelated background starts at 6 and medians ~20 — threshold 5
     separates them cleanly where 32-bit hamming<=2 admitted background
@@ -4903,7 +4904,7 @@ def _mm_phash_cte(max_bucket: int | None = None) -> str:
     """Shared oracle CTE chain: payload bytes from hex (the mm_features
     idiom) -> LEAD-packed big-endian 4-byte grams -> ONE portable md5 per
     gram, both 32-bit halves (hex 1-8 = bits 0-31, hex 9-16 = bits 32-63)
-    -> 64-term SimHash fold -> 8 primitive 8-bit bands -> C(8,2) band-PAIR
+    -> 64-term SimHash fold -> 8 primitive 8-bit bands -> covering band-PAIR
     combo keys (optionally valved to ``max_bucket``, mirroring the
     engine's skew guard) -> banded candidates -> hamming<=5. Docs shorter
     than 4 bytes have no grams; COALESCE pins their phash to 0 exactly
@@ -4951,7 +4952,9 @@ def _mm_phash_cte(max_bucket: int | None = None) -> str:
     combos AS (SELECT pa.doc_id, pa.bi AS ci, pb.bi AS cj,
                       pa.bv * 256 + pb.bv AS v
                FROM prim pa JOIN prim pb
-                 ON pa.doc_id = pb.doc_id AND pa.bi < pb.bi){valve},
+                 ON pa.doc_id = pb.doc_id AND pa.bi < pb.bi
+                AND (pa.bi < {multimodal.PHASH_BANDS // 2})
+                  = (pb.bi < {multimodal.PHASH_BANDS // 2})){valve},
     cand AS (
         SELECT DISTINCT ca.doc_id AS id_a, cb.doc_id AS id_b
         FROM {combos_src} ca JOIN {combos_src} cb USING (ci, cj, v)
@@ -5045,11 +5048,11 @@ def _phash_index_path(sf_dir: str) -> str:
         fp = f"{st.st_mtime_ns}_{st.st_size}"
     except OSError:
         fp = "missing"
-    # v2: the 64-bit fingerprint moved to both halves of ONE md5 digest —
-    # the code version is part of the cache key because a cached index
-    # holds MATERIALIZED fingerprints: probing an old-fingerprint index
-    # with new-fingerprint queries would silently return garbage
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{fp}:v2".encode()).hexdigest()[:12]
+    # v3: the combo family shrank to the 12-pair covering design — the
+    # code version is part of the cache key because a cached index holds
+    # MATERIALIZED fingerprints and combo keys: probing an old-layout
+    # index with new-layout queries would silently return garbage
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{fp}:v3".encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"ess_phash_index_{key}")
 
 

@@ -414,17 +414,18 @@ def test_shard_assign_single_exchange_pruned_scan(spark):
     assert "text" not in plan.split("ReadSchema:")[-1]
 
 
-def test_payload_simhash_single_exchange_partial_agg(spark):
-    """The payload SimHash fold is ONE codegen hash aggregation: the flat
-    gram stream partially aggregates map-side (32 partial_sums collapse
-    each doc to one row per task) before the only exchange."""
+def test_payload_simhash_no_exchange_single_arrow_pass(spark):
+    """The payload SimHash decodes AND folds inside one Arrow pass
+    (VERDICT r13 task 2): one (id, byte_len, phash) row per payload comes
+    out of the single MapInPandas, so the plan has no exchange at all —
+    per-byte gram rows never reach the JVM and the fold needs no
+    shuffle."""
     from execute_sync_spark.functions import multimodal
     from execute_sync_spark.plans.workload import _docs
 
     bm = multimodal.binary_with_meta(_docs(spark, SF_DIR))
     plan = _plan(multimodal.payload_simhash(bm))
-    assert plan.count("Exchange hashpartitioning") == 1, plan[:800]
-    assert "partial_sum" in plan
+    assert "Exchange" not in plan, plan[:800]
     assert plan.count("MapInPandas") == 1
 
 

@@ -138,9 +138,10 @@ def test_phash_near_dup_found_unrelated_not(spark):
 def test_phash_banding_exact_vs_bruteforce(spark):
     """Banded candidate generation loses NOTHING at the default
     threshold: pairs == brute-force hamming<=PHASH_MAX_HAMMING over all
-    payload pairs (C(8,2) band-PAIR combos are pigeonhole-exact to
-    hamming 6: 6 flipped bits leave >= 2 of the 8 primitive bands
-    intact, so some combo key still collides)."""
+    payload pairs (the 12-pair covering family is pigeonhole-exact to
+    hamming 5: 5 flipped bits leave >= 3 of the 8 primitive bands
+    intact, two of them on the same half, so some combo key still
+    collides — see multimodal._PHASH_COMBOS)."""
     texts = [BASE]
     texts += [BASE.replace("dusty", w) for w in ("muddy", "sunny", "foggy")]
     texts += [f"unrelated filler number {i} with its own words entirely" for i in range(6)]

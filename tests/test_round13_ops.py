@@ -86,7 +86,7 @@ def test_phash_index_append_replay_and_compact(spark, tmp_path):
     # ("salt" measured at hamming 5 from BASE — within the threshold)
     newb = _binaries(spark, [BASE.replace("silk", "salt")], start_id=100)
     touched = multimodal.append_phash_index(newb, path, batch_id="b1")
-    assert touched  # 28 combos' leaves
+    assert touched  # the combo family's leaves
     queries = _binaries(spark, [BASE])  # id 0
     got = _probe_set(spark, path, queries)
     assert any(n == 100 for (_, n, _) in got), got
