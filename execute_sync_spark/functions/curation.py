@@ -447,3 +447,44 @@ def apply_mixture(
         F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("epoch"),
         "n_copies",
     ).select(id_col, group_col, "epoch", "n_copies")
+
+
+def sqrt_stratified_sample(
+    docs: DataFrame,
+    strata_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    quota_scale: float = 4.0,
+    salt: int = 77,
+) -> DataFrame:
+    """Deterministic square-root stratified sampling: each stratum (e.g.
+    (lang, source)) keeps ``ceil(quota_scale * sqrt(n_stratum))`` documents
+    — the standard balancing move when a corpus's strata span orders of
+    magnitude (proportional sampling keeps the head's dominance, uniform
+    flattens real signal; sqrt sits between). Selection inside a stratum
+    is hash-ordered (``hash_bucket`` with ``salt``, ties on id), so the
+    sample is reproducible, seed-controlled, and independent of physical
+    row order.
+
+    Physical shape: one count aggregation per stratum (tiny relation,
+    broadcast back) + one rank window per stratum. The window sorts each
+    stratum once — the shuffle is keyed on the strata columns, and skew is
+    bounded by the largest stratum; for quota-exact semantics that sort is
+    irreducible (a threshold-hash variant — keep iff bucket < quota/n·1000
+    — is shuffle-free but only approximates the quota; documented
+    trade-off, not the default)."""
+    strata = strata_cols or ["lang", "source"]
+    counts = docs.groupBy(*strata).agg(F.count("*").alias("__n"))
+    quotas = counts.select(
+        *strata,
+        F.ceil(F.lit(quota_scale) * F.sqrt("__n")).cast("long").alias("quota"),
+        F.col("__n").alias("stratum_size"),
+    )
+    w = Window.partitionBy(*strata).orderBy(
+        hash_bucket(id_col, salt), F.col(id_col)
+    )
+    ranked = docs.join(F.broadcast(quotas), strata).withColumn(
+        "__rk", F.row_number().over(w)
+    )
+    return ranked.filter(F.col("__rk") <= F.col("quota")).select(
+        id_col, *strata, "stratum_size", "quota"
+    )

@@ -657,3 +657,72 @@ def containment_pairs(
         )
         .select("id_a", "id_b", "n_inter", "containment_a", "containment_b")
     )
+
+
+def minhash_estimate_vs_true(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.05,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Sketch-quality audit: for every (valved) true-Jaccard pair >=
+    ``threshold``, the MinHash ESTIMATE (fraction of equal signature
+    components — the unbiased estimator banding implicitly thresholds),
+    the exact Jaccard, the absolute error, and whether LSH banding
+    (band_size=2 over the same signatures) would have surfaced the pair.
+    This is the measure-don't-guess row for the whole MinHash stack: it
+    quantifies, on the live corpus, how tight the 8-permutation sketch is
+    and what the banding recall actually is at the operating threshold.
+
+    Physical shape: ONE shingle pass feeds both sides (signatures are an
+    aggregation of the same exploded relation the Jaccard join uses); the
+    pair relation is the valved inverted-index join (max_df bounds every
+    shingle to max_df^2 rows); signatures join onto the (small) pair
+    relation by id twice; the banding flag is a per-row expression over
+    the two signatures — no extra shuffle anywhere."""
+    sh = word_shingles(docs, text_col, id_col, k=shingle_k)
+    sh = sh.localCheckpoint(eager=True)
+    pairs = ngram_jaccard_pairs(
+        docs, text_col, id_col, shingle_k=shingle_k,
+        threshold=threshold, max_df=max_df, shingles=sh,
+    )
+    sigs = minhash_signatures(docs, text_col, id_col,
+                              num_hashes=num_hashes, shingle_k=shingle_k)
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    eq = [
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    ]
+    n_eq = eq[0]
+    for e in eq[1:]:
+        n_eq = n_eq + e
+    # band_size=2 banding surfaces the pair iff some band has BOTH rows
+    # equal — mirror of band_buckets' (mh0:mh1)(mh2:mh3)... layout
+    band_hit = F.lit(False)
+    for b in range(0, num_hashes, 2):
+        hit = (F.col(f"a{b}") == F.col(f"b{b}"))
+        if b + 1 < num_hashes:
+            hit = hit & (F.col(f"a{b+1}") == F.col(f"b{b+1}"))
+        band_hit = band_hit | hit
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.round(n_eq / F.lit(float(num_hashes)), 4).alias("minhash_est"),
+            F.round(F.abs(n_eq / F.lit(float(num_hashes)) - F.col("jaccard")), 4).alias("abs_err"),
+            band_hit.alias("lsh_found"),
+        )
+    )

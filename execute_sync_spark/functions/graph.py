@@ -569,3 +569,35 @@ def label_propagation(
             .select(F.col("node").alias("src"), "lab")
         )
     return labels.select(F.col("src").alias("node"), F.col("lab").alias("community"))
+
+
+def triangle_counts(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Per-node triangle participation over an undirected edge relation —
+    the clustering-density signal for near-dup graphs (a clique-ish
+    neighborhood = one template family; a triangle-free star = one hub
+    document paired with unrelated ones). Input edges are one row per
+    undirected pair; output is (node, n_triangles) for nodes in >= 1
+    triangle.
+
+    Physical shape (the standard distributed formulation): canonicalize
+    each edge to a < b, then count length-2 paths joined back to the
+    closing edge — two equi-joins on node keys over the (valved) edge
+    relation, never a matrix or an all-pairs step. Each triangle a<b<c is
+    found exactly once, then exploded to its three corners for the
+    per-node count (map-side combined)."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    paths = e1.join(e2, "y").select("x", "y", "z")  # x < y < z by construction
+    tri = paths.join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("z")), ["x", "z"]
+    )
+    corners = tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+    return corners.groupBy("node").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )

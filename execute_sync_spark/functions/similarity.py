@@ -2153,3 +2153,74 @@ def rrf_fuse(
             "rank",
         )
     )
+
+
+def matryoshka_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    d_prefix: int = 16,
+    m_shortlist: int = 50,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage exact-rerank ANN over PREFIX dimensions (the Matryoshka /
+    MRL pattern, Kusupati et al. 2022): score the whole corpus on only the
+    first ``d_prefix`` of D dimensions (cheap pass — at 100 TB the prefix
+    scan reads d/D of the vector bytes when vectors are stored
+    dimension-sliced, and the BLAS product is d/D the FLOPs), take an
+    ``m_shortlist`` candidate set per query, then rerank ONLY those
+    candidates with the exact full-dimension cosine and keep top ``k``.
+
+    Output (query_id, neighbor_id, rank, cos_sim, prefix_rank): cos_sim is
+    the exact full-D cosine; prefix_rank preserves the stage-1 position so
+    recall diagnostics (how far the prefix ordering strays) ride along for
+    free. Recall is governed by m_shortlist/k, exactly like nprobe in IVF;
+    at m_shortlist >= corpus size the result equals the exact brute force.
+
+    Physical shape: stage 1 is ``cosine_topk_vectorized`` on sliced
+    vectors (broadcast query matrix, Arrow-batched BLAS, local top-m per
+    partition — no corpus shuffle); stage 2 joins the tiny
+    (n_queries x m) shortlist back to the corpus vectors (equi-join on
+    the shortlist side, which broadcasts) and folds the exact cosine
+    JVM-side; the final per-query top-k window runs over n_queries x m
+    rows. Ties break on (rounded cos desc, id asc), both stages."""
+    pref = F.slice(F.col(vec_col), 1, d_prefix)
+    c_pref = corpus.select(F.col(id_col), pref.alias(vec_col))
+    q_pref = queries.select(F.col(id_col), pref.alias(vec_col))
+    shortlist = cosine_topk_vectorized(c_pref, q_pref, k=m_shortlist,
+                                       id_col=id_col, vec_col=vec_col)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    shortlist = shortlist.withColumn("prefix_rank", F.row_number().over(w)).select(
+        "query_id", "neighbor_id", "prefix_rank"
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    exact = (
+        shortlist.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("__qv"), F.col("__cv"))
+                / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
+                4,
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim", "prefix_rank")
+    )

@@ -692,3 +692,94 @@ def bm25_topk_indexed(
         # falls back to the empty-result contract
         return _empty()
     return _bm25_rank(tf, stats, k=k, k1=k1, b=b, id_col=id_col)
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Character-level Shannon entropy per document, plus the most-frequent
+    character's share — the repetition/degenerate-text signals quality
+    pipelines use alongside Gopher rules (low entropy = boilerplate or
+    repeated filler; high top-char share = separator spam).
+
+    Entropy uses the exact-integer form H = log2(n) - (Σ c·log2 c)/n over
+    per-character counts c, so both engines sum the same ~|alphabet| terms.
+    Physical shape: explode characters -> (doc, char) hash aggregation
+    (map-side combine collapses repeats before the shuffle: the shuffle
+    carries at most |alphabet| rows per doc per task, not byte_len) ->
+    per-doc aggregation. All codegen'd string ops, no UDF; linear in
+    corpus bytes at any scale."""
+    c = F.col(text_col)
+    chars = docs.select(
+        F.col(id_col),
+        F.length(c).cast("long").alias("n"),
+        # "(?!^)" splits between every pair of adjacent characters; with
+        # Spark's default limit=-1 the end-of-string boundary also matches
+        # and yields one trailing "" field — dropped below (it would only
+        # inflate n_distinct_chars: a cnt=1 field contributes 1*log2(1)=0
+        # to the entropy sum)
+        F.explode(F.split(c, "(?!^)")).alias("ch"),
+    )
+    counts = (
+        chars.filter(F.col("ch") != "")
+        .groupBy(id_col, "n", "ch")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        counts.groupBy(id_col, "n")
+        .agg(
+            (F.log2(F.col("n")) - F.sum(F.col("cnt") * F.log2("cnt")) / F.col("n")).alias("__h"),
+            (F.max("cnt") / F.col("n")).alias("__top"),
+            F.count("*").cast("long").alias("n_distinct_chars"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n").alias("n_chars"),
+            "n_distinct_chars",
+            F.round("__h", 6).alias("entropy_bits"),
+            F.round("__top", 6).alias("top_char_frac"),
+        )
+    )
+
+
+def zipf_slope(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by_col: str = "lang",
+    top_n: int = 100,
+    min_count: int = 5,
+) -> DataFrame:
+    """Zipf-law slope per corpus slice (``by_col``): OLS slope of
+    log(freq) on log(rank) over the slice's ``top_n`` most frequent
+    tokens — a one-pass corpus-health metric (a natural-language slice
+    sits near -1; template/boilerplate floods and synthetic junk bend it).
+
+    Physical shape: one token aggregation (map-side combined) ->
+    ``min_count`` valve (drops the long tail BEFORE ranking, so the
+    per-slice window sorts a vocabulary capped by the valve, not raw
+    corpus vocabulary — the 100 TB guard) -> per-slice rank window ->
+    covar_pop/var_pop slope in one tiny aggregation. Ranking ties break
+    on the token string, so both engines rank identically."""
+    t = tokens(text_col)
+    tf = (
+        docs.select(F.col(by_col).alias("slice_key"), F.explode(t).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("slice_key", "w")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= min_count)
+    )
+    w = Window.partitionBy("slice_key").orderBy(F.desc("freq"), F.asc("w"))
+    ranked = tf.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= top_n)
+    x = F.log(F.col("rk").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    # a slice with one surviving term has var_pop = 0: its slope is
+    # undefined (NULL), not a divide-by-zero (ANSI mode errors on it)
+    return (
+        ranked.groupBy("slice_key")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.round(
+                F.when(F.var_pop(x) != 0.0, F.covar_pop(x, y) / F.var_pop(x)), 4
+            ).alias("zipf_slope"),
+        )
+        .select(F.col("slice_key").alias(by_col), "n_terms", "zipf_slope")
+    )

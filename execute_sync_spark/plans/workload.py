@@ -5940,32 +5940,223 @@ def text_bm25_indexed(spark, sf_dir):
     return text.bm25_topk_indexed(spark, path, _BM25_TERMS, k=20)
 
 
+
+
+# ---------------------------------------------------------------------------
+# round-14 new operators
+
+
+def text_char_entropy(spark, sf_dir):
+    """Character-entropy + top-char-share quality signals per document
+    (functions/text.py char_entropy): the repetition/degenerate-text gate
+    quality pipelines run alongside Gopher rules. Exact-integer entropy
+    form H = log2(n) - SUM(c*log2 c)/n so both engines sum identical
+    terms; explode -> two map-side-combined aggregations, no UDF, linear
+    in corpus bytes. Oracle: position unnest + substr (the mm_features
+    byte idiom) -> identical double-aggregation."""
+    return text.char_entropy(_docs(spark, sf_dir))
+
+
+TEXT_CHAR_ENTROPY_SQL = """
+    WITH pos AS (
+        SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+               unnest(range(length(text))) AS i
+        FROM documents WHERE length(text) > 0),
+    ch AS (SELECT doc_id, n, substr(text, CAST(i + 1 AS INT), 1) AS ch FROM pos),
+    cnt AS (SELECT doc_id, n, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, n, ch)
+    SELECT doc_id, n AS n_chars,
+           COUNT(*)::BIGINT AS n_distinct_chars,
+           ROUND(log2(n) - SUM(c * log2(c)) / n, 6) AS entropy_bits,
+           ROUND(MAX(c) / CAST(n AS DOUBLE), 6) AS top_char_frac
+    FROM cnt GROUP BY doc_id, n
+"""
+
+
+def text_zipf_slope(spark, sf_dir):
+    """Zipf-law slope per language slice (functions/text.py zipf_slope):
+    OLS slope of log(freq) on log(rank) over each slice's top-100 tokens
+    after a min_count=5 tail valve — a one-pass corpus-health metric.
+    Physical shape: one map-side-combined token aggregation, valve BEFORE
+    the per-slice rank window (the window sorts the valved vocabulary,
+    not raw corpus vocabulary), then a tiny covar_pop/var_pop fold."""
+    return text.zipf_slope(_docs(spark, sf_dir))
+
+
+TEXT_ZIPF_SLOPE_SQL = r"""
+    WITH tokz AS (
+        SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents),
+    tf AS (SELECT lang, w, COUNT(*) AS freq FROM tokz WHERE w != ''
+           GROUP BY lang, w HAVING COUNT(*) >= 5),
+    rk AS (SELECT lang, w, freq,
+                  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY freq DESC, w) AS r
+           FROM tf)
+    SELECT lang, COUNT(*)::BIGINT AS n_terms,
+           ROUND(covar_pop(ln(r), ln(freq)) / NULLIF(var_pop(ln(r)), 0), 4) AS zipf_slope
+    FROM rk WHERE r <= 100 GROUP BY lang
+"""
+
+
+def curate_sqrt_stratified(spark, sf_dir):
+    """Square-root stratified sampling over (lang, source) strata
+    (functions/curation.py sqrt_stratified_sample): each stratum keeps
+    ceil(4*sqrt(n)) docs in hash order — the balancing draw between
+    proportional (head keeps dominating) and uniform (flattens signal).
+    One tiny per-stratum count broadcast back + one rank window per
+    stratum; deterministic under any physical row order."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return curation.sqrt_stratified_sample(docs, ["lang", "source"])
+
+
+CURATE_SQRT_STRATIFIED_SQL = f"""
+    WITH q AS (
+        SELECT lang, source, COUNT(*)::BIGINT AS stratum_size,
+               CAST(ceil(4.0 * sqrt(COUNT(*))) AS BIGINT) AS quota
+        FROM documents GROUP BY lang, source),
+    r AS (
+        SELECT d.doc_id, d.lang, d.source, q.stratum_size, q.quota,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.lang, d.source
+                   ORDER BY {curation.hash_bucket_sql('d.doc_id', 77)}, d.doc_id) AS rk
+        FROM documents d JOIN q USING (lang, source))
+    SELECT doc_id, lang, source, stratum_size, quota FROM r WHERE rk <= quota
+"""
+
+
+def graph_triangle_count(spark, sf_dir):
+    """Per-node triangle participation over the valved near-dup graph
+    (functions/graph.py triangle_counts on dedup_jaccard_pairs_scaled's
+    edge relation) — clustering-density: a clique-ish neighborhood is one
+    template family, a triangle-free star is a hub document. Two
+    equi-joins over the max_df-valved edges (so edge count is bounded
+    before any join), one explode, one map-side-combined count — no
+    matrix, no all-pairs step anywhere."""
+    edges = dedupe.ngram_jaccard_pairs(
+        _docs_wide(spark, sf_dir), threshold=0.05, max_df=_JACCARD_MAX_DF
+    )
+    return graph.triangle_counts(edges)
+
+
+GRAPH_TRIANGLES_SQL = f"""
+    WITH pairs AS ({DEDUP_JACCARD_SCALED_SQL}),
+    e AS (SELECT DISTINCT LEAST(id_a, id_b) AS a, GREATEST(id_a, id_b) AS b
+          FROM pairs WHERE id_a != id_b),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    corners AS (SELECT unnest([x, y, z]) AS node FROM tri)
+    SELECT node, COUNT(*)::BIGINT AS n_triangles FROM corners GROUP BY node
+"""
+
+
+def sim_matryoshka_topk(spark, sf_dir):
+    """Two-stage prefix-dimension ANN (functions/similarity.py
+    matryoshka_topk — the Matryoshka/MRL retrieval pattern): score the
+    corpus on the first 16 of 64 dimensions (quarter the FLOPs and, with
+    dimension-sliced storage, a quarter of the vector bytes), shortlist
+    top-50 per query, exact full-dimension rerank to top-5. prefix_rank
+    rides along so recall diagnostics are free. Stage 1 is the broadcast
+    BLAS pass (no corpus shuffle); stage 2 touches n_queries x 50 rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.matryoshka_topk(
+        emb, emb.filter(F.col("vec_id") < 10), d_prefix=16, m_shortlist=50, k=5
+    )
+
+
+SIM_MATRYOSHKA_SQL = """
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, v[1:16] AS qp FROM emb WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv, v[1:16] AS cp FROM emb),
+    s1 AS (
+        SELECT q.query_id, c.neighbor_id,
+               ROUND(list_dot_product(qp, cp)
+                     / (sqrt(list_dot_product(qp, qp)) * sqrt(list_dot_product(cp, cp))), 4) AS pcos
+        FROM q CROSS JOIN c WHERE c.neighbor_id != q.query_id),
+    s1r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY pcos DESC, neighbor_id) AS prefix_rank
+            FROM s1),
+    short AS (SELECT query_id, neighbor_id, prefix_rank FROM s1r WHERE prefix_rank <= 50),
+    ex AS (
+        SELECT s.query_id, s.neighbor_id, s.prefix_rank,
+               ROUND(list_dot_product(q.qv, c.cv)
+                     / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 4) AS cos_sim
+        FROM short s
+        JOIN q ON q.query_id = s.query_id
+        JOIN c ON c.neighbor_id = s.neighbor_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rnk
+          FROM ex)
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, cos_sim,
+           CAST(prefix_rank AS INT) AS prefix_rank
+    FROM r WHERE rnk <= 5
+"""
+
+
+def dedup_minhash_est(spark, sf_dir):
+    """Sketch-quality audit for the MinHash stack (functions/dedupe.py
+    minhash_estimate_vs_true): for every valved true-Jaccard pair >= 0.05,
+    the 8-permutation MinHash estimate, the exact Jaccard, the absolute
+    error, and whether band_size=2 LSH banding would have surfaced the
+    pair — measured sketch tightness and banding recall on the live
+    corpus, not the textbook formula. One shingle pass feeds both sides;
+    signatures join onto the (small) valved pair relation."""
+    return dedupe.minhash_estimate_vs_true(
+        _docs_wide(spark, sf_dir), threshold=0.05, max_df=_JACCARD_MAX_DF
+    )
+
+
+_MH_EQ = " + ".join(
+    f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(_NUM_MINHASH)
+)
+_MH_BAND = " OR ".join(
+    f"(a.mh{b} = b.mh{b} AND a.mh{b+1} = b.mh{b+1})" for b in range(0, _NUM_MINHASH, 2)
+)
+
+DEDUP_MINHASH_EST_SQL = f"""
+    WITH {_SIG_CTE},
+    keep AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+             WHERE df <= {_JACCARD_MAX_DF}),
+    shv AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shv GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM shv a JOIN shv b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+        SELECT id_a, id_b,
+               ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.05)
+    SELECT p.id_a, p.id_b, p.jaccard,
+           ROUND(({_MH_EQ}) / 8.0, 4) AS minhash_est,
+           ROUND(ABS(({_MH_EQ}) / 8.0 - p.jaccard), 4) AS abs_err,
+           ({_MH_BAND}) AS lsh_found
+    FROM pairs p
+    JOIN sig a ON a.doc_id = p.id_a
+    JOIN sig b ON b.doc_id = p.id_b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -----------------------------------------------------------------
-    # Slots 1-50: the driver's CORRECTNESS gate covers the first 50
-    # entries of this dict. Round-13 rotation (recomputed from the
-    # CORRECTNESS_r*.json files per the r12 precedent — latest-green
-    # distribution entering this round: r09:2 / r10:49 / r11:50 /
-    # r12:50): the round's 6 new ops (mm_phash_indexed, sim_hybrid_rrf,
-    # curate_temperature_mix, graph_label_propagation,
-    # text_bm25_indexed, curate_apply_mixture) gate first, then the
-    # 3 rows whose SEMANTICS
-    # changed this round re-gate (mm_phash_pairs/keep moved to the
-    # 64-bit band-pair fingerprint, sim_knn_join_sqrt_recall's truth
-    # side is now sampled — a changed oracle must never sit outside the
-    # window), then the r09+r10 queue fills oldest-first: mm_features +
-    # stream_window_counts (r09) and 39 of the 49 r10-green rows.
-    # 9 + 2 + 49 > 50, so per the family-representation precedent the 10
-    # deferred rows come from the queue's most-populous families: all 8
-    # r10 sim_ rows (sim_ivf_topk, sim_ivf_multiprobe, sim_lsh_topk,
-    # sim_pq_topk, sim_quantized_topk, sim_ivfpq_topk,
-    # sim_ivfpq_indexed, sim_lsh_multiprobe — the family stays
-    # in-window three times over: sim_recall_at_k gates, plus the
-    # re-gated recall row and the new rrf row), 1 text_ row
-    # (text_token_count; text_ still gates six times over incl. both
-    # bm25 physical paths), and 1 dedup_ row (dedup_simhash; dedup_
-    # was the most-populous remaining family at 9 rows and still gates
-    # eight times over) — they lead slots 51+ as the round-14 queue.
+    # The driver's CORRECTNESS gate covers the FIRST 50 entries of this
+    # dict. The literal order below is historical (r13); the per-round
+    # rotation is applied PROGRAMMATICALLY right after this dict from
+    # ``_GATE_HEAD_R14`` — see the comment there for the r14 rotation
+    # rationale. New queries are registered in this dict anywhere and
+    # promoted into the gate window via the head list.
+    # --- round-14 new ops ---
+    "text_char_entropy": text_char_entropy,
+    "text_zipf_slope": text_zipf_slope,
+    "curate_sqrt_stratified": curate_sqrt_stratified,
+    "graph_triangle_count": graph_triangle_count,
+    "sim_matryoshka_topk": sim_matryoshka_topk,
+    "dedup_minhash_est": dedup_minhash_est,
     # --- round-13 new ops ---
     "mm_phash_indexed": mm_phash_indexed,
     "sim_hybrid_rrf": sim_hybrid_rrf,
@@ -6137,6 +6328,53 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_resize_plan": mm_resize_plan,
 }
 
+# ---------------------------------------------------------------------------
+# Round-14 gate rotation (the driver gates the first 50 QUERIES entries).
+# Recomputed from the CORRECTNESS_r*.json files per the r12/r13 precedent —
+# latest-green distribution entering this round: r10:10 / r11:50 / r12:47 /
+# r13:50. Composition: the 6 new r14 ops gate first; then the 4 rows whose
+# SEMANTICS or PLAN changed this round re-gate (mm_phash_pairs / keep /
+# indexed moved to the 12-pair covering band family with the in-Arrow
+# SimHash fold; q_recursive_hierarchy's anchor was re-aliased); then the
+# whole r10 queue (the 10 rows VERDICT r13 task 3 names); the remaining 30
+# slots drain the r11 queue with every non-relational family first (all 14
+# non-q_ r11 rows, incl. the 3 cold-I/O anomaly rows q10/q11/q12 VERDICT
+# task 5 wants re-observed) and 16 relational q_ rows oldest-first. The 20
+# deferred r11 rows are all one family (relational q_*, which stays
+# in-window via q5-q22 and the window/asof rows) and lead the r15 queue.
+_GATE_HEAD_R14 = [
+    # round-14 new ops
+    "text_char_entropy", "text_zipf_slope", "curate_sqrt_stratified",
+    "graph_triangle_count", "sim_matryoshka_topk", "dedup_minhash_est",
+    # semantics/plan changed this round -> re-gate
+    "mm_phash_pairs", "mm_phash_keep", "mm_phash_indexed",
+    "q_recursive_hierarchy",
+    # the r10 queue (age boundary)
+    "dedup_simhash", "text_token_count", "sim_ivf_topk",
+    "sim_ivf_multiprobe", "sim_ivfpq_topk", "sim_ivfpq_indexed",
+    "sim_lsh_topk", "sim_lsh_multiprobe", "sim_pq_topk",
+    "sim_quantized_topk",
+    # r11 queue: every non-relational family representative
+    "curate_domain_cap", "curate_dsir_resample", "curate_pipeline_fuzzy",
+    "curate_shard_assign", "dedup_lsh_recall",
+    "graph_centrality_keep_scaled", "graph_clusters_incremental",
+    "graph_doc_pagerank_scaled", "mm_resize_plan", "sim_ivfpq_rerank",
+    "sim_knn_join", "sim_knn_join_cells", "stream_sliding_counts",
+    "text_boilerplate_removal",
+    # r11 queue: relational rows oldest-first incl. the 3 anomaly rows
+    "q10_returned_items", "q11_important_parts", "q12_ship_lag_buckets",
+    "q5_revenue_by_nation", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q13_order_count_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_variety", "q17_small_quantity",
+    "q18_large_volume_customers", "q19_disjunctive_predicates",
+    "q20_supplier_semi_chain", "q22_idle_customers",
+]
+assert len(_GATE_HEAD_R14) == 50 and len(set(_GATE_HEAD_R14)) == 50
+QUERIES = {
+    **{k: QUERIES[k] for k in _GATE_HEAD_R14},
+    **{k: v for k, v in QUERIES.items() if k not in set(_GATE_HEAD_R14)},
+}
+
 def text_ccnet_buckets_approx_pure(spark, sf_dir):
     """The approx-CCNet form STANDALONE — no exact tiling, no agreement
     join — so the bench measures what the approx form actually costs
@@ -6155,6 +6393,13 @@ BENCH_EXTRA_QUERIES["dedup_semantic_sqrt"] = dedup_semantic_sqrt
 BENCH_EXTRA_QUERIES["text_ccnet_buckets_approx_pure"] = text_ccnet_buckets_approx_pure
 
 ORACLES: dict[str, Optional[str]] = {
+    # round-14 new ops
+    "text_char_entropy": TEXT_CHAR_ENTROPY_SQL,
+    "text_zipf_slope": TEXT_ZIPF_SLOPE_SQL,
+    "curate_sqrt_stratified": CURATE_SQRT_STRATIFIED_SQL,
+    "graph_triangle_count": GRAPH_TRIANGLES_SQL,
+    "sim_matryoshka_topk": SIM_MATRYOSHKA_SQL,
+    "dedup_minhash_est": DEDUP_MINHASH_EST_SQL,
     # round-13 new ops (mm_phash_indexed: shared phash CTE restricted to
     # the query side — the driver checks agreement between the
     # persisted-index probe and the in-flight banding)

@@ -1,0 +1,177 @@
+"""Round-14 operators: char entropy, Zipf slope, sqrt-stratified sampling,
+triangle counting, Matryoshka prefix-rerank ANN, MinHash estimate-vs-true.
+
+Each test pins the semantics on hand-built fixtures (the driver's DuckDB
+gate covers the sf0.01 corpus separately)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from execute_sync_spark.functions import curation, dedupe, graph, similarity, text
+
+
+# ---------------------------------------------------------------------------
+# char_entropy
+
+
+def test_char_entropy_known_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in text.char_entropy(docs).collect()}
+    assert rows[1].entropy_bits == 0.0 and rows[1].top_char_frac == 1.0
+    assert rows[1].n_chars == 4 and rows[1].n_distinct_chars == 1
+    assert rows[2].entropy_bits == 1.0 and rows[2].top_char_frac == 0.5
+    # empty docs have no characters: excluded, like the oracle's range(0)
+    assert 3 not in rows
+
+
+def test_char_entropy_deterministic_under_repartition(spark):
+    docs = spark.createDataFrame(
+        [(i, f"some text {i} with repeated letters zzz") for i in range(20)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, text.char_entropy(docs).collect()))
+    b = sorted(map(tuple, text.char_entropy(docs.repartition(7)).collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# zipf_slope
+
+
+def test_zipf_slope_two_point_exact(spark):
+    # freq(a)=10 rank 1, freq(b)=5 rank 2 -> slope (ln5-ln10)/(ln2-ln1) = -1
+    words = ["a"] * 10 + ["b"] * 5
+    docs = spark.createDataFrame(
+        [(1, " ".join(words), "en")], "doc_id long, text string, lang string"
+    )
+    rows = text.zipf_slope(docs).collect()
+    assert len(rows) == 1
+    assert rows[0].lang == "en" and rows[0].n_terms == 2
+    assert rows[0].zipf_slope == -1.0
+
+
+def test_zipf_slope_min_count_valve(spark):
+    # tokens under the min_count=5 valve never reach the ranking
+    docs = spark.createDataFrame(
+        [(1, "rare " + "common " * 10, "en")], "doc_id long, text string, lang string"
+    )
+    rows = text.zipf_slope(docs).collect()
+    assert rows[0].n_terms == 1  # 'rare' (freq 1) valved out
+    assert rows[0].zipf_slope is None  # one point: slope undefined, not an error
+
+
+# ---------------------------------------------------------------------------
+# sqrt_stratified_sample
+
+
+def test_sqrt_stratified_quotas_and_determinism(spark):
+    rows = [(i, "en", "src0") for i in range(100)] + [
+        (1000 + i, "de", "src1") for i in range(9)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    out = curation.sqrt_stratified_sample(docs, ["lang", "source"]).collect()
+    by = {}
+    for r in out:
+        by.setdefault((r.lang, r.source), []).append(r)
+    # n=100 -> quota ceil(4*10)=40; n=9 -> quota 12 >= 9 keeps everything
+    assert len(by[("en", "src0")]) == 40
+    assert all(r.quota == 40 and r.stratum_size == 100 for r in by[("en", "src0")])
+    assert len(by[("de", "src1")]) == 9
+    # deterministic under physical reordering
+    out2 = curation.sqrt_stratified_sample(docs.repartition(13), ["lang", "source"])
+    assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in out2.collect())
+
+
+# ---------------------------------------------------------------------------
+# triangle_counts
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def test_triangle_counts_basic(spark):
+    # one triangle (1,2,3) plus a dangling edge 3-4
+    out = {
+        r.node: r.n_triangles
+        for r in graph.triangle_counts(_edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_counts_shared_edge_and_duplicates(spark):
+    # triangles (1,2,3) and (2,3,4) share edge 2-3; reversed/duplicate
+    # input edges must not double-count
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 2), (2, 4), (3, 4), (4, 2)]
+    out = {r.node: r.n_triangles for r in graph.triangle_counts(_edges(spark, pairs)).collect()}
+    assert out == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+# ---------------------------------------------------------------------------
+# matryoshka_topk
+
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_matryoshka_full_shortlist_equals_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5)
+    n = emb.count()
+    got = similarity.matryoshka_topk(emb, qs, d_prefix=16, m_shortlist=n, k=3)
+    want = similarity.cosine_topk_vectorized(emb, qs, k=3)
+    got_set = {(r.query_id, r.neighbor_id, r.cos_sim) for r in got.collect()}
+    want_rows = want.collect()
+    # brute force returns per-query top-3 by the same (cos desc, id) key
+    assert got_set == {(r.query_id, r.neighbor_id, r.cos_sim) for r in want_rows}
+
+
+def test_matryoshka_prefix_rank_carried(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 3)
+    rows = similarity.matryoshka_topk(emb, qs, d_prefix=8, m_shortlist=20, k=5).collect()
+    assert rows and all(1 <= r.prefix_rank <= 20 for r in rows)
+    assert all(1 <= r.rank <= 5 for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rs in per_q.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+
+
+# ---------------------------------------------------------------------------
+# minhash_estimate_vs_true
+
+
+def test_minhash_est_identical_and_disjoint(spark):
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 " * 3
+    other = "x0 x1 x2 x3 x4 x5 x6 x7 x8 x9 " * 3
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, other)], "doc_id long, text string"
+    )
+    rows = dedupe.minhash_estimate_vs_true(docs).collect()
+    got = {(r.id_a, r.id_b): r for r in rows}
+    # identical docs: jaccard 1, estimate 1, banding must find them
+    r = got[(1, 2)]
+    assert r.jaccard == 1.0 and r.minhash_est == 1.0 and r.abs_err == 0.0
+    assert r.lsh_found
+    # disjoint docs never pair (true jaccard 0 < threshold)
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_minhash_est_error_consistency(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = dedupe.minhash_estimate_vs_true(docs, max_df=20).collect()
+    assert rows, "fixture corpus lost its near-dup pairs"
+    for r in rows:
+        assert 0.0 <= r.minhash_est <= 1.0
+        assert abs(r.abs_err - round(abs(r.minhash_est - r.jaccard), 4)) <= 1e-9
+        if r.lsh_found:
+            # a band hit needs 2 equal components
+            assert r.minhash_est >= 0.25 - 1e-9
