@@ -6142,6 +6142,107 @@ DEDUP_MINHASH_EST_SQL = f"""
 """
 
 
+
+def text_vocab_hll(spark, sf_dir):
+    """Vocabulary size per source with the HyperLogLog scale path, gated
+    as an AGREEMENT row (the text_ccnet_buckets_approx precedent): exact
+    COUNT(DISTINCT token) is the oracle-checkable truth, and ``hll_ok``
+    pins Spark's one-pass approx_count_distinct (HLL++, rsd=0.02) within
+    5% of it. At 100 TB the exact distinct is a full shuffle of the
+    vocabulary; the HLL sketch is one map-side-mergeable pass — this row
+    proves the sketch's error envelope on the live corpus, not the
+    datasheet. Both aggregates share one exploded token relation."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(text.tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    per_src = toks.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.countDistinct("w").cast("long").alias("n_distinct_tokens"),
+        F.approx_count_distinct("w", rsd=0.02).alias("__approx"),
+    )
+    return per_src.select(
+        "source",
+        "n_tokens",
+        "n_distinct_tokens",
+        (
+            F.abs(F.col("__approx") - F.col("n_distinct_tokens"))
+            / F.col("n_distinct_tokens")
+            <= 0.05
+        ).alias("hll_ok"),
+    )
+
+
+TEXT_VOCAB_HLL_SQL = r"""
+    WITH tok AS (
+        SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents)
+    SELECT source, COUNT(*)::BIGINT AS n_tokens,
+           COUNT(DISTINCT w)::BIGINT AS n_distinct_tokens,
+           TRUE AS hll_ok
+    FROM tok WHERE w != '' GROUP BY source
+"""
+
+
+def q_quantiles_sketch(spark, sf_dir):
+    """Quantile-sketch agreement row: exact interpolated p50/p99 per
+    return flag (the oracle truth — Spark percentile == DuckDB
+    quantile_cont) plus booleans pinning percentile_approx (Greenwald-
+    Khanna sketch, accuracy=10000) within 1% of the exact value. The
+    sketch is the 100 TB path (one mergeable pass, no per-group sort);
+    this row measures its value error on the live distribution where
+    q_percentiles measures only the exact form."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_exact"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99_exact"),
+        F.expr("percentile_approx(l_extendedprice, 0.5, 10000)").alias("__a50"),
+        F.expr("percentile_approx(l_extendedprice, 0.99, 10000)").alias("__a99"),
+    )
+    return g.select(
+        "l_returnflag",
+        "n",
+        "p50_exact",
+        "p99_exact",
+        (F.abs(F.col("__a50") - F.col("p50_exact")) / F.col("p50_exact") <= 0.01).alias("sketch_p50_ok"),
+        (F.abs(F.col("__a99") - F.col("p99_exact")) / F.col("p99_exact") <= 0.01).alias("sketch_p99_ok"),
+    )
+
+
+Q_QUANTILES_SKETCH_SQL = """
+    SELECT l_returnflag, COUNT(*) AS n,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_exact,
+           TRUE AS sketch_p50_ok,
+           TRUE AS sketch_p99_ok
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def text_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: the stopword-heuristic guess
+    (text_lang_id) cross-tabulated against the labeled lang column — the
+    corpus-QA report that says WHERE the classifier is wrong, which is
+    what decides whether lang-filtered training mixes are trustworthy.
+    One classifier pass + one map-side-combined count; the join is on
+    doc_id at documents cardinality."""
+    guessed = text.lang_id(_docs_wide(spark, sf_dir)).select("doc_id", "guessed_lang")
+    labeled = _docs(spark, sf_dir).select("doc_id", "lang")
+    return labeled.join(guessed, "doc_id").groupBy("lang", "guessed_lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
+TEXT_LANG_CONFUSION_SQL = f"""
+    WITH g AS ({TEXT_LANG_SQL})
+    SELECT d.lang, g.guessed_lang, COUNT(*)::BIGINT AS n_docs
+    FROM documents d JOIN g USING (doc_id)
+    GROUP BY d.lang, g.guessed_lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -----------------------------------------------------------------
     # The driver's CORRECTNESS gate covers the FIRST 50 entries of this
@@ -6157,6 +6258,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_triangle_count": graph_triangle_count,
     "sim_matryoshka_topk": sim_matryoshka_topk,
     "dedup_minhash_est": dedup_minhash_est,
+    "text_vocab_hll": text_vocab_hll,
+    "q_quantiles_sketch": q_quantiles_sketch,
+    "text_lang_confusion": text_lang_confusion,
     # --- round-13 new ops ---
     "mm_phash_indexed": mm_phash_indexed,
     "sim_hybrid_rrf": sim_hybrid_rrf,
@@ -6330,9 +6434,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # ---------------------------------------------------------------------------
 # Round-14 gate rotation (the driver gates the first 50 QUERIES entries).
+# Composition: 9 new r14 ops (6 operators + 3 sketch/QA agreement rows) +
 # Recomputed from the CORRECTNESS_r*.json files per the r12/r13 precedent —
 # latest-green distribution entering this round: r10:10 / r11:50 / r12:47 /
-# r13:50. Composition: the 6 new r14 ops gate first; then the 4 rows whose
+# r13:50. The new ops gate first; then the 4 rows whose
 # SEMANTICS or PLAN changed this round re-gate (mm_phash_pairs / keep /
 # indexed moved to the 12-pair covering band family with the in-Arrow
 # SimHash fold; q_recursive_hierarchy's anchor was re-aliased); then the
@@ -6346,6 +6451,7 @@ _GATE_HEAD_R14 = [
     # round-14 new ops
     "text_char_entropy", "text_zipf_slope", "curate_sqrt_stratified",
     "graph_triangle_count", "sim_matryoshka_topk", "dedup_minhash_est",
+    "text_vocab_hll", "q_quantiles_sketch", "text_lang_confusion",
     # semantics/plan changed this round -> re-gate
     "mm_phash_pairs", "mm_phash_keep", "mm_phash_indexed",
     "q_recursive_hierarchy",
@@ -6366,8 +6472,7 @@ _GATE_HEAD_R14 = [
     "q5_revenue_by_nation", "q6_forecast_revenue", "q7_volume_shipping",
     "q8_market_share", "q13_order_count_distribution", "q14_promo_revenue",
     "q15_top_supplier", "q16_supplier_variety", "q17_small_quantity",
-    "q18_large_volume_customers", "q19_disjunctive_predicates",
-    "q20_supplier_semi_chain", "q22_idle_customers",
+    "q18_large_volume_customers",
 ]
 assert len(_GATE_HEAD_R14) == 50 and len(set(_GATE_HEAD_R14)) == 50
 QUERIES = {
@@ -6400,6 +6505,9 @@ ORACLES: dict[str, Optional[str]] = {
     "graph_triangle_count": GRAPH_TRIANGLES_SQL,
     "sim_matryoshka_topk": SIM_MATRYOSHKA_SQL,
     "dedup_minhash_est": DEDUP_MINHASH_EST_SQL,
+    "text_vocab_hll": TEXT_VOCAB_HLL_SQL,
+    "q_quantiles_sketch": Q_QUANTILES_SKETCH_SQL,
+    "text_lang_confusion": TEXT_LANG_CONFUSION_SQL,
     # round-13 new ops (mm_phash_indexed: shared phash CTE restricted to
     # the query side — the driver checks agreement between the
     # persisted-index probe and the in-flight banding)

@@ -175,3 +175,36 @@ def test_minhash_est_error_consistency(spark):
         if r.lsh_found:
             # a band hit needs 2 equal components
             assert r.minhash_est >= 0.25 - 1e-9
+
+
+# ---------------------------------------------------------------------------
+# sketch agreement rows + lang confusion
+
+
+def test_vocab_hll_agreement(spark):
+    from execute_sync_spark.plans import workload
+
+    rows = workload.text_vocab_hll(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.hll_ok, (r.source, r.n_distinct_tokens)
+        assert 0 < r.n_distinct_tokens <= r.n_tokens
+
+
+def test_quantiles_sketch_agreement(spark):
+    from execute_sync_spark.plans import workload
+
+    rows = workload.q_quantiles_sketch(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.sketch_p50_ok and r.sketch_p99_ok
+        assert 0 < r.p50_exact <= r.p99_exact
+
+
+def test_lang_confusion_partitions_corpus(spark):
+    from execute_sync_spark.plans import workload
+
+    rows = workload.text_lang_confusion(spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs  # every doc lands in one cell
+    assert all(r.n_docs > 0 for r in rows)
