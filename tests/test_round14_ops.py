@@ -208,3 +208,82 @@ def test_lang_confusion_partitions_corpus(spark):
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     assert sum(r.n_docs for r in rows) == n_docs  # every doc lands in one cell
     assert all(r.n_docs > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r13 protocol fixes
+
+
+def test_bm25_full_rebuild_resets_stale_batch_stats(spark, tmp_path):
+    """ADVICE r13 (medium): build_bm25_index over an index that already
+    received appends must reset BOTH sidecars — before the fix, the
+    static-overwrite postings write replaced the postings tree but stale
+    stats/batch_id=b1 dirs survived, silently overcounting (N, avgdl) and
+    drifting every score from the in-flight oracle."""
+    from execute_sync_spark.functions import text as text_fns
+
+    texts = [
+        "spark shuffles data between executors during wide operations",
+        "broadcast joins avoid the shuffle for small dimension tables",
+        "adaptive execution re-plans skewed shuffles at runtime",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    path = str(tmp_path / "bm25_idx")
+    text_fns.build_bm25_index(docs, path)
+    extra = spark.createDataFrame(
+        [(100, "an appended document about shuffle history")],
+        "doc_id long, text string",
+    )
+    text_fns.append_bm25_index(extra, path, batch_id="b1")
+    # FULL rebuild from the base corpus only: the b1 stats must not survive
+    text_fns.build_bm25_index(docs, path)
+    terms = ["shuffle", "broadcast"]
+    got = [
+        (r.doc_id, r.rank, r.score)
+        for r in text_fns.bm25_topk_indexed(spark, path, terms, k=4).collect()
+    ]
+    want = [
+        (r.doc_id, r.rank, r.score)
+        for r in text_fns.bm25_topk(docs, terms, k=4).collect()
+    ]
+    assert want and got == want
+
+
+def test_sweep_merges_aside_manifest_into_live_manifest(tmp_path):
+    """ADVICE r13 (low): when sweep moves an aside's __compacted__ dir
+    into a live leaf that ALREADY has a manifest, the aside's
+    folded-batches ledger must MERGE into the live manifest (before the
+    fix it was discarded with the aside, so a replayed append of a folded
+    batch_id would not be absorbed and would duplicate rows)."""
+    import json
+    import os
+
+    from execute_sync_spark import storage
+    from execute_sync_spark.functions import index_commit
+
+    spec = index_commit.BM25_SPEC
+    root = str(tmp_path / "postings")
+    # build the leaf layout by hand: a live dir holding a manifest (but NOT
+    # covering the aside) and an aside holding __compacted__ + its manifest
+    rel = spec.rel(("tb=1",))
+    live = os.path.join(root, rel)
+    os.makedirs(os.path.join(live, "batch_id=b9"))
+    storage.STORE.write_text(
+        os.path.join(live, index_commit.MANIFEST), json.dumps({"batches": ["b9"]})
+    )
+    aside = os.path.join(root, spec.aside_name(spec.key(("tb=1",)), "pid"))
+    os.makedirs(os.path.join(aside, "batch_id=__compacted__"))
+    storage.STORE.write_text(
+        os.path.join(aside, index_commit.MANIFEST),
+        json.dumps({"batches": ["b1", "b2"]}),
+    )
+    res = index_commit.sweep(root, spec)
+    assert res["restored"]
+    live_m = json.loads(
+        storage.STORE.read_text(os.path.join(live, index_commit.MANIFEST))
+    )
+    # the ledger travelled with the data: folded batches merged, b9 kept
+    assert set(live_m["batches"]) == {"b1", "b2", "b9"}
+    assert storage.STORE.isdir(os.path.join(live, "batch_id=__compacted__"))
