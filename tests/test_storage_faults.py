@@ -354,3 +354,85 @@ def test_index_append_during_compact_window_is_not_lost(spark, tmp_path, swap_st
         emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 60)),
         centroids, idx, batch_id=7,
     ) == []
+
+
+# ---------------------------------------------------------------------------
+# Fourth fault axis (round 14): non-atomic copy+delete rename (S3 without
+# conditional writes). storage.py has always CLAIMED every protocol here
+# tolerates a crash BETWEEN the copy and the delete — these tests make the
+# claim injected fact instead of docstring assertion.
+
+
+class CrashAfterCopyStore(storage.CopyDeleteStore):
+    """CopyDeleteStore whose next rename with ``dst_substr`` in its dst
+    crashes AFTER the copy and BEFORE the delete — both src and dst
+    survive, the protocol sees the rename fail."""
+
+    def __init__(self):
+        self._armed: str | None = None
+        self.crashed: list[str] = []
+
+    def arm(self, dst_substr: str) -> None:
+        self._armed = dst_substr
+
+    def _post_copy_hook(self, src: str, dst: str) -> None:
+        if self._armed and self._armed in dst:
+            self._armed = None
+            self.crashed.append(dst)
+            raise OSError(f"simulated crash between copy and delete: {dst}")
+
+
+def test_copydelete_protocols_pass_end_to_end(spark, tmp_path, swap_store):  # noqa: F811
+    """The full refresh/replay/compact/read cycle runs unmodified on
+    copy+delete rename semantics (no atomicity anywhere)."""
+    swap_store(CrashAfterCopyStore())
+    r, expect = _rollup_with_two_batches(spark, str(tmp_path / "rollup"))
+    assert _rows(r) == expect
+    assert r.compact() == ["2024-01-01"]
+    assert _rows(r) == expect
+    # absorbed replay still skips through the manifest
+    assert r.refresh(
+        _events(spark, [(2, "2024-01-01 00:30:00", 2, "click", 3.0)]), batch_id=2
+    ) == []
+    assert _rows(r) == expect
+
+
+def test_copydelete_crash_window_first_rename(spark, tmp_path, swap_store):  # noqa: F811
+    """Crash between copy and delete on the swap's FIRST rename (live ->
+    aside): both the live day and the aside copy survive. Sweep must
+    classify the aside as covered debris (the live dir holds every batch
+    the copy holds), reclaim it, and leave the data intact for a clean
+    retry."""
+    store = swap_store(CrashAfterCopyStore())
+    r, expect = _rollup_with_two_batches(spark, str(tmp_path / "rollup"))
+
+    store.arm("_old_day_2024-01-01")
+    with pytest.raises(OSError, match="between copy and delete"):
+        r.compact()
+    assert store.crashed
+    out = r.sweep(min_age_s=0)
+    assert any(n.startswith("_old_day_2024-01-01") for n in out["reclaimed"])
+    assert _rows(r) == expect
+    assert r.compact() == ["2024-01-01"]  # clean retry
+    assert _rows(r) == expect
+
+
+def test_copydelete_crash_window_second_rename(spark, tmp_path, swap_store):  # noqa: F811
+    """Crash between copy and delete on the swap's SECOND rename (staged
+    -> live): the compacted live day exists AND the staged source
+    survives, with the pre-compact aside still parked. Sweep reclaims the
+    covered aside and the stale staging dir; reads are correct; absorbed
+    replay still skips."""
+    store = swap_store(CrashAfterCopyStore())
+    r, expect = _rollup_with_two_batches(spark, str(tmp_path / "rollup"))
+
+    store.arm("/day=2024-01-01")  # first rename's dst is the aside, not this
+    with pytest.raises(OSError, match="between copy and delete"):
+        r.compact()
+    out = r.sweep(min_age_s=0)
+    assert any(n.startswith("_old_day_2024-01-01") for n in out["reclaimed"])
+    assert _rows(r) == expect
+    assert r.refresh(
+        _events(spark, [(2, "2024-01-01 00:30:00", 2, "click", 3.0)]), batch_id=2
+    ) == []
+    assert _rows(r) == expect
