@@ -6243,6 +6243,61 @@ TEXT_LANG_CONFUSION_SQL = f"""
 """
 
 
+
+def sim_matryoshka_recall(spark, sf_dir):
+    """Recall diagnostic for the prefix-rerank form: does the d=16 prefix
+    top-50 shortlist contain the true full-dimension top-5? Per query:
+    exact top-5 (brute-force rounded cosine, the sim_recall_at_k truth
+    convention) LEFT JOINed to sim_matryoshka_topk's output — n_hits and
+    recall are EXACT deterministic values on both engines (no agreement
+    flag needed: both sides are fully SQL-reconstructible), so this is
+    the m/k tuning loop in-engine, the matryoshka twin of
+    sim_recall_at_k. Truth side is 10 queries x N BLAS; at 100 TB the
+    truth side runs over a query sample exactly like the other recall
+    rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    got = similarity.matryoshka_topk(
+        emb, qs, d_prefix=16, m_shortlist=50, k=5
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    exact = similarity.cosine_topk_vectorized(emb, qs, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        exact.join(got, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce("__hit", F.lit(0))) / F.count("*"), 4
+            ).alias("recall"),
+        )
+    )
+
+
+SIM_MATRYOSHKA_RECALL_SQL = f"""
+    WITH m AS ({SIM_MATRYOSHKA_SQL}),
+    emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),
+    allp AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROUND(list_dot_product(q.qv, c.v)
+                     / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_sim
+        FROM q CROSS JOIN emb c WHERE c.vec_id != q.query_id),
+    ex AS (SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS r
+           FROM allp)
+    SELECT e.query_id, COUNT(*)::BIGINT AS n_exact,
+           COUNT(m.neighbor_id)::BIGINT AS n_hits,
+           ROUND(COUNT(m.neighbor_id) / CAST(COUNT(*) AS DOUBLE), 4) AS recall
+    FROM ex e LEFT JOIN m ON m.query_id = e.query_id AND m.neighbor_id = e.neighbor_id
+    WHERE e.r <= 5
+    GROUP BY e.query_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -----------------------------------------------------------------
     # The driver's CORRECTNESS gate covers the FIRST 50 entries of this
@@ -6261,6 +6316,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_vocab_hll": text_vocab_hll,
     "q_quantiles_sketch": q_quantiles_sketch,
     "text_lang_confusion": text_lang_confusion,
+    "sim_matryoshka_recall": sim_matryoshka_recall,
     # --- round-13 new ops ---
     "mm_phash_indexed": mm_phash_indexed,
     "sim_hybrid_rrf": sim_hybrid_rrf,
@@ -6452,6 +6508,7 @@ _GATE_HEAD_R14 = [
     "text_char_entropy", "text_zipf_slope", "curate_sqrt_stratified",
     "graph_triangle_count", "sim_matryoshka_topk", "dedup_minhash_est",
     "text_vocab_hll", "q_quantiles_sketch", "text_lang_confusion",
+    "sim_matryoshka_recall",
     # semantics/plan changed this round -> re-gate
     "mm_phash_pairs", "mm_phash_keep", "mm_phash_indexed",
     "q_recursive_hierarchy",
@@ -6472,7 +6529,6 @@ _GATE_HEAD_R14 = [
     "q5_revenue_by_nation", "q6_forecast_revenue", "q7_volume_shipping",
     "q8_market_share", "q13_order_count_distribution", "q14_promo_revenue",
     "q15_top_supplier", "q16_supplier_variety", "q17_small_quantity",
-    "q18_large_volume_customers",
 ]
 assert len(_GATE_HEAD_R14) == 50 and len(set(_GATE_HEAD_R14)) == 50
 QUERIES = {
@@ -6505,6 +6561,7 @@ ORACLES: dict[str, Optional[str]] = {
     "graph_triangle_count": GRAPH_TRIANGLES_SQL,
     "sim_matryoshka_topk": SIM_MATRYOSHKA_SQL,
     "dedup_minhash_est": DEDUP_MINHASH_EST_SQL,
+    "sim_matryoshka_recall": SIM_MATRYOSHKA_RECALL_SQL,
     "text_vocab_hll": TEXT_VOCAB_HLL_SQL,
     "q_quantiles_sketch": Q_QUANTILES_SKETCH_SQL,
     "text_lang_confusion": TEXT_LANG_CONFUSION_SQL,

@@ -27,7 +27,7 @@ def test_oracles_subset_of_queries():
     assert set(qs) - set(oracles) == set()
     # the driver gates the first 50 entries. Round-14 rotation
     # (recomputed from the CORRECTNESS_r*.json files; entering
-    # distribution r10:10 / r11:50 / r12:47 / r13:50): the 9 new r14
+    # distribution r10:10 / r11:50 / r12:47 / r13:50): the 10 new r14
     # ops gate first, then the 4 rows whose semantics/plan changed this
     # round re-gate (12-pair covering band family + in-Arrow fold for
     # the three mm_phash rows; re-aliased recursive-CTE anchor), then
@@ -40,10 +40,11 @@ def test_oracles_subset_of_queries():
 
     first50 = list(qs)[:50]
     assert first50 == workload._GATE_HEAD_R14
-    assert first50[:13] == [
+    assert first50[:14] == [
         "text_char_entropy", "text_zipf_slope", "curate_sqrt_stratified",
         "graph_triangle_count", "sim_matryoshka_topk", "dedup_minhash_est",
         "text_vocab_hll", "q_quantiles_sketch", "text_lang_confusion",
+        "sim_matryoshka_recall",
         "mm_phash_pairs", "mm_phash_keep", "mm_phash_indexed",
         "q_recursive_hierarchy",
     ]

@@ -287,3 +287,19 @@ def test_sweep_merges_aside_manifest_into_live_manifest(tmp_path):
     # the ledger travelled with the data: folded batches merged, b9 kept
     assert set(live_m["batches"]) == {"b1", "b2", "b9"}
     assert storage.STORE.isdir(os.path.join(live, "batch_id=__compacted__"))
+
+
+def test_matryoshka_recall_full_prefix_is_perfect(spark):
+    """With d_prefix = full dimension the shortlist ordering IS the exact
+    ordering, so recall@5 at m=50 must be 1.0 for every query; the gated
+    d=16 form's recall is whatever the corpus gives (measured, not
+    pinned), but n_exact is always k."""
+    from execute_sync_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5)
+    got = similarity.matryoshka_topk(emb, qs, d_prefix=64, m_shortlist=50, k=5)
+    exact = similarity.cosine_topk_vectorized(emb, qs, k=5)
+    g = {(r.query_id, r.neighbor_id) for r in got.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    assert g == e
