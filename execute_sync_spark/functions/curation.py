@@ -384,6 +384,21 @@ def temperature_mixture(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.size(_tokens(text_col))).cast("long").alias("n_tokens"),
     )
+    return mixture_from_counts(counts, temperature, group_col=group_col)
+
+
+def mixture_from_counts(
+    counts: DataFrame, temperature: float = 0.7, group_col: str = "source"
+) -> DataFrame:
+    """The mixture math over a pre-aggregated per-domain (n_docs,
+    n_tokens) relation — ONE body shared by ``temperature_mixture`` (which
+    derives counts from a corpus scan) and the streaming-maintained stats
+    path (``streaming/mixture.py``), so the two physical forms cannot
+    drift. Integer counts aggregate exactly; every double rounds at 6 dp
+    only after the divisions, so any counts-equal inputs produce
+    bit-equal mixtures."""
+    if not 0 < temperature <= 1:
+        raise ValueError(f"temperature must be in (0, 1], got {temperature}")
     scaled = F.pow(F.col("n_tokens").cast("double"), F.lit(float(temperature)))
     totals = counts.select(scaled.alias("__s"), F.col("n_tokens")).agg(
         F.sum("__s").alias("__pow_total"),

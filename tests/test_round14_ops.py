@@ -303,3 +303,88 @@ def test_matryoshka_recall_full_prefix_is_perfect(spark):
     g = {(r.query_id, r.neighbor_id) for r in got.collect()}
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     assert g == e
+
+
+# ---------------------------------------------------------------------------
+# streaming-maintained mixture stats
+
+
+def _mix_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def _mix_rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_stream_mixture_maintenance_equals_flat(spark, tmp_path):
+    """After any prefix of micro-batches, mixture_from_stats equals
+    temperature_mixture run flat over every document delivered so far —
+    cadence, restart, and replay included."""
+    import os
+
+    from execute_sync_spark.functions import curation
+    from execute_sync_spark.streaming.mixture import (
+        mixture_from_stats,
+        stream_mixture_maintenance,
+        write_mixture_stats,
+    )
+
+    base = _mix_docs(spark, [
+        (1, "alpha beta gamma delta", "src0"),
+        (2, "one two three", "src0"),
+        (3, "uno dos", "src1"),
+    ])
+    stats = str(tmp_path / "mix_stats")
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(feed)
+    write_mixture_stats(base, stats, "__base__")
+    assert _mix_rows(mixture_from_stats(spark, stats)) == _mix_rows(
+        curation.temperature_mixture(base)
+    )
+
+    # two feed files, drained one per micro-batch
+    b1 = _mix_docs(spark, [(4, "more text for source one", "src1")])
+    b2 = _mix_docs(spark, [(5, "a new third source appears here", "src2"),
+                           (6, "and grows", "src2")])
+    b1.coalesce(1).write.mode("append").parquet(feed)
+    stream_mixture_maintenance(spark, feed, stats, ckpt)
+    flat1 = base.unionByName(b1)
+    assert _mix_rows(mixture_from_stats(spark, stats)) == _mix_rows(
+        curation.temperature_mixture(flat1)
+    )
+
+    # restart with the same checkpoint: only the NEW file is processed
+    b2.coalesce(1).write.mode("append").parquet(feed)
+    stream_mixture_maintenance(spark, feed, stats, ckpt)
+    flat2 = flat1.unionByName(b2)
+    assert _mix_rows(mixture_from_stats(spark, stats)) == _mix_rows(
+        curation.temperature_mixture(flat2)
+    )
+
+    # replayed batch overwrites itself: re-writing e.g. the base stats is
+    # value-identical, never double-counted
+    write_mixture_stats(base, stats, "__base__")
+    assert _mix_rows(mixture_from_stats(spark, stats)) == _mix_rows(
+        curation.temperature_mixture(flat2)
+    )
+
+
+def test_stream_mixture_starts_on_empty_feed(spark, tmp_path):
+    import os
+
+    from execute_sync_spark.streaming.mixture import (
+        mixture_from_stats,
+        stream_mixture_maintenance,
+        write_mixture_stats,
+    )
+
+    feed = str(tmp_path / "empty_feed")
+    os.makedirs(feed)
+    stats = str(tmp_path / "stats")
+    write_mixture_stats(
+        _mix_docs(spark, [(1, "seed words", "src0")]), stats, "__base__"
+    )
+    stream_mixture_maintenance(spark, feed, stats, str(tmp_path / "ck"))
+    assert mixture_from_stats(spark, stats).count() == 1
