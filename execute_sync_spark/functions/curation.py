@@ -503,3 +503,90 @@ def sqrt_stratified_sample(
     return ranked.filter(F.col("__rk") <= F.col("quota")).select(
         id_col, *strata, "stratum_size", "quota"
     )
+
+
+def nb_quality_classifier(
+    docs: DataFrame,
+    positive: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Learned quality classifier — the CCNet/GPT-3 fastText-filter
+    pattern (Wenzek et al. 2020; Brown et al. 2020 Appendix A) trained
+    IN-ENGINE: a multinomial Naive-Bayes token model over a labeled split
+    of the corpus (``positive`` marks the reference/high-quality class),
+    then every document scored by its token log-odds sum. At pretraining
+    scale this is the standard "train a cheap linear classifier on a
+    trusted reference corpus, keep documents it scores as reference-like"
+    filter; Naive Bayes makes the weights DETERMINISTIC aggregates (token
+    log-odds = two smoothed frequency ratios) instead of an SGD artifact,
+    so the whole model is reconstructible by the DuckDB oracle — the
+    ``dsir_weights`` precedent (reference: GPT-3's WebText-vs-CommonCrawl
+    logistic filter; the NB form is the closed-form member of that linear
+    family).
+
+    Model: per token t, ``log_odds(t) = ln((c_pos(t)+1)/(N_pos+V)) -
+    ln((c_neg(t)+1)/(N_neg+V))`` (Laplace smoothing over the SHARED
+    vocabulary V); per doc, ``nb_score = ln(n_pos_docs/n_neg_docs) +
+    sum_t tf(t)*log_odds(t)`` and ``pred_hq = nb_score > 0`` — exact MAP
+    classification under multinomial NB.
+
+    Physical shape (the dsir_weights dataflow): one explode -> one
+    (doc, token) count aggregation (map-side combined); BOTH class
+    frequency tables come from ONE conditional aggregation over that
+    relation (sum(tf) filtered by label — a single token-keyed shuffle,
+    not one per class); totals are a broadcast 1-row cross-join; scoring
+    joins tf to the token-weights relation (vocabulary-sized, never
+    broadcast, never collected) and re-aggregates per doc. No iteration,
+    no driver-side model state — at 100 TB the 'model' is a DataFrame."""
+    from execute_sync_spark.functions.text import tokens
+
+    lab = docs.select(
+        F.col(id_col), positive.cast("boolean").alias("__pos"),
+        F.col(text_col),
+    )
+    tok = lab.select(
+        F.col(id_col), "__pos", F.explode_outer(tokens(text_col)).alias("token")
+    ).filter(F.col("token").isNotNull() & (F.col("token") != ""))
+    tf = tok.groupBy(id_col, "__pos", "token").agg(F.count("*").alias("tf"))
+    # one shuffle builds both class frequency tables + the shared vocab
+    freq = tf.groupBy("token").agg(
+        F.sum(F.when(F.col("__pos"), F.col("tf")).otherwise(0)).alias("cp"),
+        F.sum(F.when(~F.col("__pos"), F.col("tf")).otherwise(0)).alias("cn"),
+    )
+    totals = freq.agg(
+        F.sum("cp").cast("double").alias("_np"),
+        F.sum("cn").cast("double").alias("_nn"),
+        F.count("*").cast("double").alias("_v"),
+    ).crossJoin(
+        F.broadcast(
+            lab.agg(
+                F.sum(F.when(F.col("__pos"), 1).otherwise(0))
+                .cast("double").alias("_dp"),
+                F.sum(F.when(~F.col("__pos"), 1).otherwise(0))
+                .cast("double").alias("_dn"),
+            )
+        )
+    )
+    log_odds = F.log((F.col("cp") + 1) / (F.col("_np") + F.col("_v"))) - F.log(
+        (F.col("cn") + 1) / (F.col("_nn") + F.col("_v"))
+    )
+    prior = F.log(F.col("_dp") / F.col("_dn"))
+    scored = (
+        tf.join(freq, "token")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col, "__pos")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.first(prior) + F.sum(F.col("tf") * log_odds), 6
+            ).alias("nb_score"),
+        )
+    )
+    return scored.select(
+        id_col,
+        F.col("__pos").alias("label_hq"),
+        "n_tokens",
+        "nb_score",
+        (F.col("nb_score") > 0).alias("pred_hq"),
+    )

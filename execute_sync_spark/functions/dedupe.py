@@ -94,8 +94,15 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     shingle_k: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature: mh_i = min over shingles of H(i # s).
+
+    ``shingles`` (the ``ngram_jaccard_pairs`` contract, ADVICE r14): a
+    precomputed ``word_shingles`` relation to aggregate instead of
+    re-deriving one from ``docs`` — lets a caller that already
+    materialized the shingle pass (``minhash_estimate_vs_true``) feed both
+    sides from ONE scan.
 
     Physical shape: explode shingles -> md5-hash each ONCE (codegen'd) ->
     groupBy(doc) with k arithmetic MIN aggregates. Map-side partial
@@ -109,9 +116,12 @@ def minhash_signatures(
     Sizing num_hashes/shingle_k at corpus scale: COVERAGE.md "Scale tuning
     knobs"."""
     assert num_hashes <= len(MINHASH_A)
-    hashed = word_shingles(docs, text_col, id_col, k=shingle_k).select(
-        F.col(id_col), h32("shingle").alias("h")
+    sh = (
+        shingles
+        if shingles is not None
+        else word_shingles(docs, text_col, id_col, k=shingle_k)
     )
+    hashed = sh.select(F.col(id_col), h32("shingle").alias("h"))
     aggs = [
         F.min((F.col("h") * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).alias(f"mh{i}")
         for i in range(num_hashes)
@@ -690,7 +700,8 @@ def minhash_estimate_vs_true(
         threshold=threshold, max_df=max_df, shingles=sh,
     )
     sigs = minhash_signatures(docs, text_col, id_col,
-                              num_hashes=num_hashes, shingle_k=shingle_k)
+                              num_hashes=num_hashes, shingle_k=shingle_k,
+                              shingles=sh)
     sa = sigs.select(
         F.col(id_col).alias("id_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)],

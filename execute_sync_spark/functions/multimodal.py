@@ -328,6 +328,22 @@ def payload_simhash(binaries: DataFrame, id_col: str = "doc_id", bits: int = PHA
     return binaries.select(id_col, "content").mapInPandas(run, schema=out_schema)
 
 
+def _check_max_hamming(max_hamming: int) -> None:
+    """Candidate generation via the 12-pair covering family is complete
+    only at hamming <= PHASH_MAX_HAMMING (=5): 6 flips can leave just 2
+    intact bands on OPPOSITE halves, whose pair is not in the family, so a
+    caller passing max_hamming=6 — exact under the old C(8,2)=28 family —
+    would silently lose pairs. Fail loudly instead (ADVICE r14)."""
+    if max_hamming > PHASH_MAX_HAMMING:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds PHASH_MAX_HAMMING="
+            f"{PHASH_MAX_HAMMING}: the 12-pair covering band family is not "
+            "a complete candidate generator beyond 5 bit flips (see "
+            "_PHASH_COMBOS); use the exact pairwise path or widen the "
+            "combo family"
+        )
+
+
 def phash_combos(ph: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, ci, cj, v): one row per combo in the 12-pair covering family
     ``_PHASH_COMBOS`` over the phash's 8 primitive 8-bit bands, ``v`` the
@@ -378,6 +394,7 @@ def phash_pairs(
     docs onto one combo value, and a bucket of m contributes m^2 candidate
     pairs — drop buckets larger than the valve before the self-join
     (mirrored by the oracle when set)."""
+    _check_max_hamming(max_hamming)
     ph = payload_simhash(binaries, id_col).localCheckpoint(eager=True)
     combos = phash_combos(ph, id_col)
     if max_bucket is not None:
@@ -521,6 +538,7 @@ def phash_neighbors_indexed(
     partitions with the per-combo v IN (...) list pushed into the sorted
     row groups. Candidates broadcast-join the (tiny) query combo set and
     hamming-verify JVM-side; no corpus self-join anywhere."""
+    _check_max_hamming(max_hamming)
     from execute_sync_spark.functions import index_commit
     from execute_sync_spark import storage
     from pyspark.errors import AnalysisException

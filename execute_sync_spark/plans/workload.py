@@ -1455,6 +1455,56 @@ TEXT_CORPUS_STATS_SQL = r"""
 """
 
 
+def curate_quality_classifier(spark, sf_dir):
+    """Learned quality classifier (VERDICT r14 task 4 — the CCNet/GPT-3
+    fastText-filter pattern): a multinomial Naive-Bayes token model
+    trained IN-ENGINE on the corpus's own labels (positive class = the
+    English slice, the curate_dsir_weights target convention), then every
+    document scored by its token log-odds sum and MAP-classified. The
+    weights are deterministic aggregates (two smoothed frequency ratios
+    per token), so the full train+score round trip is exactly
+    reconstructible by the oracle — the DSIR precedent applied to the one
+    standard LLM-pipeline operator family that was still absent. Dataflow:
+    functions/curation.py nb_quality_classifier (one token-keyed shuffle
+    builds both class frequency tables; scoring is a vocabulary join +
+    per-doc re-aggregation — never a broadcast of the vocabulary, never a
+    collected model)."""
+    return curation.nb_quality_classifier(
+        _docs_wide(spark, sf_dir), positive=F.col("lang") == "en"
+    )
+
+
+CURATE_QUALITY_CLASSIFIER_SQL = r"""
+    WITH lab AS (SELECT doc_id, lang = 'en' AS pos, text FROM documents),
+    tok AS (
+        SELECT doc_id, pos,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        FROM lab),
+    tok2 AS (SELECT * FROM tok WHERE token != ''),
+    tf AS (SELECT doc_id, pos, token, COUNT(*) AS tf FROM tok2 GROUP BY 1, 2, 3),
+    freq AS (SELECT token,
+                    SUM(CASE WHEN pos THEN tf ELSE 0 END) AS cp,
+                    SUM(CASE WHEN NOT pos THEN tf ELSE 0 END) AS cn
+             FROM tf GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cp) AS DOUBLE) AS np, CAST(SUM(cn) AS DOUBLE) AS nn,
+                   CAST(COUNT(*) AS DOUBLE) AS v
+            FROM freq),
+    dc AS (SELECT CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) AS dp,
+                  CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS DOUBLE) AS dn
+           FROM lab),
+    s AS (
+        SELECT doc_id, pos,
+               CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               ROUND(ln(dp / dn)
+                     + SUM(tf * (ln((cp + 1) / (np + v)) - ln((cn + 1) / (nn + v)))),
+                     6) AS nb_score
+        FROM tf JOIN freq USING (token) CROSS JOIN tot CROSS JOIN dc
+        GROUP BY doc_id, pos, dp, dn)
+    SELECT doc_id, pos AS label_hq, n_tokens, nb_score, nb_score > 0 AS pred_hq
+    FROM s
+"""
+
+
 def curate_dsir_weights(spark, sf_dir):
     """DSIR importance weights (Xie et al. 2023): every document scored by
     mean log(p_target/p_source) of its tokens, target = the English slice
@@ -4993,6 +5043,12 @@ def mm_phash_keep(spark, sf_dir):
     Scale shape: components is the capped star-contraction over the
     (tiny) pair relation; the doc join broadcasts the cluster map at this
     SF and co-partitions at scale; one window on cluster_id."""
+    return _mm_phash_keep_df(spark, sf_dir)
+
+
+def _mm_phash_keep_df(spark, sf_dir):
+    """The mm_phash_keep relation, shared with the composed
+    ``curate_pipeline_mm`` row (pairs -> components -> canonical keep)."""
     from execute_sync_spark.functions.graph import connected_components
 
     bm = multimodal.binary_with_meta(_docs(spark, sf_dir))
@@ -5099,6 +5155,83 @@ MM_PHASH_INDEXED_SQL = f"""
     JOIN ph pa ON pa.doc_id = i.query_id
     JOIN ph pb ON pb.doc_id = i.neighbor_id
     WHERE bit_count(xor(pa.phash, pb.phash)) <= {multimodal.PHASH_MAX_HAMMING}
+"""
+
+
+def curate_pipeline_mm(spark, sf_dir):
+    """End-to-end MULTIMODAL curation pipeline (VERDICT r14 task 3) — the
+    mm twin of ``curate_pipeline_fuzzy``, composed as ONE query because
+    this is the composition a real image-corpus curation run executes:
+    payload SimHash near-dup PAIRS (Arrow decode + banded candidates,
+    ``mm_phash_pairs``) -> connected-component clusters -> deterministic
+    canonical KEEP (largest payload, tie to lowest id — ``mm_phash_keep``)
+    -> resize-plan/export geometry for the survivors (``mm_resize_plan``'s
+    max-side-256 aspect-preserving arithmetic). Output: one row per
+    surviving document, its cluster identity plus the export geometry the
+    image writer would execute.
+
+    Scale shape: every stage is the already-measured one — the pair
+    finder's decode is one Arrow pass with the max_bucket valve on, the
+    component closure runs over only the (tiny) pair relation, the keep
+    window shuffles on cluster_id once, and the resize plan is shuffle-free
+    per-row arithmetic on the survivors; composing them adds ONE broadcast
+    join (survivor ids onto geometry), no new corpus scan. Oracle: the
+    shared phash CTE chain + recursive closure + keep window + resize
+    CASE arithmetic, composed exactly like the engine."""
+    keep = _mm_phash_keep_df(spark, sf_dir)
+    w = (F.lit(640) + F.col("doc_id") % 640).cast("long")
+    h = (F.lit(360) + (F.col("doc_id") * 7) % 360).cast("long")
+    scale = F.lit(256.0) / F.greatest(w, h)
+    needs = F.greatest(w, h) > 256
+    return keep.select(
+        "doc_id",
+        "cluster_id",
+        "n_members",
+        "byte_len",
+        w.alias("src_w"),
+        h.alias("src_h"),
+        F.when(needs, F.round(w * scale).cast("long")).otherwise(w).alias("out_w"),
+        F.when(needs, F.round(h * scale).cast("long")).otherwise(h).alias("out_h"),
+        needs.alias("resized"),
+    )
+
+
+CURATE_PIPELINE_MM_SQL = f"""
+    WITH RECURSIVE {_MM_PHASH_CTE},
+    edges AS (SELECT id_a AS s, id_b AS d FROM phpairs
+              UNION ALL SELECT id_b, id_a FROM phpairs),
+    walk(id, lab) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, w.lab FROM walk w JOIN edges e ON e.s = w.id),
+    clusters AS (SELECT id, MIN(lab) AS cluster_id FROM walk GROUP BY id),
+    j AS (
+        SELECT b.doc_id,
+               COALESCE(c.cluster_id, b.doc_id) AS cluster_id,
+               b.byte_len
+        FROM b LEFT JOIN clusters c ON c.id = b.doc_id),
+    r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY byte_len DESC, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+        FROM j),
+    keep AS (SELECT doc_id, cluster_id, CAST(n_members AS BIGINT) AS n_members,
+                    byte_len
+             FROM r WHERE rn = 1),
+    geo AS (SELECT doc_id,
+                   CAST(640 + doc_id % 640 AS BIGINT) AS src_w,
+                   CAST(360 + (doc_id * 7) % 360 AS BIGINT) AS src_h
+            FROM documents)
+    SELECT k.doc_id, k.cluster_id, k.n_members, k.byte_len, g.src_w, g.src_h,
+           CASE WHEN GREATEST(g.src_w, g.src_h) > 256
+                THEN CAST(ROUND(g.src_w * (CAST(256 AS DOUBLE) / GREATEST(g.src_w, g.src_h))) AS BIGINT)
+                ELSE g.src_w END AS out_w,
+           CASE WHEN GREATEST(g.src_w, g.src_h) > 256
+                THEN CAST(ROUND(g.src_h * (CAST(256 AS DOUBLE) / GREATEST(g.src_w, g.src_h))) AS BIGINT)
+                ELSE g.src_h END AS out_h,
+           GREATEST(g.src_w, g.src_h) > 256 AS resized
+    FROM keep k JOIN geo g USING (doc_id)
 """
 
 
@@ -6306,6 +6439,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ``_GATE_HEAD_R14`` — see the comment there for the r14 rotation
     # rationale. New queries are registered in this dict anywhere and
     # promoted into the gate window via the head list.
+    # --- round-15 new ops ---
+    "curate_pipeline_mm": curate_pipeline_mm,
+    "curate_quality_classifier": curate_quality_classifier,
     # --- round-14 new ops ---
     "text_char_entropy": text_char_entropy,
     "text_zipf_slope": text_zipf_slope,
@@ -6489,51 +6625,58 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # ---------------------------------------------------------------------------
-# Round-14 gate rotation (the driver gates the first 50 QUERIES entries).
-# Composition: 9 new r14 ops (6 operators + 3 sketch/QA agreement rows) +
-# Recomputed from the CORRECTNESS_r*.json files per the r12/r13 precedent —
-# latest-green distribution entering this round: r10:10 / r11:50 / r12:47 /
-# r13:50. The new ops gate first; then the 4 rows whose
-# SEMANTICS or PLAN changed this round re-gate (mm_phash_pairs / keep /
-# indexed moved to the 12-pair covering band family with the in-Arrow
-# SimHash fold; q_recursive_hierarchy's anchor was re-aliased); then the
-# whole r10 queue (the 10 rows VERDICT r13 task 3 names); the remaining 30
-# slots drain the r11 queue with every non-relational family first (all 14
-# non-q_ r11 rows, incl. the 3 cold-I/O anomaly rows q10/q11/q12 VERDICT
-# task 5 wants re-observed) and 16 relational q_ rows oldest-first. The 20
-# deferred r11 rows are all one family (relational q_*, which stays
-# in-window via q5-q22 and the window/asof rows) and lead the r15 queue.
-_GATE_HEAD_R14 = [
-    # round-14 new ops
-    "text_char_entropy", "text_zipf_slope", "curate_sqrt_stratified",
-    "graph_triangle_count", "sim_matryoshka_topk", "dedup_minhash_est",
-    "text_vocab_hll", "q_quantiles_sketch", "text_lang_confusion",
-    "sim_matryoshka_recall",
-    # semantics/plan changed this round -> re-gate
-    "mm_phash_pairs", "mm_phash_keep", "mm_phash_indexed",
-    "q_recursive_hierarchy",
-    # the r10 queue (age boundary)
-    "dedup_simhash", "text_token_count", "sim_ivf_topk",
-    "sim_ivf_multiprobe", "sim_ivfpq_topk", "sim_ivfpq_indexed",
-    "sim_lsh_topk", "sim_lsh_multiprobe", "sim_pq_topk",
-    "sim_quantized_topk",
-    # r11 queue: every non-relational family representative
-    "curate_domain_cap", "curate_dsir_resample", "curate_pipeline_fuzzy",
-    "curate_shard_assign", "dedup_lsh_recall",
-    "graph_centrality_keep_scaled", "graph_clusters_incremental",
-    "graph_doc_pagerank_scaled", "mm_resize_plan", "sim_ivfpq_rerank",
-    "sim_knn_join", "sim_knn_join_cells", "stream_sliding_counts",
-    "text_boilerplate_removal",
-    # r11 queue: relational rows oldest-first incl. the 3 anomaly rows
-    "q10_returned_items", "q11_important_parts", "q12_ship_lag_buckets",
-    "q5_revenue_by_nation", "q6_forecast_revenue", "q7_volume_shipping",
-    "q8_market_share", "q13_order_count_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q16_supplier_variety", "q17_small_quantity",
+# Round-15 gate rotation (the driver gates the first 50 QUERIES entries).
+# Recomputed from the fourteen CORRECTNESS_r*.json files per the r12-r14
+# precedent — latest-green distribution entering this round: r11:24 /
+# r12:46 / r13:47 / r14:50. Composition: the 2 new r15 ops gate first
+# (curate_pipeline_mm — the composed multimodal curation pipeline, VERDICT
+# r14 task 3 — and curate_quality_classifier — the in-engine NB quality
+# filter, task 4); then the 1 row whose PHYSICAL PLAN changed this round
+# (dedup_minhash_est: the signature side now consumes the checkpointed
+# shingle relation instead of re-shingling, ADVICE r14); then the ENTIRE
+# 24-row r11 queue (the age boundary — all relational §2.X, exactly the
+# list VERDICT r14 task 2 names); the remaining 23 slots start draining
+# the 46-row r12 queue family-diverse (every r12 family represented:
+# curate/dedup/d*/graph/mm/q/sim/stream/text/v, alphabetical inside each).
+# The 23 deferred r12 rows (curate_mixture_weights, curate_pack_sequences,
+# curate_stratified_sample, curate_weighted_sample, d3_superseded,
+# d_version_churn, dedup_lsh_pairs, dedup_minhash_sig, dedup_semantic,
+# q_event_funnel, q_range_band_join, q_scd2_history, q_skew_salted_agg,
+# q_unpivot_sink, sim_cosine_topk_vec, sim_range_search,
+# stream_sessionize_closed, text_ccnet_buckets_approx, text_redact_pii,
+# text_repetition, text_stats, v_shred_props, v_variant_shred_sink) lead
+# the r16 queue.
+_GATE_HEAD_R15 = [
+    # round-15 new ops
+    "curate_pipeline_mm", "curate_quality_classifier",
+    # physical plan changed this round -> re-gate
+    "dedup_minhash_est",
+    # the whole r11 queue (age boundary; VERDICT r14 task 2 list)
+    "q18_large_volume_customers", "q19_disjunctive_predicates",
+    "q20_supplier_semi_chain", "q22_idle_customers", "q_asof_join",
+    "q_asof_join_merge", "q_conditional_agg", "q_cube_qty",
+    "q_customers_without_orders", "q_date_funcs", "q_distinct_nations",
+    "q_except_intersect", "q_grouping_sets", "q_having_big_customers",
+    "q_percentiles", "q_pivot_status", "q_rollup_status", "q_sessionize",
+    "q_string_agg", "q_string_funcs", "q_top_supplier_per_nation",
+    "q_unpivot_measures", "q_window_funcs", "q_window_top3_orders",
+    # r12 queue, family-diverse first slice (23 of 46)
+    "curate_balanced_sample", "curate_chunk_windows", "curate_contamination",
+    "curate_dsir_weights_hashed", "curate_hash_split",
+    "dedup_containment_pairs_scaled", "dedup_embedding_pairs_expr",
+    "dedup_exact", "dedup_incremental",
+    "d1_latest_batch", "d2_change_feed",
+    "graph_doc_pagerank", "mm_binary_meta",
+    "q1_pricing_summary", "q_approx_distinct", "q_asof_join_banded",
+    "sim_cosine_topk", "sim_ivf_indexed", "sim_lsh_indexed",
+    "stream_purchase_attribution",
+    "text_bigram_top", "text_lang_id",
+    "v_explode_tokens",
 ]
-assert len(_GATE_HEAD_R14) == 50 and len(set(_GATE_HEAD_R14)) == 50
+assert len(_GATE_HEAD_R15) == 50 and len(set(_GATE_HEAD_R15)) == 50
 QUERIES = {
-    **{k: QUERIES[k] for k in _GATE_HEAD_R14},
-    **{k: v for k, v in QUERIES.items() if k not in set(_GATE_HEAD_R14)},
+    **{k: QUERIES[k] for k in _GATE_HEAD_R15},
+    **{k: v for k, v in QUERIES.items() if k not in set(_GATE_HEAD_R15)},
 }
 
 def text_ccnet_buckets_approx_pure(spark, sf_dir):
@@ -6554,6 +6697,9 @@ BENCH_EXTRA_QUERIES["dedup_semantic_sqrt"] = dedup_semantic_sqrt
 BENCH_EXTRA_QUERIES["text_ccnet_buckets_approx_pure"] = text_ccnet_buckets_approx_pure
 
 ORACLES: dict[str, Optional[str]] = {
+    # round-15 new ops
+    "curate_pipeline_mm": CURATE_PIPELINE_MM_SQL,
+    "curate_quality_classifier": CURATE_QUALITY_CLASSIFIER_SQL,
     # round-14 new ops
     "text_char_entropy": TEXT_CHAR_ENTROPY_SQL,
     "text_zipf_slope": TEXT_ZIPF_SLOPE_SQL,

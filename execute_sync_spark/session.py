@@ -17,7 +17,15 @@ from pyspark.sql import SparkSession
 _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
-def get_spark(app_name: str = "execute_sync_spark", cpus: str | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "execute_sync_spark",
+    cpus: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """``extra_conf``: configs that must be set BEFORE the SparkContext
+    exists (e.g. ``spark.scheduler.allocation.file`` for weighted FAIR
+    pools — tools/conc_sched_experiment.py). No effect on an already-
+    running session (getOrCreate reuses it), like every builder config."""
     cpus = cpus or _DEFAULT_CPUS
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -42,6 +50,8 @@ def get_spark(app_name: str = "execute_sync_spark", cpus: str | None = None) -> 
         # get_json_object over the same column into a single parse.
         .config("spark.sql.optimizer.enableJsonExpressionOptimization", "true")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

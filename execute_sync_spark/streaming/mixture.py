@@ -110,13 +110,15 @@ def stream_mixture_maintenance(
             batch_df, stats_path, f"e{epoch_id}", text_col, group_col
         )
 
-    q = (
-        stream.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    # The trigger is applied only under available_now (the streaming/phash.py
+    # and streaming/clusters.py pattern — ADVICE r14): a caller asking for a
+    # continuous maintenance stream must get one, not a silently drain-and-
+    # stop query that terminates after the currently available files.
+    writer = stream.writeStream.foreachBatch(upsert).option(
+        "checkpointLocation", checkpoint_dir
     )
     if available_now:
+        q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
         return q
-    return q
+    return writer.start()

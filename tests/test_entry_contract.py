@@ -25,35 +25,33 @@ def test_oracles_subset_of_queries():
     # round 6: every declared query has an oracle (mm_features gained a
     # DuckDB byte-histogram reconstruction, VERDICT r5 #1b)
     assert set(qs) - set(oracles) == set()
-    # the driver gates the first 50 entries. Round-14 rotation
+    # the driver gates the first 50 entries. Round-15 rotation
     # (recomputed from the CORRECTNESS_r*.json files; entering
-    # distribution r10:10 / r11:50 / r12:47 / r13:50): the 10 new r14
-    # ops gate first, then the 4 rows whose semantics/plan changed this
-    # round re-gate (12-pair covering band family + in-Arrow fold for
-    # the three mm_phash rows; re-aliased recursive-CTE anchor), then
-    # the whole r10 queue, then 30 r11 rows — all 14 non-relational
-    # r11 rows (incl. the 3 cold-I/O anomaly rows) + 16 relational
-    # oldest-first. The 20 deferred r11 rows are all relational q_*
-    # (family stays in-window) and lead the r15 queue — the full list
-    # and rationale live at workload._GATE_HEAD_R14.
+    # distribution r11:24 / r12:46 / r13:47 / r14:50): the 2 new r15
+    # ops gate first, then the 1 row whose physical plan changed this
+    # round (dedup_minhash_est: one-shingle-pass threading, ADVICE r14),
+    # then the ENTIRE 24-row r11 age-boundary queue (all relational
+    # §2.X — the VERDICT r14 task 2 list), then a 23-row family-diverse
+    # slice of the r12 queue. The 23 deferred r12 rows lead the r16
+    # queue — full list and rationale at workload._GATE_HEAD_R15.
     from execute_sync_spark.plans import workload
 
     first50 = list(qs)[:50]
-    assert first50 == workload._GATE_HEAD_R14
-    assert first50[:14] == [
-        "text_char_entropy", "text_zipf_slope", "curate_sqrt_stratified",
-        "graph_triangle_count", "sim_matryoshka_topk", "dedup_minhash_est",
-        "text_vocab_hll", "q_quantiles_sketch", "text_lang_confusion",
-        "sim_matryoshka_recall",
-        "mm_phash_pairs", "mm_phash_keep", "mm_phash_indexed",
-        "q_recursive_hierarchy",
+    assert first50 == workload._GATE_HEAD_R15
+    assert first50[:3] == [
+        "curate_pipeline_mm", "curate_quality_classifier",
+        "dedup_minhash_est",
     ]
-    # the whole r10 age-boundary queue is inside the window
+    # the whole r11 age-boundary queue is inside the window
     assert {
-        "dedup_simhash", "text_token_count", "sim_ivf_topk",
-        "sim_ivf_multiprobe", "sim_ivfpq_topk", "sim_ivfpq_indexed",
-        "sim_lsh_topk", "sim_lsh_multiprobe", "sim_pq_topk",
-        "sim_quantized_topk",
+        "q18_large_volume_customers", "q19_disjunctive_predicates",
+        "q20_supplier_semi_chain", "q22_idle_customers", "q_asof_join",
+        "q_asof_join_merge", "q_conditional_agg", "q_cube_qty",
+        "q_customers_without_orders", "q_date_funcs", "q_distinct_nations",
+        "q_except_intersect", "q_grouping_sets", "q_having_big_customers",
+        "q_percentiles", "q_pivot_status", "q_rollup_status", "q_sessionize",
+        "q_string_agg", "q_string_funcs", "q_top_supplier_per_nation",
+        "q_unpivot_measures", "q_window_funcs", "q_window_top3_orders",
     } <= set(first50)
     first50 = set(first50)
     # the extension families stay represented in the window
