@@ -357,13 +357,58 @@ def main() -> None:
     # streaming/corpus queries start immediately instead of landing on an
     # already-loaded stream near the end
     order = sorted(workload.QUERIES.items(), key=lambda kv: -times[kv[0]])
+
+    # Optional weighted-token admission (round 15, default OFF): each query
+    # carries a token weight ~ its sequential seconds and total in-flight
+    # weight is capped, so heavies run against bounded light concurrency.
+    # The r15 head-to-head (BENCH_DETAIL experiments.conc_sched_r15 +
+    # conc_driver_cpu_r15) measured it cutting heavy in-stream dilation
+    # 5.3x -> 1.5x at IDENTICAL wall — the wall is driver-python-bound
+    # (~30-33 GIL-serialized core-seconds of per-query plan construction,
+    # invariant across every scheduling config; cores 47-64% idle; no hot
+    # JVM scheduler thread), so this is a per-query-latency-fairness knob,
+    # not a throughput one. Enable with SPARK_GRAFT_BENCH_TOKENS=48.
+    tokens = int(os.environ.get("SPARK_GRAFT_BENCH_TOKENS", "0"))
+    token_pool = None
+    if tokens:
+        import math
+        import threading
+
+        class _TokenPool:
+            def __init__(self, n):
+                self.n = n
+                self.cv = threading.Condition()
+
+            def acquire(self, w):
+                with self.cv:
+                    while self.n < w:
+                        self.cv.wait()
+                    self.n -= w
+
+            def release(self, w):
+                with self.cv:
+                    self.n += w
+                    self.cv.notify_all()
+
+        token_pool = _TokenPool(tokens)
+        weights = {
+            name: max(1, min(16, math.ceil(times.get(name, 0.5) / 0.5)))
+            for name, _ in order
+        }
+
     t0 = time.perf_counter()
     trace: dict[str, tuple[float, float]] = {}
 
     def _run(item):
         name, fn = item
+        if token_pool:
+            token_pool.acquire(weights[name])
         s = time.perf_counter() - t0
-        fn(spark, sf_dir).collect()
+        try:
+            fn(spark, sf_dir).collect()
+        finally:
+            if token_pool:
+                token_pool.release(weights[name])
         trace[name] = (round(s, 3), round(time.perf_counter() - t0, 3))
 
     with ThreadPoolExecutor(max_workers=streams) as ex:
