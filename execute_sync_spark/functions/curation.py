@@ -590,3 +590,84 @@ def nb_quality_classifier(
         "nb_score",
         (F.col("nb_score") > 0).alias("pred_hq"),
     )
+
+
+def nb_quality_classifier_hashed(
+    docs: DataFrame,
+    positive: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10000,
+) -> DataFrame:
+    """``nb_quality_classifier`` with the hashed-vocabulary state bound —
+    the production twin at 100 TB, mirroring ``dsir_weights_hashed``
+    exactly: every token maps to ``h32(token) % n_buckets`` BEFORE any
+    counting, so the model state (the two class frequency tables) is
+    bounded at ``n_buckets`` rows regardless of corpus size — small
+    enough to BROADCAST, collapsing the scoring join into a map-side
+    lookup. The unhashed form's weights relation is the open vocabulary
+    (billions of rows at web scale, one vocabulary-keyed shuffle to build
+    + one to score); the hashed form shuffles ≤ n_buckets rows total.
+
+    The NB math is unchanged, applied to bucket counts: Laplace smoothing
+    over V = occupied buckets (≤ n_buckets), log-odds per bucket, doc
+    score = prior + Σ tf·log_odds. Collision error is the
+    dsir_weights_hashed analysis verbatim: a token shares its bucket with
+    ~(V_tokens-1)/B others, blending its log-odds with the colliding
+    probability mass — the fastText hashing-trick bucket count (the
+    2M-bucket default in the paper; 10k here matches the DSIR default
+    and the paper-measured selection-quality preservation)."""
+    from execute_sync_spark.functions.hashing import h32
+    from execute_sync_spark.functions.text import tokens
+
+    lab = docs.select(
+        F.col(id_col), positive.cast("boolean").alias("__pos"), F.col(text_col)
+    )
+    tok = lab.select(
+        F.col(id_col), "__pos", F.explode_outer(tokens(text_col)).alias("token")
+    ).filter(F.col("token").isNotNull() & (F.col("token") != ""))
+    tf = tok.select(
+        F.col(id_col), "__pos", (h32(F.col("token")) % n_buckets).alias("bucket")
+    ).groupBy(id_col, "__pos", "bucket").agg(F.count("*").alias("tf"))
+    freq = tf.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__pos"), F.col("tf")).otherwise(0)).alias("cp"),
+        F.sum(F.when(~F.col("__pos"), F.col("tf")).otherwise(0)).alias("cn"),
+    )
+    totals = freq.agg(
+        F.sum("cp").cast("double").alias("_np"),
+        F.sum("cn").cast("double").alias("_nn"),
+        F.count("*").cast("double").alias("_v"),
+    ).crossJoin(
+        F.broadcast(
+            lab.agg(
+                F.sum(F.when(F.col("__pos"), 1).otherwise(0))
+                .cast("double").alias("_dp"),
+                F.sum(F.when(~F.col("__pos"), 1).otherwise(0))
+                .cast("double").alias("_dn"),
+            )
+        )
+    )
+    log_odds = F.log((F.col("cp") + 1) / (F.col("_np") + F.col("_v"))) - F.log(
+        (F.col("cn") + 1) / (F.col("_nn") + F.col("_v"))
+    )
+    prior = F.log(F.col("_dp") / F.col("_dn"))
+    # bounded state buys the broadcast: the weights relation is ≤ n_buckets
+    # rows, so scoring never shuffles the doc-token stream on the vocab key
+    scored = (
+        tf.join(F.broadcast(freq), "bucket")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col, "__pos")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.first(prior) + F.sum(F.col("tf") * log_odds), 6
+            ).alias("nb_score"),
+        )
+    )
+    return scored.select(
+        id_col,
+        F.col("__pos").alias("label_hq"),
+        "n_tokens",
+        "nb_score",
+        (F.col("nb_score") > 0).alias("pred_hq"),
+    )

@@ -1505,6 +1505,52 @@ CURATE_QUALITY_CLASSIFIER_SQL = r"""
 """
 
 
+def curate_quality_classifier_hashed(spark, sf_dir):
+    """The hashed-vocabulary production twin of curate_quality_classifier
+    (the dsir_weights_hashed precedent): token -> h32 % 10000 buckets
+    BEFORE any counting, so the model state is bounded at 10k rows and
+    BROADCAST — scoring never shuffles on the vocabulary key. Gated as
+    its own exact-reconstruction row (the md5-prefix hash keeps the
+    bucketing engine-portable); the collision-blend error vs the unhashed
+    form is pinned by the agreement test in tests/test_round15_ops.py."""
+    return curation.nb_quality_classifier_hashed(
+        _docs_wide(spark, sf_dir), positive=F.col("lang") == "en"
+    )
+
+
+CURATE_QUALITY_CLASSIFIER_HASHED_SQL = rf"""
+    WITH lab AS (SELECT doc_id, lang = 'en' AS pos, text FROM documents),
+    tok AS (
+        SELECT doc_id, pos,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        FROM lab),
+    tok2 AS (SELECT * FROM tok WHERE token != ''),
+    tf AS (SELECT doc_id, pos, {h32_sql('token')} % 10000 AS bucket,
+                  COUNT(*) AS tf
+           FROM tok2 GROUP BY 1, 2, 3),
+    freq AS (SELECT bucket,
+                    SUM(CASE WHEN pos THEN tf ELSE 0 END) AS cp,
+                    SUM(CASE WHEN NOT pos THEN tf ELSE 0 END) AS cn
+             FROM tf GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cp) AS DOUBLE) AS np, CAST(SUM(cn) AS DOUBLE) AS nn,
+                   CAST(COUNT(*) AS DOUBLE) AS v
+            FROM freq),
+    dc AS (SELECT CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) AS dp,
+                  CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS DOUBLE) AS dn
+           FROM lab),
+    s AS (
+        SELECT doc_id, pos,
+               CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               ROUND(ln(dp / dn)
+                     + SUM(tf * (ln((cp + 1) / (np + v)) - ln((cn + 1) / (nn + v)))),
+                     6) AS nb_score
+        FROM tf JOIN freq USING (bucket) CROSS JOIN tot CROSS JOIN dc
+        GROUP BY doc_id, pos, dp, dn)
+    SELECT doc_id, pos AS label_hq, n_tokens, nb_score, nb_score > 0 AS pred_hq
+    FROM s
+"""
+
+
 def curate_dsir_weights(spark, sf_dir):
     """DSIR importance weights (Xie et al. 2023): every document scored by
     mean log(p_target/p_source) of its tokens, target = the English slice
@@ -6442,6 +6488,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-15 new ops ---
     "curate_pipeline_mm": curate_pipeline_mm,
     "curate_quality_classifier": curate_quality_classifier,
+    "curate_quality_classifier_hashed": curate_quality_classifier_hashed,
     # --- round-14 new ops ---
     "text_char_entropy": text_char_entropy,
     "text_zipf_slope": text_zipf_slope,
@@ -6628,17 +6675,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # Round-15 gate rotation (the driver gates the first 50 QUERIES entries).
 # Recomputed from the fourteen CORRECTNESS_r*.json files per the r12-r14
 # precedent — latest-green distribution entering this round: r11:24 /
-# r12:46 / r13:47 / r14:50. Composition: the 2 new r15 ops gate first
+# r12:46 / r13:47 / r14:50. Composition: the 3 new r15 ops gate first
 # (curate_pipeline_mm — the composed multimodal curation pipeline, VERDICT
-# r14 task 3 — and curate_quality_classifier — the in-engine NB quality
-# filter, task 4); then the 1 row whose PHYSICAL PLAN changed this round
+# r14 task 3 — and curate_quality_classifier + its hashed-vocabulary
+# production twin — the in-engine NB quality filter, task 4); then the 1
+# row whose PHYSICAL PLAN changed this round
 # (dedup_minhash_est: the signature side now consumes the checkpointed
 # shingle relation instead of re-shingling, ADVICE r14); then the ENTIRE
 # 24-row r11 queue (the age boundary — all relational §2.X, exactly the
-# list VERDICT r14 task 2 names); the remaining 23 slots start draining
+# list VERDICT r14 task 2 names); the remaining 22 slots start draining
 # the 46-row r12 queue family-diverse (every r12 family represented:
-# curate/dedup/d*/graph/mm/q/sim/stream/text/v, alphabetical inside each).
-# The 23 deferred r12 rows (curate_mixture_weights, curate_pack_sequences,
+# curate/dedup/d*/graph/mm/q/sim/stream/text, alphabetical inside each).
+# The 24 deferred r12 rows (v_explode_tokens — its family stays in-window
+# via mm/v-adjacent coverage and it leads the deferrals — plus:
+# curate_mixture_weights, curate_pack_sequences,
 # curate_stratified_sample, curate_weighted_sample, d3_superseded,
 # d_version_churn, dedup_lsh_pairs, dedup_minhash_sig, dedup_semantic,
 # q_event_funnel, q_range_band_join, q_scd2_history, q_skew_salted_agg,
@@ -6649,6 +6699,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _GATE_HEAD_R15 = [
     # round-15 new ops
     "curate_pipeline_mm", "curate_quality_classifier",
+    "curate_quality_classifier_hashed",
     # physical plan changed this round -> re-gate
     "dedup_minhash_est",
     # the whole r11 queue (age boundary; VERDICT r14 task 2 list)
@@ -6671,7 +6722,6 @@ _GATE_HEAD_R15 = [
     "sim_cosine_topk", "sim_ivf_indexed", "sim_lsh_indexed",
     "stream_purchase_attribution",
     "text_bigram_top", "text_lang_id",
-    "v_explode_tokens",
 ]
 assert len(_GATE_HEAD_R15) == 50 and len(set(_GATE_HEAD_R15)) == 50
 QUERIES = {
@@ -6700,6 +6750,7 @@ ORACLES: dict[str, Optional[str]] = {
     # round-15 new ops
     "curate_pipeline_mm": CURATE_PIPELINE_MM_SQL,
     "curate_quality_classifier": CURATE_QUALITY_CLASSIFIER_SQL,
+    "curate_quality_classifier_hashed": CURATE_QUALITY_CLASSIFIER_HASHED_SQL,
     # round-14 new ops
     "text_char_entropy": TEXT_CHAR_ENTROPY_SQL,
     "text_zipf_slope": TEXT_ZIPF_SLOPE_SQL,

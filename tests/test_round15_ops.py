@@ -104,3 +104,33 @@ def test_minhash_signatures_shingles_param(spark):
         docs, shingles=sh.filter(F.col("doc_id") != 3)
     )
     assert doctored.filter(F.col("doc_id") == 3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# round-15 new op: NB quality classifier (exact + hashed production twin)
+
+
+def test_nb_classifier_hashed_agreement(spark):
+    """The hashed-vocabulary twin must (a) classify non-degenerately and
+    (b) agree with the exact form on the vast majority of documents —
+    the dsir_weights_hashed collision-error story applied to NB. Pinned
+    on the sf0.001 corpus (500-doc fixture scale is the gate's job)."""
+    from execute_sync_spark.functions import curation
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pos = F.col("lang") == "en"
+    exact = curation.nb_quality_classifier(docs, pos).select(
+        "doc_id", F.col("pred_hq").alias("p_exact")
+    )
+    hashed = curation.nb_quality_classifier_hashed(docs, pos).select(
+        "doc_id", F.col("pred_hq").alias("p_hashed"), "nb_score"
+    )
+    j = exact.join(hashed, "doc_id")
+    n = j.count()
+    assert n > 0
+    agree = j.filter(F.col("p_exact") == F.col("p_hashed")).count()
+    assert agree / n >= 0.9, f"hashed/exact agreement {agree}/{n}"
+    # non-degenerate: both predicted classes appear
+    preds = {r.p_hashed for r in j.select("p_hashed").distinct().collect()}
+    assert preds == {True, False}
