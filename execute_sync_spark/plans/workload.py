@@ -1551,6 +1551,59 @@ CURATE_QUALITY_CLASSIFIER_HASHED_SQL = rf"""
 """
 
 
+def curate_pipeline_classifier(spark, sf_dir):
+    """Classifier-filtered corpus export — the GPT-3 data pipeline's
+    filter step composed end-to-end (Brown et al. 2020 Appendix A: score
+    every crawl document with the quality classifier, keep the
+    high-scoring ones, fill the training mix): NB-classifier scores
+    (curate_quality_classifier's exact model) -> keep MAP-positive docs
+    -> per-source token budget filled best-score-first (the
+    curate_token_budget window, quality signal swapped for the LEARNED
+    score). One gated query because this composition — train, score,
+    filter, budget — is what a real curation run executes as one job.
+
+    Scale shape: both stages are the already-measured ones (the
+    classifier's one token-keyed shuffle + one budget window per source);
+    composing adds a broadcast-sized join of scores onto (doc, source)
+    and nothing else. Deterministic: ordering ties break on doc_id, so
+    the kept set reproduces across engines (oracle = classifier CTE +
+    cumulative-sum window)."""
+    scored = curation.nb_quality_classifier(
+        _docs_wide(spark, sf_dir), positive=F.col("lang") == "en"
+    )
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    j = scored.filter(F.col("pred_hq")).join(src, "doc_id")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("nb_score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum("n_tokens").over(w).cast("long")
+    return (
+        j.withColumn("running_tokens", running)
+        .filter(F.col("running_tokens") <= 2000)
+        .select("doc_id", "source", "n_tokens", "nb_score", "running_tokens")
+    )
+
+
+CURATE_PIPELINE_CLASSIFIER_SQL = rf"""
+    WITH scored AS ({CURATE_QUALITY_CLASSIFIER_SQL}),
+    kept AS (
+        SELECT s.doc_id, d.source, s.n_tokens, s.nb_score
+        FROM scored s JOIN documents d USING (doc_id)
+        WHERE s.pred_hq),
+    r AS (
+        SELECT *,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                        ORDER BY nb_score DESC, doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS running_tokens
+        FROM kept)
+    SELECT doc_id, source, n_tokens, nb_score, running_tokens
+    FROM r WHERE running_tokens <= 2000
+"""
+
+
 def curate_dsir_weights(spark, sf_dir):
     """DSIR importance weights (Xie et al. 2023): every document scored by
     mean log(p_target/p_source) of its tokens, target = the English slice
@@ -6489,6 +6542,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_pipeline_mm": curate_pipeline_mm,
     "curate_quality_classifier": curate_quality_classifier,
     "curate_quality_classifier_hashed": curate_quality_classifier_hashed,
+    "curate_pipeline_classifier": curate_pipeline_classifier,
     # --- round-14 new ops ---
     "text_char_entropy": text_char_entropy,
     "text_zipf_slope": text_zipf_slope,
@@ -6675,19 +6729,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # Round-15 gate rotation (the driver gates the first 50 QUERIES entries).
 # Recomputed from the fourteen CORRECTNESS_r*.json files per the r12-r14
 # precedent — latest-green distribution entering this round: r11:24 /
-# r12:46 / r13:47 / r14:50. Composition: the 3 new r15 ops gate first
+# r12:46 / r13:47 / r14:50. Composition: the 4 new r15 ops gate first
 # (curate_pipeline_mm — the composed multimodal curation pipeline, VERDICT
-# r14 task 3 — and curate_quality_classifier + its hashed-vocabulary
-# production twin — the in-engine NB quality filter, task 4); then the 1
-# row whose PHYSICAL PLAN changed this round
+# r14 task 3; curate_quality_classifier + its hashed-vocabulary
+# production twin — the in-engine NB quality filter, task 4; and
+# curate_pipeline_classifier — the GPT-3-style classifier-filtered
+# corpus export composing the classifier with the token-budget window);
+# then the 1 row whose PHYSICAL PLAN changed this round
 # (dedup_minhash_est: the signature side now consumes the checkpointed
 # shingle relation instead of re-shingling, ADVICE r14); then the ENTIRE
 # 24-row r11 queue (the age boundary — all relational §2.X, exactly the
-# list VERDICT r14 task 2 names); the remaining 22 slots start draining
+# list VERDICT r14 task 2 names); the remaining 21 slots start draining
 # the 46-row r12 queue family-diverse (every r12 family represented:
 # curate/dedup/d*/graph/mm/q/sim/stream/text, alphabetical inside each).
-# The 24 deferred r12 rows (v_explode_tokens — its family stays in-window
-# via mm/v-adjacent coverage and it leads the deferrals — plus:
+# The 25 deferred r12 rows (v_explode_tokens and text_lang_id — their
+# families stay in-window via the head's text/mm rows — then:
 # curate_mixture_weights, curate_pack_sequences,
 # curate_stratified_sample, curate_weighted_sample, d3_superseded,
 # d_version_churn, dedup_lsh_pairs, dedup_minhash_sig, dedup_semantic,
@@ -6699,7 +6755,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _GATE_HEAD_R15 = [
     # round-15 new ops
     "curate_pipeline_mm", "curate_quality_classifier",
-    "curate_quality_classifier_hashed",
+    "curate_quality_classifier_hashed", "curate_pipeline_classifier",
     # physical plan changed this round -> re-gate
     "dedup_minhash_est",
     # the whole r11 queue (age boundary; VERDICT r14 task 2 list)
@@ -6721,7 +6777,7 @@ _GATE_HEAD_R15 = [
     "q1_pricing_summary", "q_approx_distinct", "q_asof_join_banded",
     "sim_cosine_topk", "sim_ivf_indexed", "sim_lsh_indexed",
     "stream_purchase_attribution",
-    "text_bigram_top", "text_lang_id",
+    "text_bigram_top",
 ]
 assert len(_GATE_HEAD_R15) == 50 and len(set(_GATE_HEAD_R15)) == 50
 QUERIES = {
@@ -6751,6 +6807,7 @@ ORACLES: dict[str, Optional[str]] = {
     "curate_pipeline_mm": CURATE_PIPELINE_MM_SQL,
     "curate_quality_classifier": CURATE_QUALITY_CLASSIFIER_SQL,
     "curate_quality_classifier_hashed": CURATE_QUALITY_CLASSIFIER_HASHED_SQL,
+    "curate_pipeline_classifier": CURATE_PIPELINE_CLASSIFIER_SQL,
     # round-14 new ops
     "text_char_entropy": TEXT_CHAR_ENTROPY_SQL,
     "text_zipf_slope": TEXT_ZIPF_SLOPE_SQL,

@@ -27,20 +27,20 @@ def test_oracles_subset_of_queries():
     assert set(qs) - set(oracles) == set()
     # the driver gates the first 50 entries. Round-15 rotation
     # (recomputed from the CORRECTNESS_r*.json files; entering
-    # distribution r11:24 / r12:46 / r13:47 / r14:50): the 3 new r15
+    # distribution r11:24 / r12:46 / r13:47 / r14:50): the 4 new r15
     # ops gate first, then the 1 row whose physical plan changed this
     # round (dedup_minhash_est: one-shingle-pass threading, ADVICE r14),
     # then the ENTIRE 24-row r11 age-boundary queue (all relational
-    # §2.X — the VERDICT r14 task 2 list), then a 22-row family-diverse
-    # slice of the r12 queue. The 24 deferred r12 rows lead the r16
+    # §2.X — the VERDICT r14 task 2 list), then a 21-row family-diverse
+    # slice of the r12 queue. The 25 deferred r12 rows lead the r16
     # queue — full list and rationale at workload._GATE_HEAD_R15.
     from execute_sync_spark.plans import workload
 
     first50 = list(qs)[:50]
     assert first50 == workload._GATE_HEAD_R15
-    assert first50[:4] == [
+    assert first50[:5] == [
         "curate_pipeline_mm", "curate_quality_classifier",
-        "curate_quality_classifier_hashed",
+        "curate_quality_classifier_hashed", "curate_pipeline_classifier",
         "dedup_minhash_est",
     ]
     # the whole r11 age-boundary queue is inside the window
