@@ -503,3 +503,44 @@ def test_bm25_indexed_probe_prunes_partitions(spark, tmp_path):
     assert any("tb#" in l for l in pf), pf
     pushed = [l for l in plan.splitlines() if "PushedFilters:" in l]
     assert any("In(token, [" in l for l in pushed), pushed
+
+
+def test_nb_classifier_hashed_broadcasts_bounded_model(spark):
+    """The hashed classifier's 100 TB contract: the bucket-bounded class
+    frequency table (<= n_buckets rows) joins the doc-token stream as a
+    BROADCAST — scoring never shuffles on the vocabulary key. The exact
+    form's weights relation is the open vocabulary and must NOT be
+    force-broadcast (Catalyst/AQE may still choose it at fixture scale;
+    the assertion is only that the engine doesn't hint it)."""
+    from execute_sync_spark.functions import curation
+    from execute_sync_spark.plans.workload import _docs
+
+    docs = _docs(spark, SF_DIR)
+    pos = F.col("lang") == "en"
+    plan = _formatted(curation.nb_quality_classifier_hashed(docs, pos))
+    assert "BroadcastHashJoin" in plan, plan[:500]
+    # no cartesian product anywhere (the two crossJoins are broadcast
+    # 1-row scalar aggregates, which plan as BroadcastNestedLoopJoin)
+    assert "CartesianProduct" not in plan
+    exact_src = open(curation.__file__).read()
+    import re
+    body = exact_src.split("def nb_quality_classifier(")[1].split("\ndef ")[0]
+    # the exact form joins freq WITHOUT a broadcast hint (tf.join(freq,...))
+    assert re.search(r"tf\.join\(freq, \"token\"\)", body), (
+        "exact classifier should join the vocabulary-sized weights "
+        "relation unhinted"
+    )
+
+
+def test_pipeline_classifier_single_budget_window(spark):
+    """The classifier-filtered export adds exactly ONE window (the
+    per-source running token budget) over the classifier's aggregation —
+    no extra global sort, no cartesian product."""
+    from execute_sync_spark.plans.workload import curate_pipeline_classifier
+
+    plan = _formatted(curate_pipeline_classifier(spark, SF_DIR))
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan
+    # the window partitions by source (never a global unpartitioned sort)
+    win_lines = [l for l in plan.splitlines() if "partitionBy" in l.lower() or "windowspecdefinition" in l.lower()]
+    assert not [l for l in plan.splitlines() if "Sort " in l and "source" not in l and "global=true" in l.lower()], plan[:800]
