@@ -49,6 +49,24 @@ MAX_LINE = 1900  # keep the printed JSON line inside the 2000-byte tail window
 ALIAS_REGISTRY = os.path.join(REPO, "tools", "bench_aliases.json")
 
 
+def _token_weights(
+    names: list[str], times: dict[str, float], tokens: int
+) -> dict[str, int]:
+    """Per-query admission weights for the optional token pool: ~1 token
+    per 0.5 s of sequential runtime, capped at 16 AND at the pool capacity
+    — a weight above capacity can never be acquired (the pool never grows
+    past its initial n), so an uncapped weight would deadlock the bench on
+    the first heavy query whenever SPARK_GRAFT_BENCH_TOKENS < 16
+    (ADVICE r15). Module-level so the clamp is pinned by a Spark-free test.
+    """
+    import math
+
+    return {
+        name: max(1, min(16, tokens, math.ceil(times.get(name, 0.5) / 0.5)))
+        for name in names
+    }
+
+
 def _gen_alias(name: str, used: set[str], cap: int = 5) -> str:
     """Deterministic short alias for one new name, collision-free against
     ``used`` (q1, dd_ja, st_se, ...)."""
@@ -371,7 +389,6 @@ def main() -> None:
     tokens = int(os.environ.get("SPARK_GRAFT_BENCH_TOKENS", "0"))
     token_pool = None
     if tokens:
-        import math
         import threading
 
         class _TokenPool:
@@ -391,10 +408,7 @@ def main() -> None:
                     self.cv.notify_all()
 
         token_pool = _TokenPool(tokens)
-        weights = {
-            name: max(1, min(16, math.ceil(times.get(name, 0.5) / 0.5)))
-            for name, _ in order
-        }
+        weights = _token_weights([name for name, _ in order], times, tokens)
 
     t0 = time.perf_counter()
     trace: dict[str, tuple[float, float]] = {}

@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
 from datetime import timezone
 
 try:  # gated: boto3 ships in this environment, but the engine must not
@@ -88,6 +89,13 @@ class S3PointerStore:
         except ClientError:
             self.s3.create_bucket(Bucket=bucket)
         self._seq = 0
+        # Physical keys must be collision-free ACROSS processes sharing
+        # physical_root (the multi-process deployment the S3 freshness
+        # clock exists for): a bare seq + exists()-then-rename loop has a
+        # TOCTOU window where two stores claim the same objNNNNNN and
+        # silently merge directories (ADVICE r15). A per-instance random
+        # token makes each store's namespace disjoint by construction.
+        self._token = uuid.uuid4().hex[:12]
         self.pointer_swaps = 0
         self.conditional_conflicts = 0
 
@@ -103,7 +111,18 @@ class S3PointerStore:
         try:
             self.s3.put_object(**kw)
         except ClientError as e:
-            if e.response.get("Error", {}).get("Code") == "PreconditionFailed":
+            code = e.response.get("Error", {}).get("Code")
+            # 412 PreconditionFailed: the name is taken — the contract's
+            # lost-race outcome. 409 ConditionalRequestConflict: AWS's
+            # documented response when two conditional PUTs on the SAME key
+            # race in-flight — neither writer knows who won, so surface it
+            # as the same retryable FileExistsError (the caller re-reads the
+            # name and either forward-finishes or retries from staging;
+            # treating it as fatal would strand the upload).
+            if conditional and code in (
+                "PreconditionFailed",
+                "ConditionalRequestConflict",
+            ):
                 self.conditional_conflicts += 1
                 raise FileExistsError(
                     f"conditional pointer PUT lost the race: {p}"
@@ -178,10 +197,10 @@ class S3PointerStore:
             os.remove(src)
             return tgt
         self._seq += 1
-        phys = os.path.join(self.physical, f"obj{self._seq:06d}")
-        while os.path.exists(phys):  # process restarts reuse the root
+        phys = os.path.join(self.physical, f"obj-{self._token}-{self._seq:06d}")
+        while os.path.exists(phys):  # paranoia only: token makes this unique
             self._seq += 1
-            phys = os.path.join(self.physical, f"obj{self._seq:06d}")
+            phys = os.path.join(self.physical, f"obj-{self._token}-{self._seq:06d}")
         os.rename(src, phys)
         return phys
 
@@ -190,10 +209,13 @@ class S3PointerStore:
         tgt = self._publish(src)
         try:
             self._put_pointer(dst, tgt, conditional=True)
-        except FileExistsError:
-            # lost swap: the staged NAME must survive (the object-store
-            # contract — the upload stays addressable at its staged key),
-            # so the caller's recovery path can forward-finish or retry
+        except BaseException:
+            # The staged NAME must survive ANY publish failure (the
+            # object-store contract — the upload stays addressable at its
+            # staged key), not just a lost swap: a network failure after
+            # retries or a throttle would otherwise strand the data under
+            # physical_root with no name, killing the caller's documented
+            # retry-from-staging recovery path (ADVICE r15).
             if src_was_link:
                 self._put_pointer(src, tgt, conditional=False)
                 os.symlink(tgt, src)

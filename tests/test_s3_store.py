@@ -192,3 +192,118 @@ def test_freshness_is_the_server_clock(tmp_path, swap_store, s3_store_factory):
     assert store.freshness(dst) >= f1 + 1
     # reads resolve through the mirror; the pointer target holds the bytes
     assert store.read_text(os.path.join(dst, "x.txt")) == "payload"
+
+
+# -- round-16 ADVICE pins -------------------------------------------------
+
+
+class _FlakyS3:
+    """Delegating wrapper around a real boto3 client that fails the next
+    ``n`` CONDITIONAL put_object calls with the given error code — the
+    injection point for publish failures that are NOT a clean server 412
+    (throttling, network failure after SDK retries, AWS's documented 409
+    ConditionalRequestConflict for racing conditional PUTs)."""
+
+    def __init__(self, inner, code: str, n: int = 1):
+        self._inner = inner
+        self._code = code
+        self._n = n
+
+    def put_object(self, **kw):
+        from botocore.exceptions import ClientError
+
+        if "IfNoneMatch" in kw and self._n > 0:
+            self._n -= 1
+            raise ClientError(
+                {"Error": {"Code": self._code, "Message": self._code}},
+                "PutObject",
+            )
+        return self._inner.put_object(**kw)
+
+    def __getattr__(self, a):
+        return getattr(self._inner, a)
+
+
+def test_rename_restores_staged_name_on_non412_failure(tmp_path, s3_store_factory):
+    """ADVICE r15: a publish failure OTHER than the lost-race 412 (here a
+    throttle surviving SDK retries) must also restore the staged name —
+    otherwise the bytes are stranded under physical_root with no name and
+    the documented retry-from-staging recovery path is impossible."""
+    from botocore.exceptions import ClientError
+
+    store = s3_store_factory()
+    src = tmp_path / "staged_dir"
+    src.mkdir()
+    (src / "part-0").write_text("rows")
+    dst = str(tmp_path / "committed")
+
+    store.s3 = _FlakyS3(store.s3, "SlowDown")
+    with pytest.raises(ClientError):
+        store.rename(str(src), dst)
+    # the staged NAME survived: bytes addressable where the caller left them
+    assert (src / "part-0").read_text() == "rows"
+    assert not os.path.lexists(dst)
+    # and a clean retry commits normally
+    store.rename(str(src), dst)
+    assert store.read_text(os.path.join(dst, "part-0")) == "rows"
+
+
+def test_rename_restores_committed_link_src_on_failure(tmp_path, s3_store_factory):
+    """Same stranding bug for the other src shape: renaming an already
+    COMMITTED name (a pointer link) must re-take the src pointer when the
+    publish fails, so the old name stays live."""
+    from botocore.exceptions import ClientError
+
+    store = s3_store_factory()
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    (staged / "f").write_text("v1")
+    a = str(tmp_path / "nameA")
+    store.rename(str(staged), a)  # commit once: a is now a pointer link
+
+    store.s3 = _FlakyS3(store.s3, "SlowDown")
+    with pytest.raises(ClientError):
+        store.rename(a, str(tmp_path / "nameB"))
+    assert os.path.islink(a)  # the committed name is still live
+    assert store.read_text(os.path.join(a, "f")) == "v1"
+    assert store.freshness(a) > 0  # and its S3 pointer is back (HEAD works)
+
+
+def test_conditional_409_conflict_maps_to_lost_race(tmp_path, s3_store_factory):
+    """AWS returns 409 ConditionalRequestConflict when two conditional PUTs
+    on the same key race in-flight; neither writer knows who won. That must
+    surface as the contract's retryable FileExistsError (staged name
+    restored), not a fatal ClientError."""
+    store = s3_store_factory()
+    src = tmp_path / "staged_409"
+    src.mkdir()
+    (src / "f").write_text("x")
+    dst = str(tmp_path / "contested")
+
+    store.s3 = _FlakyS3(store.s3, "ConditionalRequestConflict")
+    before = store.conditional_conflicts
+    with pytest.raises(FileExistsError):
+        store.rename(str(src), dst)
+    assert store.conditional_conflicts == before + 1
+    assert (src / "f").read_text() == "x"  # staged name restored
+    store.rename(str(src), dst)  # retry path is open
+    assert store.read_text(os.path.join(dst, "f")) == "x"
+
+
+def test_physical_keys_disjoint_across_store_instances(tmp_path, s3_store_factory):
+    """ADVICE r15: two stores sharing physical_root (the multi-process
+    deployment the S3 freshness clock exists for) must never claim the same
+    physical key. The exists()-then-rename loop alone has a TOCTOU window;
+    the per-instance token makes the namespaces disjoint by construction."""
+    a = s3_store_factory()
+    b = s3_store_factory()  # same physical_root, different store instance
+    assert a._token != b._token
+    for store, nm in ((a, "A"), (b, "B")):
+        src = tmp_path / f"staged_{nm}"
+        src.mkdir()
+        (src / "f").write_text(nm)
+        store.rename(str(src), str(tmp_path / f"name_{nm}"))
+    phys = os.listdir(tmp_path / "_physical")
+    assert len(phys) == 2
+    # each physical name embeds its own store's token — no shared counter
+    assert {p.split("-")[1] for p in phys} == {a._token, b._token}
