@@ -539,6 +539,23 @@ def nb_quality_classifier(
     joins tf to the token-weights relation (vocabulary-sized, never
     broadcast, never collected) and re-aggregates per doc. No iteration,
     no driver-side model state — at 100 TB the 'model' is a DataFrame."""
+    lab, tf = nb_labeled_tf(docs, positive, text_col, id_col)
+    freq = nb_token_freq(tf)
+    return nb_score_tf(tf, freq, nb_doc_counts(lab), id_col)
+
+
+def nb_labeled_tf(
+    docs: DataFrame,
+    positive: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """The (labeled-docs, per-doc token-frequency) relations every NB path
+    starts from: ``lab`` = (id, __pos, text), ``tf`` = (id, __pos, token,
+    tf). ONE body shared by the batch classifier and the streaming stats
+    sidecar (``streaming/classifier.py``) so tokenization cannot drift
+    between the two physical forms — the ``mixture_from_counts``
+    precedent."""
     from execute_sync_spark.functions.text import tokens
 
     lab = docs.select(
@@ -549,25 +566,51 @@ def nb_quality_classifier(
         F.col(id_col), "__pos", F.explode_outer(tokens(text_col)).alias("token")
     ).filter(F.col("token").isNotNull() & (F.col("token") != ""))
     tf = tok.groupBy(id_col, "__pos", "token").agg(F.count("*").alias("tf"))
-    # one shuffle builds both class frequency tables + the shared vocab
-    freq = tf.groupBy("token").agg(
+    return lab, tf
+
+
+def nb_token_freq(tf: DataFrame) -> DataFrame:
+    """The NB model's sufficient statistics: (token, cp, cn) — BOTH class
+    frequency tables from ONE conditional aggregation (a single
+    token-keyed shuffle, not one per class). Integer counts, so per-batch
+    tables summed token-wise reconstruct the flat-trained model EXACTLY
+    (the streaming sidecar's merge)."""
+    return tf.groupBy("token").agg(
         F.sum(F.when(F.col("__pos"), F.col("tf")).otherwise(0)).alias("cp"),
         F.sum(F.when(~F.col("__pos"), F.col("tf")).otherwise(0)).alias("cn"),
     )
+
+
+def nb_doc_counts(lab: DataFrame) -> DataFrame:
+    """Per-class document counts (the prior's inputs) as a 1-row
+    (_dp, _dn) relation."""
+    return lab.agg(
+        F.sum(F.when(F.col("__pos"), 1).otherwise(0))
+        .cast("double").alias("_dp"),
+        F.sum(F.when(~F.col("__pos"), 1).otherwise(0))
+        .cast("double").alias("_dn"),
+    )
+
+
+def nb_score_tf(
+    tf: DataFrame,
+    freq: DataFrame,
+    doc_counts: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score a (id, __pos, token, tf) relation against an NB model given
+    as its sufficient statistics — the ONE scoring body shared by the
+    batch classifier and the streaming-maintained model, so the two can
+    never drift. Laplace smoothing over the model's vocabulary (V = freq
+    row count), ``nb_score = ln(dp/dn) + Σ tf·log_odds``, MAP decision at
+    0. The weights relation joins UNHINTED (the open vocabulary must not
+    be force-broadcast; the hashed twin is the broadcast form); totals
+    are broadcast 1-row cross-joins."""
     totals = freq.agg(
         F.sum("cp").cast("double").alias("_np"),
         F.sum("cn").cast("double").alias("_nn"),
         F.count("*").cast("double").alias("_v"),
-    ).crossJoin(
-        F.broadcast(
-            lab.agg(
-                F.sum(F.when(F.col("__pos"), 1).otherwise(0))
-                .cast("double").alias("_dp"),
-                F.sum(F.when(~F.col("__pos"), 1).otherwise(0))
-                .cast("double").alias("_dn"),
-            )
-        )
-    )
+    ).crossJoin(F.broadcast(doc_counts))
     log_odds = F.log((F.col("cp") + 1) / (F.col("_np") + F.col("_v"))) - F.log(
         (F.col("cn") + 1) / (F.col("_nn") + F.col("_v"))
     )

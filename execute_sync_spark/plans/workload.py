@@ -2144,6 +2144,256 @@ CURATE_PIPELINE_FUZZY_SQL = rf"""
 """
 
 
+_FULL_PIPE_BUDGET = 4000  # total token budget split across sources by mix weight
+_MIX_TEMPERATURE = 0.7  # shared with the curate_temperature_mix block below
+
+
+def curate_pipeline_full(spark, sf_dir):
+    """THE full-text pretraining-data pipeline — the GPT-3/CCNet recipe
+    (Brown et al. 2020 Appendix A; Wenzek et al. 2020) composed END-TO-END
+    as one job, every stage being an already-gated operator:
+
+      quality gate  ->  exact dedup (md5 window, min-id keep)
+      -> valved fuzzy near-dup (Jaccard>=0.5, max_df valve)
+      -> connected components -> canonical keep (longest text, lowest id)
+      -> decontamination vs the src0 eval set (>=2 shared 3-shingles)
+      -> learned-classifier filter (NB quality model, keep MAP-positive)
+      -> temperature mixture over the survivor corpus (T=0.7)
+      -> per-source token budget = floor(mix_weight * total), filled
+         best-score-first -> sequence packing (8-way shard, 2048-token
+         contiguous bins).
+
+    This is literally what a real 100 TB curation run executes as one
+    job; the partial compositions (curate_pipeline, _fuzzy, _classifier,
+    _mm) prove each seam and this row closes the chain (VERDICT r15 #1).
+
+    Scale shape — nothing new, only the measured stages composed:
+    * the corpus is tokenized+shingled ONCE (localCheckpoint; feeds BOTH
+      the jaccard edge build and the decontamination probe — the
+      curate_pipeline_fuzzy dataflow, VERDICT r11 #1);
+    * exact dedup runs FIRST because it's one content-digest window —
+      cheap — and shrinks the fuzzy stage's input (the CCNet ordering);
+      edges are then restricted to exact-survivor ids via two
+      broadcastable id semi-joins (a link THROUGH a removed duplicate
+      must not merge clusters);
+    * decontamination probes the full checkpointed shingle relation
+      against the BROADCAST src0 slice map-side (full eval coverage —
+      quality-gate-failing eval docs still block leakage);
+    * the classifier trains on the full corpus labels (one token-keyed
+      shuffle) and its scores join survivors on doc_id;
+    * mixture + budget run on the per-source aggregate (tens of rows);
+      the budget fill and packing are one window each (per-source /
+      per-shard — never a global sort).
+    Deterministic end to end: every ordering ties on doc_id, so the kept
+    set and pack layout reproduce exactly across engines (oracle = the
+    composed CTE chain below)."""
+    from execute_sync_spark.functions.graph import connected_components
+
+    docs = _docs_wide(spark, sf_dir)
+    t = text.tokens("text")
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    quality = docs.filter(
+        (F.size(t) >= 30) & (n_alpha / F.length("text") >= 0.8)
+    )
+    wq = Window.partitionBy(F.md5(F.col("text")))
+    # stage materialization #1: the exact-dedup survivors are referenced by
+    # THREE downstream consumers (the cluster-restriction semi-joins x2 and
+    # the canonical-keep chain); without a checkpoint each reference
+    # re-executes the quality+window chain — 3 extra corpus scans. A real
+    # 100 TB pipeline materializes between stages for exactly this reason.
+    exact = (
+        quality.withColumn("__min_id", F.min("doc_id").over(wq))
+        .filter(F.col("doc_id") == F.col("__min_id"))
+        .drop("__min_id")
+    ).localCheckpoint(eager=True)
+    # one tokenization+shingling pass feeds edges AND decontamination
+    sh = dedupe.word_shingles(docs, k=3).localCheckpoint(eager=True)
+    pairs = dedupe.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_df=_JACCARD_MAX_DF, shingles=sh
+    ).select("id_a", "id_b")
+    eids = exact.select("doc_id")
+    epairs = pairs.join(
+        eids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
+    ).join(eids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+    clusters = connected_components(epairs, "id_a", "id_b")
+    withc = exact.join(
+        clusters, exact.doc_id == clusters.id, "left"
+    ).select(
+        exact["*"],
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    wc = Window.partitionBy("cluster_id").orderBy(
+        F.desc(F.length("text")), F.asc("doc_id")
+    )
+    canon = (
+        withc.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    eval_ids = docs.filter(F.col("source") == "src0").select("doc_id")
+    contaminated = dedupe.cross_contamination(
+        None,
+        None,
+        k=3,
+        min_shared=2,
+        train_shingles=sh,
+        eval_shingles=sh.join(F.broadcast(eval_ids), "doc_id"),
+    ).select(F.col("train_id").alias("doc_id")).distinct()
+    clean = canon.filter(F.col("source") != "src0").join(
+        F.broadcast(contaminated), "doc_id", "left_anti"
+    )
+    scored = curation.nb_quality_classifier(
+        docs, positive=F.col("lang") == "en"
+    )
+    # stage materialization #2: the clean+classified survivor relation is
+    # referenced by BOTH the budget computation and the budget fill; an
+    # unmaterialized `kept` would re-run components + classifier + joins
+    # per reference (measured 18 corpus scans in the composed plan without
+    # the two checkpoints, ~6 with)
+    kept = clean.join(
+        scored.filter(F.col("pred_hq")).select("doc_id", "n_tokens", "nb_score"),
+        "doc_id",
+    ).select(
+        "doc_id", "source", "cluster_id", "n_tokens", "nb_score"
+    ).localCheckpoint(eager=True)
+    # temperature mixture over the SURVIVOR corpus -> per-source budgets
+    counts = kept.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("src_tokens")
+    )
+    tot = counts.agg(
+        F.sum(
+            F.pow(F.col("src_tokens").cast("double"), F.lit(_MIX_TEMPERATURE))
+        ).alias("__pow_total")
+    )
+    mix_w = F.round(
+        F.pow(F.col("src_tokens").cast("double"), F.lit(_MIX_TEMPERATURE))
+        / F.col("__pow_total"),
+        6,
+    )
+    budgets = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.floor(mix_w * _FULL_PIPE_BUDGET).cast("long").alias("budget_tokens"),
+    )
+    wr = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("nb_score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = kept.join(F.broadcast(budgets), "source").withColumn(
+        "running_tokens", F.sum("n_tokens").over(wr).cast("long")
+    )
+    sel = run.filter(F.col("running_tokens") <= F.col("budget_tokens"))
+    d = sel.withColumn("shard", (F.col("doc_id") % 8).cast("int"))
+    wp = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = F.sum("n_tokens").over(wp)
+    return d.select(
+        "doc_id",
+        "source",
+        "cluster_id",
+        "n_tokens",
+        "nb_score",
+        "budget_tokens",
+        "running_tokens",
+        "shard",
+        F.floor((cum - F.col("n_tokens")) / F.lit(2048))
+        .cast("long")
+        .alias("pack_id"),
+    )
+
+
+CURATE_PIPELINE_FULL_SQL = rf"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    quality AS (
+        SELECT * FROM documents
+        WHERE LENGTH(regexp_split_to_array(trim(lower(text)), '\s+')) >= 30
+          AND LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) / LENGTH(text) >= 0.8),
+    exact AS (
+        SELECT * FROM (
+            SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS __min_id
+            FROM quality)
+        WHERE doc_id = __min_id),
+    keepsh AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+               WHERE df <= {_JACCARD_MAX_DF}),
+    shv AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keepsh USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shv GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM shv a JOIN shv b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5),
+    epairs AS (
+        SELECT p.id_a, p.id_b FROM pairs p
+        JOIN exact ea ON ea.doc_id = p.id_a
+        JOIN exact eb ON eb.doc_id = p.id_b),
+    edges AS (SELECT id_a AS s, id_b AS d FROM epairs
+              UNION ALL SELECT id_b, id_a FROM epairs),
+    walk(id, lab) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, w.lab FROM walk w JOIN edges e ON e.s = w.id),
+    clusters AS (SELECT id, MIN(lab) AS cluster_id FROM walk GROUP BY id),
+    withc AS (
+        SELECT x.*, COALESCE(c.cluster_id, x.doc_id) AS cluster_id
+        FROM exact x LEFT JOIN clusters c ON c.id = x.doc_id),
+    canon AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                         ORDER BY LENGTH(text) DESC, doc_id) AS rn
+            FROM withc)
+        WHERE rn = 1),
+    contaminated AS (
+        SELECT DISTINCT t.doc_id
+        FROM sh t
+        JOIN canon dt ON dt.doc_id = t.doc_id AND dt.source <> 'src0'
+        JOIN sh e ON e.shingle = t.shingle
+        JOIN documents de ON de.doc_id = e.doc_id AND de.source = 'src0'
+        GROUP BY t.doc_id, e.doc_id
+        HAVING COUNT(*) >= 2),
+    nbsc AS ({CURATE_QUALITY_CLASSIFIER_SQL}),
+    kept AS (
+        SELECT c.doc_id, c.source, c.cluster_id, s.n_tokens, s.nb_score
+        FROM canon c
+        JOIN nbsc s USING (doc_id)
+        LEFT JOIN contaminated x ON x.doc_id = c.doc_id
+        WHERE c.source <> 'src0' AND x.doc_id IS NULL AND s.pred_hq),
+    mixc AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+             FROM kept GROUP BY 1),
+    mixt AS (SELECT SUM(POWER(CAST(src_tokens AS DOUBLE), {_MIX_TEMPERATURE}))
+                 AS pow_total
+             FROM mixc),
+    mix AS (SELECT source,
+                   CAST(FLOOR(ROUND(POWER(CAST(src_tokens AS DOUBLE),
+                                          {_MIX_TEMPERATURE}) / pow_total, 6)
+                              * {_FULL_PIPE_BUDGET}) AS BIGINT) AS budget_tokens
+            FROM mixc CROSS JOIN mixt),
+    r AS (
+        SELECT k.doc_id, k.source, k.cluster_id, k.n_tokens, k.nb_score,
+               m.budget_tokens,
+               CAST(SUM(k.n_tokens) OVER (PARTITION BY k.source
+                                          ORDER BY k.nb_score DESC, k.doc_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS running_tokens
+        FROM kept k JOIN mix m USING (source)),
+    sel AS (SELECT * FROM r WHERE running_tokens <= budget_tokens)
+    SELECT doc_id, source, cluster_id, n_tokens, nb_score,
+           budget_tokens, running_tokens,
+           CAST(doc_id % 8 AS INT) AS shard,
+           CAST((CAST(SUM(n_tokens) OVER (PARTITION BY doc_id % 8
+                                          ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 - n_tokens) // 2048 AS BIGINT) AS pack_id
+    FROM sel
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 
@@ -4137,6 +4387,38 @@ STREAM_SESSION_SQL = f"""
 """
 
 
+def stream_classifier_feed(spark, sf_dir):
+    """The quality classifier RETRAINED FROM THE STREAM (round 16 —
+    streaming/classifier.py): the documents feed drains through a
+    checkpointed file stream whose per-batch NB sufficient statistics
+    land in the persisted sidecar; the model is rebuilt by summing and
+    every delivered document is scored through the ONE shared scoring
+    body. Because NB statistics are pure integer sums, the stream-
+    maintained model equals the flat batch retrain EXACTLY — so this
+    row's oracle IS the batch classifier's SQL, and the driver's hash
+    match proves the streaming path end-to-end (cadence/restart/replay
+    variants are pinned in tests/test_round16_ops.py)."""
+    import tempfile
+
+    from execute_sync_spark.streaming.classifier import (
+        score_from_stats,
+        stream_classifier_maintenance,
+    )
+    from execute_sync_spark.streaming.util import stage_stream_dir
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    feed = stage_stream_dir(path, prefix="stream_nb_")
+    base = tempfile.mkdtemp(prefix="nb_stats_")
+    pos = F.col("lang") == "en"
+    stream_classifier_maintenance(
+        spark, feed, os.path.join(base, "stats"), os.path.join(base, "ckpt"),
+        positive=pos,
+    )
+    return score_from_stats(
+        spark, os.path.join(base, "stats"), _docs_wide(spark, sf_dir), pos
+    )
+
+
 def stream_purchase_attribution(spark, sf_dir):
     """Stream-stream join (two live streams, watermark-bounded state):
     purchases matched to same-user views in the preceding hour. Inner
@@ -5999,7 +6281,8 @@ SIM_HYBRID_RRF_SQL = f"""
 """
 
 
-_MIX_TEMPERATURE = 0.7
+# _MIX_TEMPERATURE (0.7) is defined next to curate_pipeline_full above —
+# one constant shared by the mixture rows and the full-pipeline budget.
 
 
 def curate_temperature_mix(spark, sf_dir):
@@ -6068,6 +6351,146 @@ CURATE_APPLY_MIXTURE_SQL = rf"""
     SELECT doc_id, source,
            CAST(unnest(range(1, n_copies + 1)) AS INT) AS epoch, n_copies
     FROM k WHERE n_copies > 0
+"""
+
+
+_SEM_K = 8  # topic count for the semantic mixture's k-means domain key
+
+
+def curate_mixture_semantic(spark, sf_dir):
+    """Temperature mixture over SEMANTIC domains (round 16 — VERDICT r15
+    task 5): when a corpus has no domain labels, the standard recipe is
+    cluster-then-balance — k-means topic clusters over the embedding
+    column become the domain key for the temperature mixture instead of
+    the ``source`` label (the DoReMi/cluster-balancing pattern).
+
+    The clustering here is the QUANTIZED deterministic Lloyd step so the
+    WHOLE row — clustering included — has an exact DuckDB oracle (the
+    LPA-unroll precedent): seeds = the k lowest vec_ids (kmeans_fit's
+    deterministic init), one assign → recompute-means → reassign
+    refinement, with cosine similarities and per-dimension means both
+    ROUNDED AT 6 DP before any comparison, so cross-engine float-sum
+    ordering noise (~1e-16) cannot flip an argmax. The library
+    ``kmeans_fit`` (unquantized, any iters) stays the production form —
+    its invariants are pinned in tests/test_kmeans.py; this row pins the
+    mixture-given-clusters composition end-to-end.
+
+    Scale shape: both stages are the measured ones — assignment is a
+    broadcast-centroid argmax (the corpus never shuffles), the mean
+    recompute is a map-side-combined (cell, dim) aggregate shuffling
+    k*dims doubles per task, and the mixture runs on the k-row domain
+    relation. The doc↔vec join is id-keyed; at 100 TB it's the one
+    corpus shuffle (or free when embeddings are stored with the docs)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent0 = emb.orderBy("vec_id").limit(_SEM_K).select(
+        F.row_number()
+        .over(
+            Window.partitionBy(
+                F.substring(F.col("vec_id").cast("string"), 0, 0)
+            ).orderBy("vec_id")
+        )
+        .cast("long")
+        .alias("cell_id"),
+        F.col("v").alias("cv"),
+    )
+
+    def _assign(cent):
+        scored = emb.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            "v",
+            "cell_id",
+            F.round(similarity.cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cell_id")
+        )
+
+    a1 = _assign(cent0)
+    means = (
+        a1.select("cell_id", F.posexplode("v").alias("dim", "val"))
+        .groupBy("cell_id", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("m"))
+        .groupBy("cell_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .select("cell_id", F.transform("dm", lambda s: s["m"]).alias("cv"))
+    )
+    kept = cent0.join(means.select("cell_id"), "cell_id", "left_anti")
+    cent1 = means.unionByName(kept)
+    final = _assign(cent1).select(
+        "vec_id", F.col("cell_id").alias("topic")
+    )
+    docs = _docs(spark, sf_dir)
+    j = docs.join(final, docs.doc_id == final.vec_id)
+    # the k-row counts relation feeds mixture_from_counts' two references
+    # (shares + totals); checkpointing it runs the clustering + corpus
+    # token count exactly ONCE and the mixture math on k cached rows
+    counts = j.groupBy("topic").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(text.tokens("text"))).cast("long").alias("n_tokens"),
+    ).localCheckpoint(eager=True)
+    return curation.mixture_from_counts(
+        counts, _MIX_TEMPERATURE, group_col="topic"
+    )
+
+
+CURATE_MIXTURE_SEMANTIC_SQL = rf"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_SEM_K}),
+    c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS BIGINT) AS cell_id,
+                  v AS cv
+           FROM seeds),
+    s1 AS (SELECT e.vec_id, e.v, c.cell_id,
+                  ROUND({_COS_RAW.format(a='e.v', b='c.cv')}, 6) AS sim
+           FROM e CROSS JOIN c0 c),
+    a1 AS (SELECT vec_id, v, cell_id FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY sim DESC, cell_id) AS rn
+               FROM s1)
+           WHERE rn = 1),
+    m1 AS (SELECT cell_id, list(m ORDER BY dim) AS cv FROM (
+               SELECT cell_id, dim, ROUND(AVG(val), 6) AS m
+               FROM (SELECT cell_id, unnest(v) AS val,
+                            generate_subscripts(v, 1) AS dim
+                     FROM a1)
+               GROUP BY cell_id, dim)
+           GROUP BY cell_id),
+    c1 AS (SELECT * FROM m1
+           UNION ALL
+           SELECT c0.cell_id, c0.cv FROM c0
+           WHERE c0.cell_id NOT IN (SELECT cell_id FROM m1)),
+    s2 AS (SELECT e.vec_id, c.cell_id,
+                  ROUND({_COS_RAW.format(a='e.v', b='c.cv')}, 6) AS sim
+           FROM e CROSS JOIN c1 c),
+    a2 AS (SELECT vec_id, cell_id AS topic FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY sim DESC, cell_id) AS rn
+               FROM s2)
+           WHERE rn = 1),
+    topics AS (
+        SELECT a2.topic, d.text FROM documents d
+        JOIN a2 ON a2.vec_id = d.doc_id),
+    c AS (SELECT topic, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+                      AS BIGINT) AS n_tokens
+          FROM topics GROUP BY 1),
+    t AS (SELECT SUM(POWER(CAST(n_tokens AS DOUBLE), {_MIX_TEMPERATURE}))
+                     AS pow_total,
+                 CAST(SUM(n_tokens) AS DOUBLE) AS tok_total
+          FROM c)
+    SELECT topic, n_docs, n_tokens,
+           ROUND(n_tokens / t.tok_total, 6) AS natural_share,
+           ROUND(POWER(CAST(n_tokens AS DOUBLE), {_MIX_TEMPERATURE}) / t.pow_total,
+                 6) AS mix_weight,
+           ROUND((POWER(CAST(n_tokens AS DOUBLE), {_MIX_TEMPERATURE}) / t.pow_total)
+                 / (n_tokens / t.tok_total), 6) AS sample_factor,
+           ROUND((POWER(CAST(n_tokens AS DOUBLE), {_MIX_TEMPERATURE}) / t.pow_total)
+                 * t.tok_total, 2) AS expected_tokens
+    FROM c CROSS JOIN t
 """
 
 
@@ -6538,6 +6961,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ``_GATE_HEAD_R14`` — see the comment there for the r14 rotation
     # rationale. New queries are registered in this dict anywhere and
     # promoted into the gate window via the head list.
+    # --- round-16 new ops ---
+    "curate_pipeline_full": curate_pipeline_full,
+    "stream_classifier_feed": stream_classifier_feed,
+    "curate_mixture_semantic": curate_mixture_semantic,
     # --- round-15 new ops ---
     "curate_pipeline_mm": curate_pipeline_mm,
     "curate_quality_classifier": curate_quality_classifier,
@@ -6726,63 +7153,53 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # ---------------------------------------------------------------------------
-# Round-15 gate rotation (the driver gates the first 50 QUERIES entries).
-# Recomputed from the fourteen CORRECTNESS_r*.json files per the r12-r14
-# precedent — latest-green distribution entering this round: r11:24 /
-# r12:46 / r13:47 / r14:50. Composition: the 4 new r15 ops gate first
-# (curate_pipeline_mm — the composed multimodal curation pipeline, VERDICT
-# r14 task 3; curate_quality_classifier + its hashed-vocabulary
-# production twin — the in-engine NB quality filter, task 4; and
-# curate_pipeline_classifier — the GPT-3-style classifier-filtered
-# corpus export composing the classifier with the token-budget window);
-# then the 1 row whose PHYSICAL PLAN changed this round
-# (dedup_minhash_est: the signature side now consumes the checkpointed
-# shingle relation instead of re-shingling, ADVICE r14); then the ENTIRE
-# 24-row r11 queue (the age boundary — all relational §2.X, exactly the
-# list VERDICT r14 task 2 names); the remaining 21 slots start draining
-# the 46-row r12 queue family-diverse (every r12 family represented:
-# curate/dedup/d*/graph/mm/q/sim/stream/text, alphabetical inside each).
-# The 25 deferred r12 rows (v_explode_tokens and text_lang_id — their
-# families stay in-window via the head's text/mm rows — then:
-# curate_mixture_weights, curate_pack_sequences,
-# curate_stratified_sample, curate_weighted_sample, d3_superseded,
-# d_version_churn, dedup_lsh_pairs, dedup_minhash_sig, dedup_semantic,
-# q_event_funnel, q_range_band_join, q_scd2_history, q_skew_salted_agg,
-# q_unpivot_sink, sim_cosine_topk_vec, sim_range_search,
-# stream_sessionize_closed, text_ccnet_buckets_approx, text_redact_pii,
-# text_repetition, text_stats, v_shred_props, v_variant_shred_sink) lead
-# the r16 queue.
-_GATE_HEAD_R15 = [
-    # round-15 new ops
-    "curate_pipeline_mm", "curate_quality_classifier",
-    "curate_quality_classifier_hashed", "curate_pipeline_classifier",
-    # physical plan changed this round -> re-gate
-    "dedup_minhash_est",
-    # the whole r11 queue (age boundary; VERDICT r14 task 2 list)
-    "q18_large_volume_customers", "q19_disjunctive_predicates",
-    "q20_supplier_semi_chain", "q22_idle_customers", "q_asof_join",
-    "q_asof_join_merge", "q_conditional_agg", "q_cube_qty",
-    "q_customers_without_orders", "q_date_funcs", "q_distinct_nations",
-    "q_except_intersect", "q_grouping_sets", "q_having_big_customers",
-    "q_percentiles", "q_pivot_status", "q_rollup_status", "q_sessionize",
-    "q_string_agg", "q_string_funcs", "q_top_supplier_per_nation",
-    "q_unpivot_measures", "q_window_funcs", "q_window_top3_orders",
-    # r12 queue, family-diverse first slice (23 of 46)
-    "curate_balanced_sample", "curate_chunk_windows", "curate_contamination",
-    "curate_dsir_weights_hashed", "curate_hash_split",
-    "dedup_containment_pairs_scaled", "dedup_embedding_pairs_expr",
-    "dedup_exact", "dedup_incremental",
-    "d1_latest_batch", "d2_change_feed",
-    "graph_doc_pagerank", "mm_binary_meta",
-    "q1_pricing_summary", "q_approx_distinct", "q_asof_join_banded",
-    "sim_cosine_topk", "sim_ivf_indexed", "sim_lsh_indexed",
-    "stream_purchase_attribution",
-    "text_bigram_top",
+# Round-16 gate rotation (the driver gates the first 50 QUERIES entries).
+# Recomputed from the fifteen CORRECTNESS_r*.json files;
+# entering latest-green distribution r12:25 / r13:47 / r14:49 / r15:50):
+# the 3 new r16 ops gate first (the full pretraining-pipeline flagship,
+# the stream-maintained classifier, the semantic mixture); then the 2
+# rows whose builder PLAN lineage changed this round (the
+# nb_quality_classifier body was factored into shared train/score
+# helpers for streaming/classifier.py — the logical plan is intended to
+# be identical, but the plan-change=>re-gate precedent from
+# dedup_minhash_est r15 applies; the hashed twin's body is untouched);
+# then ALL 25 r12 rows (the age boundary — exactly the deferred list the
+# r15 comment names); the remaining 20 slots start draining the 47-row
+# r13 queue family-diverse (curate/d*/dedup/graph/ingest/mm/q/sim/
+# stream/text represented, alphabetical inside each). The 27 deferred
+# r13 rows lead the r17 queue:
+# curate_leakage_safe_split, curate_quality_rules, curate_token_budget, d2_asof_snapshot, dedup_containment_pairs, dedup_embedding_pairs, dedup_jaccard_pairs, dedup_span_removal, dedup_substring_spans,
+# graph_label_propagation, mm_frame_sample, q2_min_cost_supplier, q4_priority_exists, q9_profit_by_nation_year, q_cohort_retention, q_gapfill_timeseries, q_rolling_revenue, sim_knn_join_sqrt_recall,
+# sim_recall_at_k, stream_enrich_join, stream_sessionize_flushed, text_bm25_topk, text_corpus_stats, text_fingerprint, text_tfidf_top_term, text_unigram_logprob, v_variant_shred.
+_GATE_HEAD_R16 = [
+    # round-16 new ops
+    "curate_pipeline_full", "stream_classifier_feed",
+    "curate_mixture_semantic",
+    # classifier-body refactor -> re-gate (plan-change precedent)
+    "curate_quality_classifier", "curate_pipeline_classifier",
+    # the whole r12 queue (age boundary)
+    "curate_mixture_weights", "curate_pack_sequences",
+    "curate_stratified_sample", "curate_weighted_sample", "d3_superseded",
+    "d_version_churn", "dedup_lsh_pairs", "dedup_minhash_sig",
+    "dedup_semantic", "q_event_funnel", "q_range_band_join",
+    "q_scd2_history", "q_skew_salted_agg", "q_unpivot_sink",
+    "sim_cosine_topk_vec", "sim_range_search", "stream_sessionize_closed",
+    "text_ccnet_buckets_approx", "text_lang_id", "text_redact_pii",
+    "text_repetition", "text_stats", "v_explode_tokens", "v_shred_props",
+    "v_variant_shred_sink",
+    # r13 queue, family-diverse first slice (20 of 47)
+    "curate_apply_mixture", "curate_bloom_contamination",
+    "curate_dsir_weights", "curate_pipeline", "curate_temperature_mix",
+    "d2_latest_version", "dedup_canonical_keep", "dedup_clusters",
+    "dedup_jaccard_pairs_scaled", "graph_centrality_keep",
+    "ingest_roundtrip", "mm_features", "q21_waiting_supplier",
+    "q3_top_orders", "q_merge_upsert", "sim_hybrid_rrf", "stream_dedup",
+    "stream_window_counts", "text_bm25_indexed", "text_ccnet_buckets",
 ]
-assert len(_GATE_HEAD_R15) == 50 and len(set(_GATE_HEAD_R15)) == 50
+assert len(_GATE_HEAD_R16) == 50 and len(set(_GATE_HEAD_R16)) == 50
 QUERIES = {
-    **{k: QUERIES[k] for k in _GATE_HEAD_R15},
-    **{k: v for k, v in QUERIES.items() if k not in set(_GATE_HEAD_R15)},
+    **{k: QUERIES[k] for k in _GATE_HEAD_R16},
+    **{k: v for k, v in QUERIES.items() if k not in set(_GATE_HEAD_R16)},
 }
 
 def text_ccnet_buckets_approx_pure(spark, sf_dir):
@@ -6803,6 +7220,12 @@ BENCH_EXTRA_QUERIES["dedup_semantic_sqrt"] = dedup_semantic_sqrt
 BENCH_EXTRA_QUERIES["text_ccnet_buckets_approx_pure"] = text_ccnet_buckets_approx_pure
 
 ORACLES: dict[str, Optional[str]] = {
+    # round-16 new ops
+    "curate_pipeline_full": CURATE_PIPELINE_FULL_SQL,
+    # stream-maintained NB model == flat batch retrain exactly, so the
+    # streaming row's oracle IS the batch classifier's SQL
+    "stream_classifier_feed": CURATE_QUALITY_CLASSIFIER_SQL,
+    "curate_mixture_semantic": CURATE_MIXTURE_SEMANTIC_SQL,
     # round-15 new ops
     "curate_pipeline_mm": CURATE_PIPELINE_MM_SQL,
     "curate_quality_classifier": CURATE_QUALITY_CLASSIFIER_SQL,

@@ -25,34 +25,35 @@ def test_oracles_subset_of_queries():
     # round 6: every declared query has an oracle (mm_features gained a
     # DuckDB byte-histogram reconstruction, VERDICT r5 #1b)
     assert set(qs) - set(oracles) == set()
-    # the driver gates the first 50 entries. Round-15 rotation
+    # the driver gates the first 50 entries. Round-16 rotation
     # (recomputed from the CORRECTNESS_r*.json files; entering
-    # distribution r11:24 / r12:46 / r13:47 / r14:50): the 4 new r15
-    # ops gate first, then the 1 row whose physical plan changed this
-    # round (dedup_minhash_est: one-shingle-pass threading, ADVICE r14),
-    # then the ENTIRE 24-row r11 age-boundary queue (all relational
-    # §2.X — the VERDICT r14 task 2 list), then a 21-row family-diverse
-    # slice of the r12 queue. The 25 deferred r12 rows lead the r16
-    # queue — full list and rationale at workload._GATE_HEAD_R15.
+    # distribution r12:25 / r13:47 / r14:49 / r15:50): the 3 new r16
+    # ops gate first, then the 2 rows re-gated because the classifier
+    # body was factored into shared helpers (plan-change precedent),
+    # then the ENTIRE 25-row r12 age-boundary queue, then a 20-row
+    # family-diverse slice of the r13 queue. The 27 deferred r13 rows
+    # lead the r17 queue — full list and rationale at
+    # workload._GATE_HEAD_R16.
     from execute_sync_spark.plans import workload
 
     first50 = list(qs)[:50]
-    assert first50 == workload._GATE_HEAD_R15
+    assert first50 == workload._GATE_HEAD_R16
     assert first50[:5] == [
-        "curate_pipeline_mm", "curate_quality_classifier",
-        "curate_quality_classifier_hashed", "curate_pipeline_classifier",
-        "dedup_minhash_est",
+        "curate_pipeline_full", "stream_classifier_feed",
+        "curate_mixture_semantic", "curate_quality_classifier",
+        "curate_pipeline_classifier",
     ]
-    # the whole r11 age-boundary queue is inside the window
+    # the whole r12 age-boundary queue is inside the window
     assert {
-        "q18_large_volume_customers", "q19_disjunctive_predicates",
-        "q20_supplier_semi_chain", "q22_idle_customers", "q_asof_join",
-        "q_asof_join_merge", "q_conditional_agg", "q_cube_qty",
-        "q_customers_without_orders", "q_date_funcs", "q_distinct_nations",
-        "q_except_intersect", "q_grouping_sets", "q_having_big_customers",
-        "q_percentiles", "q_pivot_status", "q_rollup_status", "q_sessionize",
-        "q_string_agg", "q_string_funcs", "q_top_supplier_per_nation",
-        "q_unpivot_measures", "q_window_funcs", "q_window_top3_orders",
+        "curate_mixture_weights", "curate_pack_sequences",
+        "curate_stratified_sample", "curate_weighted_sample", "d3_superseded",
+        "d_version_churn", "dedup_lsh_pairs", "dedup_minhash_sig",
+        "dedup_semantic", "q_event_funnel", "q_range_band_join",
+        "q_scd2_history", "q_skew_salted_agg", "q_unpivot_sink",
+        "sim_cosine_topk_vec", "sim_range_search", "stream_sessionize_closed",
+        "text_ccnet_buckets_approx", "text_lang_id", "text_redact_pii",
+        "text_repetition", "text_stats", "v_explode_tokens", "v_shred_props",
+        "v_variant_shred_sink",
     } <= set(first50)
     first50 = set(first50)
     # the extension families stay represented in the window

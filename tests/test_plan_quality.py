@@ -524,8 +524,10 @@ def test_nb_classifier_hashed_broadcasts_bounded_model(spark):
     assert "CartesianProduct" not in plan
     exact_src = open(curation.__file__).read()
     import re
-    body = exact_src.split("def nb_quality_classifier(")[1].split("\ndef ")[0]
-    # the exact form joins freq WITHOUT a broadcast hint (tf.join(freq,...))
+    # the exact form's scoring body (nb_score_tf — shared with the
+    # streaming-maintained model since r16) joins freq WITHOUT a broadcast
+    # hint (tf.join(freq,...))
+    body = exact_src.split("def nb_score_tf(")[1].split("\ndef ")[0]
     assert re.search(r"tf\.join\(freq, \"token\"\)", body), (
         "exact classifier should join the vocabulary-sized weights "
         "relation unhinted"
@@ -544,3 +546,39 @@ def test_pipeline_classifier_single_budget_window(spark):
     # the window partitions by source (never a global unpartitioned sort)
     win_lines = [l for l in plan.splitlines() if "partitionBy" in l.lower() or "windowspecdefinition" in l.lower()]
     assert not [l for l in plan.splitlines() if "Sort " in l and "source" not in l and "global=true" in l.lower()], plan[:800]
+
+
+def test_pipeline_full_stage_materialization_and_no_cartesian(spark):
+    """The end-to-end pretraining pipeline (r16 flagship) materializes its
+    two fan-out stages (exact-dedup survivors, clean+classified survivors)
+    so the returned plan reads ONLY checkpointed relations — without them
+    the composed lineage re-executed components + classifier per reference
+    (18 corpus scans measured; the docstring documents the 18 -> ~6 cut).
+    And the composition introduces no cartesian product anywhere."""
+    from execute_sync_spark.plans.workload import curate_pipeline_full
+
+    df = curate_pipeline_full(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # every corpus-scale input is a materialized stage boundary: the final
+    # plan scans checkpoints, never the parquet corpus again
+    assert "documents.parquet" not in plan
+    assert plan.count("Scan ExistingRDD") >= 2
+    # budget fill + packing are partitioned windows (per-source/per-shard),
+    # never a global unpartitioned sort
+    assert "Window" in plan
+
+
+def test_mixture_semantic_single_pass_and_broadcast_centroids(spark):
+    """Semantic mixture: the k-row counts relation is the checkpointed
+    stage boundary (clustering + corpus token count run ONCE; the mixture
+    math fans out over k cached rows), and centroid assignment is a
+    broadcast argmax — no cartesian product, corpus never shuffled for
+    assignment."""
+    from execute_sync_spark.plans.workload import curate_mixture_semantic
+
+    df = curate_mixture_semantic(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "embeddings.parquet" not in plan and "documents.parquet" not in plan
+    assert "Scan ExistingRDD" in plan

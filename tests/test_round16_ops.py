@@ -20,3 +20,135 @@ def test_bench_token_weights_clamped_to_pool_capacity():
         wc = bench._token_weights(names, times, cap)
         assert wc["heavy"] == cap  # clamped: acquirable from the pool
         assert all(1 <= v <= cap for v in wc.values())
+
+
+# ---------------------------------------------------------------------------
+# streaming-maintained NB quality classifier (the mixture-stats precedent)
+
+
+def _nb_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def _nb_rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_stream_classifier_maintenance_equals_flat(spark, tmp_path):
+    """After ANY prefix of micro-batches, score_from_stats over the
+    documents delivered so far equals nb_quality_classifier run flat over
+    the same documents — micro-batch cadence, restart, and duplicate
+    delivery included. Exact equality: NB statistics are integer sums, and
+    both paths share curation.nb_score_tf / nb_labeled_tf."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from execute_sync_spark.functions import curation
+    from execute_sync_spark.streaming.classifier import (
+        score_from_stats,
+        stream_classifier_maintenance,
+        write_classifier_stats,
+    )
+
+    pos = F.col("lang") == "en"
+    base = _nb_docs(spark, [
+        (1, "the quick brown fox jumps", "en"),
+        (2, "lorem ipsum dolor sit amet", "la"),
+        (3, "the lazy dog sleeps", "en"),
+    ])
+    stats = str(tmp_path / "nb_stats")
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(feed)
+    write_classifier_stats(base, pos, stats, "__base__")
+    assert _nb_rows(score_from_stats(spark, stats, base, pos)) == _nb_rows(
+        curation.nb_quality_classifier(base, pos)
+    )
+
+    # two feed files, drained one per micro-batch
+    b1 = _nb_docs(spark, [(4, "the fox runs over the dog", "en")])
+    b2 = _nb_docs(spark, [(5, "dolor amet the consectetur", "la"),
+                          (6, "brown dog and quick fox", "en")])
+    b1.coalesce(1).write.mode("append").parquet(feed)
+    stream_classifier_maintenance(spark, feed, stats, ckpt, positive=pos)
+    flat1 = base.unionByName(b1)
+    assert _nb_rows(score_from_stats(spark, stats, flat1, pos)) == _nb_rows(
+        curation.nb_quality_classifier(flat1, pos)
+    )
+
+    # restart with the same checkpoint: only the NEW file is processed
+    b2.coalesce(1).write.mode("append").parquet(feed)
+    stream_classifier_maintenance(spark, feed, stats, ckpt, positive=pos)
+    flat2 = flat1.unionByName(b2)
+    assert _nb_rows(score_from_stats(spark, stats, flat2, pos)) == _nb_rows(
+        curation.nb_quality_classifier(flat2, pos)
+    )
+
+    # replayed batch overwrites itself: value-identical, never double-counted
+    write_classifier_stats(base, pos, stats, "__base__")
+    assert _nb_rows(score_from_stats(spark, stats, flat2, pos)) == _nb_rows(
+        curation.nb_quality_classifier(flat2, pos)
+    )
+
+    # a NEW document with unseen tokens scores through the maintained model
+    # (vocabulary = union vocabulary; unseen tokens drop from the tf join,
+    # exactly as in the flat form)
+    probe = _nb_docs(spark, [(99, "the unseen zebra and the fox", "en")])
+    got = {r.doc_id: r.pred_hq for r in
+           score_from_stats(spark, stats, probe, pos).collect()}
+    want = {r.doc_id: r.pred_hq for r in
+            curation.nb_quality_classifier(
+                flat2.unionByName(probe), pos
+            ).filter(F.col("doc_id") == 99).collect()}
+    # note: flat retrain INCLUDES the probe in training; the invariant
+    # pinned here is just that scoring an out-of-corpus doc works and is
+    # deterministic
+    assert set(got) == {99} and set(want) == {99}
+
+
+def test_stream_classifier_starts_on_empty_feed(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from execute_sync_spark.streaming.classifier import (
+        score_from_stats,
+        stream_classifier_maintenance,
+        write_classifier_stats,
+    )
+
+    pos = F.col("lang") == "en"
+    feed = str(tmp_path / "empty_feed")
+    os.makedirs(feed)
+    stats = str(tmp_path / "stats")
+    seed = _nb_docs(spark, [(1, "seed words here", "en"),
+                            (2, "mots de graine", "fr")])
+    write_classifier_stats(seed, pos, stats, "__base__")
+    stream_classifier_maintenance(spark, feed, stats, str(tmp_path / "ck"),
+                                  positive=pos)
+    assert score_from_stats(spark, stats, seed, pos).count() == 2
+
+
+def test_stream_classifier_continuous_returns_live_query(spark, tmp_path):
+    """available_now=False must return a LIVE query (the ADVICE r14
+    conditional-trigger contract shared by phash/clusters/mixture)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from execute_sync_spark.streaming.classifier import stream_classifier_maintenance
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    _nb_docs(spark, [(1, "alpha beta", "en")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    q = stream_classifier_maintenance(
+        spark, feed, str(tmp_path / "stats"), str(tmp_path / "ck"),
+        positive=F.col("lang") == "en", available_now=False,
+    )
+    try:
+        assert q.isActive  # a continuous stream, not drain-and-stop
+    finally:
+        q.stop()
