@@ -307,3 +307,37 @@ def test_physical_keys_disjoint_across_store_instances(tmp_path, s3_store_factor
     assert len(phys) == 2
     # each physical name embeds its own store's token — no shared counter
     assert {p.split("-")[1] for p in phys} == {a._token, b._token}
+
+
+def test_retry_config_is_adaptive_with_backoff(s3_store_factory):
+    """Production default: botocore's adaptive retry mode (exponential
+    backoff + client-side throttle rate limiting), 5 attempts — the 5xx
+    story for every pointer primitive. Overridable per-store for tests."""
+    store = s3_store_factory()
+    rc = store.s3.meta.config.retries
+    # botocore normalizes max_attempts=5 -> total_max_attempts=6 (1 + 5)
+    assert rc["mode"] == "adaptive" and rc["total_max_attempts"] == 6
+    fast = s3_store_factory(retries={"max_attempts": 1})
+    assert fast.s3.meta.config.retries["total_max_attempts"] == 2
+
+
+def test_transient_5xx_exhausting_retries_leaves_retryable_state(
+    tmp_path, s3_store_factory
+):
+    """A 5xx that survives the SDK's retries (InternalError here, injected
+    above botocore so the store sees the post-retry failure) must leave
+    the staged name intact and the commit retryable — the same contract as
+    the throttle case, pinned for the server-error code path."""
+    from botocore.exceptions import ClientError
+
+    store = s3_store_factory()
+    src = tmp_path / "staged_5xx"
+    src.mkdir()
+    (src / "f").write_text("x")
+    dst = str(tmp_path / "committed_5xx")
+    store.s3 = _FlakyS3(store.s3, "InternalError")
+    with pytest.raises(ClientError):
+        store.rename(str(src), dst)
+    assert (src / "f").read_text() == "x"
+    store.rename(str(src), dst)
+    assert store.read_text(os.path.join(dst, "f")) == "x"
