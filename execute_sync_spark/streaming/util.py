@@ -27,6 +27,10 @@ def stage_stream_dir(path: str, prefix: str = "stream_", replicas: int = 1) -> s
 
     ``replicas`` links the same source N times under distinct names — the
     at-least-once replay shape the streaming-dedup query exercises."""
+    # a RELATIVE source path would become a relative symlink TARGET, which
+    # resolves against the symlink's own temp directory -> broken links and
+    # a silently-empty stream (bitten by an ad-hoc r16 measurement script)
+    path = os.path.abspath(path)
     stream_dir = tempfile.mkdtemp(prefix=prefix)
     if os.path.isdir(path):
         parts = [f for f in sorted(os.listdir(path))

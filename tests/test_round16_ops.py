@@ -152,3 +152,22 @@ def test_stream_classifier_continuous_returns_live_query(spark, tmp_path):
         assert q.isActive  # a continuous stream, not drain-and-stop
     finally:
         q.stop()
+
+
+def test_stage_stream_dir_accepts_relative_paths(tmp_path, monkeypatch):
+    """A relative source path must not become a relative symlink TARGET
+    (which would resolve against the temp dir -> broken links and a
+    silently-empty stream)."""
+    import os
+
+    from execute_sync_spark.streaming.util import stage_stream_dir
+
+    d = tmp_path / "src"
+    d.mkdir()
+    (d / "a.parquet").write_bytes(b"x")
+    monkeypatch.chdir(tmp_path)
+    staged = stage_stream_dir("src", prefix="rel_")
+    links = os.listdir(staged)
+    assert links
+    for f in links:
+        assert os.path.exists(os.path.join(staged, f))  # not a broken link
