@@ -496,6 +496,58 @@ def assign_cells_vectorized(
     )
 
 
+def assign_cells_quantized(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """``assign_cells_vectorized`` with the cosine QUANTIZED at
+    ``round_dp`` before the argmax — the BLAS twin of the 6-dp-rounded
+    expression assignment whose unrolled DuckDB oracle backs
+    curate_mixture_semantic (round 16): rounding makes the argmax
+    invariant to float-sum ORDERING (BLAS accumulation vs the HOF fold vs
+    DuckDB), so the vectorized path can feed a hash-gated row. Half-up
+    rounding matches F.round / DuckDB ROUND (numpy's native round is
+    banker's — the established _np_round_half_up trap). Same output
+    contract and tie-breaks as the expression form: among equal ROUNDED
+    sims the LOWEST cell_id wins (ids scored ascending, argmax takes the
+    first maximum); all-NaN zero-vector rows also fall to the lowest
+    cell. Centroids are a bounded driver collect + broadcast; the corpus
+    never shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    cent_ids, Cent = _collect_vecs(centroids, id_col, vec_col)
+    spark = corpus.sparkSession
+    if Cent is None:
+        return spark.createDataFrame(
+            [], schema=f"{id_col} long, v array<double>, cell_id long"
+        )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        CentN = Cent / np.linalg.norm(Cent, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((np.asarray(cent_ids), CentN))
+
+    def assign_batch(batches):
+        b_ids, b_CentN = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+                S = _np_round_half_up(Vn @ b_CentN.T, round_dp)
+            nearest = b_ids[np.nanargmax(np.nan_to_num(S, nan=-np.inf), axis=1)]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "v": pdf["v"], "cell_id": nearest}
+            )
+
+    return corpus.select(F.col(id_col), _as_double(vec_col).alias("v")).mapInPandas(
+        assign_batch, schema=f"{id_col} long, v array<double>, cell_id long"
+    )
+
+
 def kmeans_fit_sample(
     corpus: DataFrame,
     k: int = 8,

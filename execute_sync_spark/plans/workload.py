@@ -6397,17 +6397,18 @@ def curate_mixture_semantic(spark, sf_dir):
     )
 
     def _assign(cent):
-        scored = emb.crossJoin(F.broadcast(cent)).select(
-            "vec_id",
-            "v",
-            "cell_id",
-            F.round(similarity.cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell_id"))
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "cell_id")
+        # the BLAS quantized assign — one Vn @ CentN.T per Arrow batch with
+        # the sims rounded HALF-UP at 6 dp BEFORE the argmax, so the result
+        # is bit-identical to the expression form (crossJoin + rounded HOF
+        # cosine + row_number) AND to the oracle's unrolled SQL, at ~N·k
+        # BLAS flops instead of N·k interpreted HOF dots (the interpreted
+        # path measured 87 s at the 30x block — linear but dot-dominated)
+        return similarity.assign_cells_quantized(
+            emb,
+            cent.select(F.col("cell_id").alias("vec_id"), F.col("cv").alias("v")),
+            id_col="vec_id",
+            vec_col="v",
+            round_dp=6,
         )
 
     a1 = _assign(cent0)

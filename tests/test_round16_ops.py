@@ -171,3 +171,55 @@ def test_stage_stream_dir_accepts_relative_paths(tmp_path, monkeypatch):
     assert links
     for f in links:
         assert os.path.exists(os.path.join(staged, f))  # not a broken link
+
+
+def test_assign_cells_quantized_equals_expression_form(spark):
+    """The BLAS quantized assign (curate_mixture_semantic's scale path)
+    must agree EXACTLY with the expression form it replaced — crossJoin +
+    6-dp-rounded HOF cosine + row_number(desc sim, asc cell) — including
+    on a zero vector (NULL sims -> lowest cell, matching NaN->-inf argmax)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from execute_sync_spark.functions import similarity
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dim = len(emb.first()["v"])
+    zero = spark.createDataFrame(
+        [(100000, [0.0] * dim)], "vec_id long, v array<double>"
+    )
+    emb = emb.unionByName(zero)
+    cent = emb.orderBy("vec_id").limit(6).select(
+        F.row_number()
+        .over(
+            Window.partitionBy(
+                F.substring(F.col("vec_id").cast("string"), 0, 0)
+            ).orderBy("vec_id")
+        )
+        .cast("long")
+        .alias("cell_id"),
+        F.col("v").alias("cv"),
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cell_id",
+        F.round(similarity.cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell_id"))
+    expr = {
+        (r.vec_id, r.cell_id)
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1).collect()
+    }
+    blas = {
+        (r.vec_id, r.cell_id)
+        for r in similarity.assign_cells_quantized(
+            emb,
+            cent.select(F.col("cell_id").alias("vec_id"), F.col("cv").alias("v")),
+            id_col="vec_id", vec_col="v",
+        ).collect()
+    }
+    assert blas == expr
+    assert (100000, 1) in blas  # the zero vector fell to the lowest cell
