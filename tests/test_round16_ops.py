@@ -223,3 +223,90 @@ def test_assign_cells_quantized_equals_expression_form(spark):
     }
     assert blas == expr
     assert (100000, 1) in blas  # the zero vector fell to the lowest cell
+
+
+# ---------------------------------------------------------------------------
+# full-pipeline semantic invariants (the oracle hash pins exact values; these
+# pin the MEANING, so they survive testdata regeneration)
+
+
+def test_pipeline_full_semantic_invariants(spark):
+    """curate_pipeline_full output must satisfy the pipeline's contract:
+    no src0 (eval) docs, no exact-duplicate texts, no doc sharing >=2
+    3-shingles with the eval set, every kept doc MAP-positive, per-source
+    running totals within budget and consistent with n_tokens, and pack
+    assignment consistent with the per-shard running sum."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from execute_sync_spark.functions import curation, dedupe
+    from execute_sync_spark.plans.workload import (
+        _docs_wide,
+        curate_pipeline_full,
+    )
+    from tests.conftest import SF_DIR
+
+    out = curate_pipeline_full(spark, SF_DIR).collect()
+    assert out  # non-degenerate at the fixture SF
+    docs = _docs_wide(spark, SF_DIR)
+    rows = {r.doc_id: r for r in out}
+
+    # 1. the eval source never leaks into the export
+    assert all(r.source != "src0" for r in out)
+
+    # 2. no two kept docs share identical text (exact dedup held through
+    # the chain), and none is contaminated vs src0
+    kept_ids = list(rows)
+    texts = {
+        r.doc_id: r.text
+        for r in docs.filter(F.col("doc_id").isin(kept_ids)).collect()
+    }
+    assert len(set(texts.values())) == len(texts)
+    contaminated = {
+        r.train_id
+        for r in dedupe.cross_contamination(
+            docs.filter(F.col("doc_id").isin(kept_ids)),
+            docs.filter(F.col("source") == "src0"),
+            k=3,
+            min_shared=2,
+        ).collect()
+    }
+    assert not (contaminated & set(kept_ids))
+
+    # 3. every kept doc is MAP-positive under the corpus-trained classifier
+    scored = {
+        r.doc_id: r
+        for r in curation.nb_quality_classifier(
+            docs, positive=F.col("lang") == "en"
+        ).collect()
+    }
+    for r in out:
+        assert scored[r.doc_id].pred_hq
+        assert scored[r.doc_id].n_tokens == r.n_tokens
+
+    # 4. budget fill: per source, running totals stay within budget and
+    # equal the best-score-first cumulative sum of the kept rows
+    by_src = defaultdict(list)
+    for r in out:
+        by_src[r.source].append(r)
+    for src, group in by_src.items():
+        group.sort(key=lambda r: (-r.nb_score, r.doc_id))
+        running = 0
+        for r in group:
+            running += r.n_tokens
+            assert r.running_tokens == running
+            assert r.running_tokens <= r.budget_tokens
+
+    # 5. packing: per shard, pack_id = floor(pre-sum / 2048) over doc_id
+    # order, and shard = doc_id % 8
+    by_shard = defaultdict(list)
+    for r in out:
+        assert r.shard == r.doc_id % 8
+        by_shard[r.shard].append(r)
+    for shard, group in by_shard.items():
+        group.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in group:
+            assert r.pack_id == cum // 2048
+            cum += r.n_tokens
