@@ -737,3 +737,88 @@ def minhash_estimate_vs_true(
             band_hit.alias("lsh_found"),
         )
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    para_words: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph-level exact deduplication with document rewrite — the
+    Dolma / CCNet recipe one granularity below document dedup: a
+    boilerplate paragraph (nav bars, license blocks, cookie banners)
+    repeats across MILLIONS of pages that are not document-level
+    duplicates, so production pipelines hash paragraphs, keep each
+    distinct paragraph's FIRST occurrence (min (doc, position) order),
+    and rewrite every document to its surviving paragraphs.
+
+    The synthetic corpus has no newline structure, so the paragraph
+    boundary is parameterized as fixed ``para_words``-token windows (on a
+    real corpus the splitter is ``\\n\\n`` — same dataflow from the
+    explode on). Output per doc: paragraph counts before/after, the
+    rewritten text, and its token count; a fully-duplicated document
+    survives as an empty string (the downstream length filter's job, not
+    this operator's).
+
+    Scale: one corpus tokenization, one shuffle keyed by PARAGRAPH HASH
+    (the first-occurrence window — perfectly balanced unless one
+    paragraph dominates the corpus, which is exactly the boilerplate
+    case AQE's skew handling absorbs), one shuffle back on doc id to
+    reassemble. Never a pairwise join; cost is linear in corpus tokens.
+    Reassembly sorts WITHIN one document's paragraphs (array_sort over
+    collected structs — collect_list order is otherwise undefined), never
+    globally.
+    """
+    tok = (
+        docs.select(
+            F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "w")
+        )
+        .filter(F.col("w") != "")
+        .withColumn("para_idx", (F.col("pos") / para_words).cast("int"))
+    )
+    para = tok.groupBy(id_col, "para_idx").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+        ).alias("ptext")
+    )
+    first = Window.partitionBy(F.md5(F.col("ptext"))).orderBy(
+        id_col, "para_idx"
+    )
+    flagged = para.withColumn("_rn", F.row_number().over(first))
+    kept = flagged.filter(F.col("_rn") == 1)
+    totals = para.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("para_idx", "ptext"))),
+                lambda s: s["ptext"],
+            ),
+        ).alias("new_text"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_paras",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+            (F.col("n_paras") - F.coalesce(F.col("n_kept"), F.lit(0))).cast(
+                "long"
+            ).alias("n_removed"),
+            F.coalesce(F.col("new_text"), F.lit("")).alias("new_text"),
+            F.when(
+                F.coalesce(F.col("new_text"), F.lit("")) == "", F.lit(0)
+            )
+            .otherwise(F.size(F.split(F.coalesce(F.col("new_text"), F.lit("")), " ")))
+            .cast("long")
+            .alias("new_n_tokens"),
+        )
+    )

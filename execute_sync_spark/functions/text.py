@@ -783,3 +783,191 @@ def zipf_slope(
         )
         .select(F.col("slice_key").alias(by_col), "n_terms", "zipf_slope")
     )
+
+
+def backoff_lm(
+    docs: DataFrame,
+    train_filter: Column | None = None,
+    alpha: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stupid-Backoff trigram language-model quality score (Brants et al.
+    2007, *Large Language Models in Machine Translation* — the LM scheme
+    DESIGNED for MapReduce-scale corpora: raw relative frequencies with a
+    fixed backoff penalty, no discounting pass, so "training" is nothing
+    but three map-side-combined n-gram counts). The model trains on the
+    ``train_filter`` slice (None = the whole corpus) and scores EVERY
+    document: each position is scored at its maximal order (trigram from
+    position 2 on, bigram at position 1, unigram at position 0), backing
+    off one order at a time with penalty ``alpha`` where the higher-order
+    gram was never seen in training; a token outside the training
+    vocabulary scores ``alpha / N`` at the unigram level.
+
+    Output per doc: ``n_tokens``, the mean log-score ``avg_logprob``
+    (6 dp), the perplexity-style view ``ppl_proxy = exp(-avg)``, and the
+    integer diagnostics ``n_backoff`` (positions scored below their
+    maximal order) and ``n_oov`` (tokens unseen in training) — the
+    knobs a CCNet-style filter thresholds on.
+
+    Scale: the three count relations are VOCABULARY-shaped (the trigram
+    table is billions of rows at 100 TB) and are therefore NEVER
+    broadcast — scoring is five equi-joins on n-gram keys against the
+    sharded count tables, exactly the distributed-serving layout of the
+    Brants paper — plus one broadcast 1-row training total. The only
+    corpus-shaped exchange is the per-doc lag window (partitioned by
+    ``id_col``, never global). No UDFs; everything stays in codegen.
+    """
+    import math
+
+    d = docs.withColumn(
+        "_is_train", train_filter if train_filter is not None else F.lit(True)
+    )
+    tok = (
+        d.select(
+            F.col(id_col), "_is_train",
+            F.posexplode(tokens(text_col)).alias("pos", "w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    g = tok.withColumn("w1", F.lag("w", 1).over(win)).withColumn(
+        "w2", F.lag("w", 2).over(win)
+    )
+    train = g.filter(F.col("_is_train"))
+    uni = train.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    tot = uni.agg(F.sum("c1").cast("double").alias("n_train"))
+    bi = (
+        train.filter(F.col("w1").isNotNull())
+        .groupBy("w1", "w")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    tri = (
+        train.filter(F.col("w2").isNotNull())
+        .groupBy("w2", "w1", "w")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    ctx2 = bi.select(
+        F.col("w1").alias("w2"), F.col("w").alias("w1"), F.col("c2").alias("ctx2")
+    )
+    ctx1 = uni.select(F.col("w").alias("w1"), F.col("c1").alias("ctx1"))
+    la = math.log(alpha)
+    max_order = (
+        F.when(F.col("pos") >= 2, 3).when(F.col("pos") == 1, 2).otherwise(1)
+    )
+    used_order = (
+        F.when(F.col("c3").isNotNull(), 3)
+        .when(F.col("c2").isNotNull(), 2)
+        .otherwise(1)
+    )
+    logs = (
+        F.when(F.col("c3").isNotNull(), F.log(F.col("c3") / F.col("ctx2")))
+        .when(
+            F.col("c2").isNotNull(),
+            F.log(F.col("c2") / F.col("ctx1")) + (max_order - 2) * F.lit(la),
+        )
+        .otherwise(
+            F.log(F.coalesce(F.col("c1"), F.lit(alpha)) / F.col("n_train"))
+            + (max_order - 1) * F.lit(la)
+        )
+    )
+    scored = (
+        g.join(tri, ["w2", "w1", "w"], "left")
+        .join(bi, ["w1", "w"], "left")
+        .join(uni, ["w"], "left")
+        .join(ctx2, ["w2", "w1"], "left")
+        .join(ctx1, ["w1"], "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            (F.sum(logs) / F.count(F.lit(1))).alias("_avg"),
+            F.sum((used_order < max_order).cast("int")).cast("long").alias("n_backoff"),
+            F.sum(F.col("c1").isNull().cast("int")).cast("long").alias("n_oov"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.round(F.col("_avg"), 6).alias("avg_logprob"),
+            F.round(F.exp(-F.col("_avg")), 4).alias("ppl_proxy"),
+            "n_backoff",
+            "n_oov",
+        )
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    top_k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pointwise-mutual-information collocations (Church & Hanks 1990):
+    the ``top_k`` adjacent token bigrams by
+    ``PMI = ln( p(ab) / (p(a) · p(b)) )`` with a ``min_count`` evidence
+    valve — the standard corpus-exploration / phrase-mining signal (high
+    PMI = the pair co-occurs far above chance: multiword expressions,
+    templates, boilerplate markers).
+
+    Physical shape mirrors ``zipf_slope``: one bigram aggregation and one
+    unigram aggregation (both map-side combined), the two corpus totals
+    as a broadcast 1-row cross-join, the valve BEFORE ranking so the
+    ranked relation is evidence-capped, and the top-k as
+    ``orderBy().limit()`` (TakeOrderedAndProject: per-partition heap +
+    driver merge — never a global sort over vocabulary² rows). Ordering
+    key is the 4-dp-rounded PMI with the bigram string as tie-break, so
+    both engines rank identically."""
+    t = tokens(text_col)
+    n = F.size(t)
+    pair = F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    bi = (
+        docs.select(F.explode_outer(pair).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    uni = (
+        docs.select(F.explode(t).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    tot = uni.agg(F.sum("c_w").cast("double").alias("n_uni"))
+    # corpus bigram total must count ALL bigrams, not just valved ones:
+    # derive it exactly as sum(per-doc max(tokens - 1, 0))
+    n_bi_true = docs.select(
+        F.sum(F.greatest(F.size(t) - 1, F.lit(0))).cast("double").alias("n_bi")
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab") / F.col("n_bi"))
+            / ((F.col("c_a") / F.col("n_uni")) * (F.col("c_b") / F.col("n_uni")))
+        ),
+        4,
+    )
+    scored = (
+        bi.join(uni.select(F.col("w").alias("a"), F.col("c_w").alias("c_a")), "a")
+        .join(uni.select(F.col("w").alias("b"), F.col("c_w").alias("c_b")), "b")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n_bi_true))
+        .select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            F.col("c_ab").cast("long").alias("n"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(top_k)
+    )
+    w = Window.partitionBy(F.substring("bigram", 0, 0)).orderBy(
+        F.desc("pmi"), F.asc("bigram")
+    )
+    return scored.withColumn("rank", F.row_number().over(w))

@@ -6954,6 +6954,157 @@ SIM_MATRYOSHKA_RECALL_SQL = f"""
 """
 
 
+def text_backoff_lm(spark, sf_dir):
+    """Stupid-Backoff trigram LM quality score (functions/text.py
+    backoff_lm — Brants et al. 2007, the LM scheme designed for
+    MapReduce-scale corpora): train on every source EXCEPT the held-out
+    eval source ``src0``, score every document at its maximal n-gram
+    order with fixed-penalty backoff, so the held-out slice exercises
+    the backoff and OOV paths the self-trained unigram row
+    (text_unigram_logprob) structurally cannot. Count tables are
+    vocabulary-shaped and never broadcast; scoring is sharded n-gram-key
+    equi-joins, the Brants serving layout."""
+    return text.backoff_lm(
+        _docs_wide(spark, sf_dir), train_filter=F.col("source") != "src0"
+    )
+
+
+TEXT_BACKOFF_LM_SQL = r"""
+    WITH tok0 AS (
+        SELECT doc_id, (source != 'src0') AS is_train,
+               unnest(arr) AS w,
+               unnest(range(len(arr))) AS pos
+        FROM (SELECT doc_id, source,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+              FROM documents)),
+    tok AS (SELECT * FROM tok0 WHERE w != ''),
+    g AS (
+        SELECT doc_id, pos, w, is_train,
+               lag(w, 1) OVER win AS w1,
+               lag(w, 2) OVER win AS w2,
+               CASE WHEN pos >= 2 THEN 3 WHEN pos = 1 THEN 2 ELSE 1 END AS max_order
+        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+    uni AS (SELECT w, COUNT(*) AS c1 FROM g WHERE is_train GROUP BY w),
+    tot AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n_train FROM uni),
+    bi AS (SELECT w1, w, COUNT(*) AS c2 FROM g
+           WHERE is_train AND w1 IS NOT NULL GROUP BY w1, w),
+    tri AS (SELECT w2, w1, w, COUNT(*) AS c3 FROM g
+            WHERE is_train AND w2 IS NOT NULL GROUP BY w2, w1, w),
+    scored AS (
+        SELECT g.doc_id, g.max_order,
+               CASE WHEN tri.c3 IS NOT NULL THEN 3
+                    WHEN bi.c2 IS NOT NULL THEN 2
+                    ELSE 1 END AS used_order,
+               CASE WHEN tri.c3 IS NOT NULL
+                         THEN ln(tri.c3 / CAST(ctx2.c2 AS DOUBLE))
+                    WHEN bi.c2 IS NOT NULL
+                         THEN ln(bi.c2 / CAST(ctx1.c1 AS DOUBLE))
+                              + (g.max_order - 2) * ln(0.4)
+                    ELSE ln(COALESCE(uni.c1, 0.4) / n_train)
+                         + (g.max_order - 1) * ln(0.4)
+               END AS logs,
+               (uni.c1 IS NULL) AS oov
+        FROM g
+        LEFT JOIN tri ON tri.w2 = g.w2 AND tri.w1 = g.w1 AND tri.w = g.w
+        LEFT JOIN bi ON bi.w1 = g.w1 AND bi.w = g.w
+        LEFT JOIN uni ON uni.w = g.w
+        LEFT JOIN bi ctx2 ON ctx2.w1 = g.w2 AND ctx2.w = g.w1
+        LEFT JOIN uni ctx1 ON ctx1.w = g.w1
+        CROSS JOIN tot)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(logs) / COUNT(*), 6) AS avg_logprob,
+           ROUND(exp(-(SUM(logs) / COUNT(*))), 4) AS ppl_proxy,
+           CAST(SUM(CASE WHEN used_order < max_order THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_backoff,
+           CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+    FROM scored
+    GROUP BY doc_id
+"""
+
+
+def text_pmi_top(spark, sf_dir):
+    """PMI collocations (functions/text.py pmi_collocations — Church &
+    Hanks 1990): top-20 adjacent bigrams by pointwise mutual information
+    with a min-count-5 evidence valve. Two map-side-combined count
+    aggregations, broadcast 1-row totals, TakeOrdered top-k over the
+    valved relation — never a global vocabulary² sort. Ranked on the
+    4-dp-rounded PMI with the bigram string tie-break, so both engines
+    order identically."""
+    return text.pmi_collocations(_docs_wide(spark, sf_dir))
+
+
+TEXT_PMI_SQL = r"""
+    WITH toks AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                  FROM documents),
+    bi0 AS (SELECT unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b FROM toks),
+    bi AS (SELECT a, b, COUNT(*) AS c_ab FROM bi0 GROUP BY a, b
+           HAVING COUNT(*) >= 5),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    unic AS (SELECT w, COUNT(*) AS c_w FROM uni WHERE w != '' GROUP BY w),
+    tot AS (SELECT CAST(SUM(c_w) AS DOUBLE) AS n_uni FROM unic),
+    nbi AS (SELECT CAST(SUM(GREATEST(len(t) - 1, 0)) AS DOUBLE) AS n_bi FROM toks),
+    scored AS (
+        SELECT bi.a || ' ' || bi.b AS bigram,
+               CAST(bi.c_ab AS BIGINT) AS n,
+               ROUND(ln((bi.c_ab / n_bi)
+                        / ((ua.c_w / n_uni) * (ub.c_w / n_uni))), 4) AS pmi
+        FROM bi
+        JOIN unic ua ON ua.w = bi.a
+        JOIN unic ub ON ub.w = bi.b
+        CROSS JOIN tot CROSS JOIN nbi),
+    ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, bigram) AS INT) AS rank
+               FROM scored)
+    SELECT bigram, n, pmi, rank FROM ranked WHERE rank <= 20
+"""
+
+
+_PARA_WORDS = 16  # synthetic paragraph boundary: fixed 16-token windows
+
+
+def dedup_paragraph_rewrite(spark, sf_dir):
+    """Paragraph-level exact dedup with document rewrite (functions/
+    dedupe.py paragraph_dedup — the Dolma/CCNet recipe one granularity
+    below document dedup): hash fixed 16-token paragraph windows, keep
+    each distinct paragraph's FIRST occurrence (min (doc, position)),
+    rewrite every document to its survivors. One shuffle keyed by
+    paragraph hash, one keyed by doc id — linear in corpus tokens, never
+    a pairwise join; per-doc reassembly sorts only within one document's
+    collected paragraphs."""
+    return dedupe.paragraph_dedup(
+        _docs_wide(spark, sf_dir), para_words=_PARA_WORDS
+    )
+
+
+DEDUP_PARAGRAPH_SQL = rf"""
+    WITH tok0 AS (
+        SELECT doc_id, unnest(arr) AS w, unnest(range(len(arr))) AS pos
+        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+              FROM documents)),
+    tok AS (SELECT doc_id, w, pos, CAST(pos // {_PARA_WORDS} AS INT) AS para_idx
+            FROM tok0 WHERE w != ''),
+    para AS (SELECT doc_id, para_idx, string_agg(w, ' ' ORDER BY pos) AS ptext
+             FROM tok GROUP BY doc_id, para_idx),
+    flagged AS (SELECT doc_id, para_idx, ptext,
+                       ROW_NUMBER() OVER (PARTITION BY md5(ptext)
+                                          ORDER BY doc_id, para_idx) AS rn
+                FROM para),
+    kept AS (SELECT * FROM flagged WHERE rn = 1),
+    totals AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras
+               FROM para GROUP BY doc_id),
+    rebuilt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                       string_agg(ptext, ' ' ORDER BY para_idx) AS new_text
+                FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, t.n_paras,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           CAST(t.n_paras - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.new_text, '') AS new_text,
+           CAST(CASE WHEN COALESCE(r.new_text, '') = '' THEN 0
+                ELSE len(str_split(r.new_text, ' ')) END AS BIGINT) AS new_n_tokens
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -----------------------------------------------------------------
     # The driver's CORRECTNESS gate covers the FIRST 50 entries of this
@@ -6966,6 +7117,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_pipeline_full": curate_pipeline_full,
     "stream_classifier_feed": stream_classifier_feed,
     "curate_mixture_semantic": curate_mixture_semantic,
+    "text_backoff_lm": text_backoff_lm,
+    "text_pmi_top": text_pmi_top,
+    "dedup_paragraph_rewrite": dedup_paragraph_rewrite,
     # --- round-15 new ops ---
     "curate_pipeline_mm": curate_pipeline_mm,
     "curate_quality_classifier": curate_quality_classifier,
@@ -7227,6 +7381,9 @@ ORACLES: dict[str, Optional[str]] = {
     # streaming row's oracle IS the batch classifier's SQL
     "stream_classifier_feed": CURATE_QUALITY_CLASSIFIER_SQL,
     "curate_mixture_semantic": CURATE_MIXTURE_SEMANTIC_SQL,
+    "text_backoff_lm": TEXT_BACKOFF_LM_SQL,
+    "text_pmi_top": TEXT_PMI_SQL,
+    "dedup_paragraph_rewrite": DEDUP_PARAGRAPH_SQL,
     # round-15 new ops
     "curate_pipeline_mm": CURATE_PIPELINE_MM_SQL,
     "curate_quality_classifier": CURATE_QUALITY_CLASSIFIER_SQL,

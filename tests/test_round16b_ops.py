@@ -1,0 +1,202 @@
+"""Round-16 second wave: Stupid-Backoff LM, PMI collocations,
+paragraph-level dedup rewrite — semantic invariants and hand-computed
+tiny-corpus checks (the gate hash pins exact values at sf0.01; these pin
+the MEANING, so they survive testdata regeneration)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from execute_sync_spark.functions import dedupe, text
+from tests.conftest import SF_DIR
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+# ---------------------------------------------------------------------------
+# Stupid-Backoff trigram LM
+
+
+def test_backoff_lm_self_trained_never_backs_off(spark):
+    """Training on the scored corpus itself means every observed n-gram is
+    in the model: zero backoffs, zero OOV, all log-scores <= 0."""
+    from execute_sync_spark.plans.workload import _docs_wide
+
+    out = text.backoff_lm(_docs_wide(spark, SF_DIR)).collect()
+    assert out
+    assert all(r.n_backoff == 0 and r.n_oov == 0 for r in out)
+    assert all(r.avg_logprob <= 0.0 for r in out)
+    assert all(r.ppl_proxy >= 1.0 for r in out)
+
+
+def test_backoff_lm_held_out_exercises_backoff(spark):
+    """With src0 held out of training, the src0 docs must actually hit the
+    backoff path (otherwise the row is indistinguishable from the unigram
+    LM), and train-slice docs still never back off."""
+    from execute_sync_spark.plans.workload import _docs_wide
+
+    docs = _docs_wide(spark, SF_DIR)
+    out = text.backoff_lm(docs, train_filter=F.col("source") != "src0")
+    rows = out.join(docs.select("doc_id", "source"), "doc_id").collect()
+    eval_rows = [r for r in rows if r.source == "src0"]
+    train_rows = [r for r in rows if r.source != "src0"]
+    assert eval_rows and train_rows
+    assert sum(r.n_backoff for r in eval_rows) > 0
+    assert all(r.n_backoff == 0 and r.n_oov == 0 for r in train_rows)
+
+
+def test_backoff_lm_hand_computed(spark):
+    """2-doc corpus, train on doc 0 ('a b a b'), score doc 1 ('a b c'):
+    every backoff level and the OOV floor computed by hand."""
+    docs = _docs(
+        spark,
+        [(0, "a b a b", "train"), (1, "a b c", "score")],
+    )
+    out = {
+        r.doc_id: r
+        for r in text.backoff_lm(
+            docs, train_filter=F.col("source") == "train"
+        ).collect()
+    }
+    a = 0.4
+    n = 4.0  # train tokens: a b a b
+    # doc 0 scores itself: pos0 unigram a: 2/4; pos1 bigram (a,b): 2/2;
+    # pos2 trigram (a,b,a): 1/1 over ctx2 c(a,b)=2 -> 1/2; pos3 trigram
+    # (b,a,b): 1/1 over ctx2 c(b,a)=1 -> 1/1
+    exp0 = (math.log(2 / n) + math.log(2 / 2) + math.log(1 / 2) + math.log(1 / 1)) / 4
+    assert out[0].n_backoff == 0 and out[0].n_oov == 0
+    assert out[0].avg_logprob == pytest.approx(exp0, abs=1e-6)
+    # doc 1: pos0 unigram a: 2/4; pos1 bigram (a,b): 2/2; pos2 trigram
+    # (b,?,c) unseen, bigram (b,c) unseen -> unigram OOV floor with two
+    # backoff steps: 2*ln(a) + ln(a/n)
+    exp1 = (
+        math.log(2 / n)
+        + math.log(2 / 2)
+        + (2 * math.log(a) + math.log(a / n))
+    ) / 3
+    assert out[1].n_backoff == 1 and out[1].n_oov == 1
+    assert out[1].avg_logprob == pytest.approx(exp1, abs=1e-6)
+    assert out[1].ppl_proxy == pytest.approx(math.exp(-exp1), abs=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+
+
+def test_pmi_hand_computed(spark):
+    """'x y' always adjacent (5 times) vs frequent-but-independent filler:
+    PMI of the glued pair computed by hand; the valve drops pairs under
+    min_count."""
+    rows = [(i, "x y " + "f g f h", "s") for i in range(5)]
+    docs = _docs(spark, rows)
+    out = {r.bigram: r for r in text.pmi_collocations(docs, min_count=5).collect()}
+    # corpus: 5 docs x 6 tokens = 30 tokens; bigrams per doc 5 -> 25 total
+    # c(x y)=5, c(x)=5, c(y)=5 -> pmi = ln((5/25)/((5/30)*(5/30)))
+    assert "x y" in out
+    exp = math.log((5 / 25) / ((5 / 30) * (5 / 30)))
+    assert out["x y"].pmi == pytest.approx(exp, abs=1e-4)
+    assert out["x y"].n == 5
+    # 'y f' also occurs 5x (adjacent across the fixed template) — present;
+    # but 'g f' occurs 5x too; anything with count < 5 is valved out
+    assert all(r.n >= 5 for r in out.values())
+    # ranks are contiguous from 1 and ordered by (pmi desc, bigram)
+    ranked = sorted(out.values(), key=lambda r: r.rank)
+    assert [r.rank for r in ranked] == list(range(1, len(ranked) + 1))
+    keys = [(-r.pmi, r.bigram) for r in ranked]
+    assert keys == sorted(keys)
+
+
+def test_pmi_corpus_topk_shape(spark):
+    from execute_sync_spark.plans.workload import text_pmi_top
+
+    out = text_pmi_top(spark, SF_DIR).collect()
+    assert len(out) == 20
+    assert all(r.n >= 5 for r in out)
+    keys = [(-r.pmi, r.bigram) for r in sorted(out, key=lambda r: r.rank)]
+    assert keys == sorted(keys)
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup rewrite
+
+
+def test_paragraph_dedup_removes_cross_doc_repeats(spark):
+    """A boilerplate paragraph shared by three docs survives only in the
+    first (min doc_id); unique paragraphs survive everywhere; a fully-
+    duplicated doc rewrites to the empty string."""
+    boiler = " ".join(f"b{i}" for i in range(4))
+    u1 = " ".join(f"u{i}" for i in range(4))
+    u2 = " ".join(f"v{i}" for i in range(4))
+    docs = _docs(
+        spark,
+        [
+            (0, f"{boiler} {u1}", "s"),
+            (1, f"{boiler} {u2}", "s"),
+            (2, boiler, "s"),
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in dedupe.paragraph_dedup(docs, para_words=4).collect()
+    }
+    assert out[0].n_paras == 2 and out[0].n_kept == 2
+    assert out[0].new_text == f"{boiler} {u1}"
+    assert out[1].n_paras == 2 and out[1].n_kept == 1
+    assert out[1].new_text == u2
+    assert out[2].n_paras == 1 and out[2].n_kept == 0
+    assert out[2].new_text == "" and out[2].new_n_tokens == 0
+    assert all(r.n_paras == r.n_kept + r.n_removed for r in out.values())
+
+
+def test_paragraph_dedup_global_uniqueness_and_conservation(spark):
+    """Corpus-level contract at the fixture SF: every surviving paragraph
+    text is globally unique, token counts are conserved (kept paragraphs'
+    tokens = new_n_tokens), and a doc's surviving paragraphs keep their
+    original relative order."""
+    from execute_sync_spark.plans.workload import _PARA_WORDS, _docs_wide
+
+    docs = _docs_wide(spark, SF_DIR)
+    out = dedupe.paragraph_dedup(docs, para_words=_PARA_WORDS)
+    rows = out.collect()
+    seen: set[str] = set()
+    for r in rows:
+        if not r.new_text:
+            continue
+        toks = r.new_text.split(" ")
+        assert len(toks) == r.new_n_tokens
+        # re-window the rewritten text: all but the final window of each
+        # doc's ORIGINAL paragraphs are full-width, so splitting the
+        # rewrite is not windowable — instead assert global uniqueness of
+        # the kept windows via the operator's own relation below
+    paras = (
+        docs.select(
+            F.col("doc_id"), F.posexplode(text.tokens("text")).alias("pos", "w")
+        )
+        .filter(F.col("w") != "")
+        .withColumn("p", (F.col("pos") / _PARA_WORDS).cast("int"))
+        .groupBy("doc_id", "p")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            ).alias("ptext")
+        )
+    )
+    kept_concat = {r.doc_id: r.new_text for r in rows}
+    ordered = paras.orderBy("doc_id", "p").collect()
+    rebuilt: dict[int, list[str]] = {}
+    for r in ordered:
+        if r.ptext in seen:
+            continue
+        seen.add(r.ptext)
+        rebuilt.setdefault(r.doc_id, []).append(r.ptext)
+    for doc_id, expect in kept_concat.items():
+        assert " ".join(rebuilt.get(doc_id, [])) == expect
