@@ -971,3 +971,146 @@ def pmi_collocations(
         F.desc("pmi"), F.asc("bigram")
     )
     return scored.withColumn("rank", F.row_number().over(w))
+
+
+def _bpe_merge_fold(s_col: Column, a: str, b: str, merged: str) -> Column:
+    """Apply ONE BPE merge (a, b) -> merged to a space-padded symbol
+    string (`` s p a r k _ ``) as a single left fold — greedy
+    left-to-right non-overlapping replacement, the classic BPE
+    application order. The accumulator keeps a leading AND trailing
+    space, so ``ends_with(acc, " a ")`` tests exactly "last completed
+    symbol == a"; a merge can never create a new (a, b) adjacency within
+    the same step (the merged symbol is strictly longer than either
+    side), so one pass is the fixpoint."""
+    return F.aggregate(
+        F.split(F.trim(s_col), " "),
+        F.lit(" "),
+        lambda acc, x: F.when(
+            acc.endswith(f" {a} ") & (x == F.lit(b)),
+            F.concat(
+                acc.substr(F.lit(1), F.length(acc) - (len(a) + 1)),
+                F.lit(merged + " "),
+            ),
+        ).otherwise(F.concat(acc, x, F.lit(" "))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, list[tuple[int, str, str, str, int]]]:
+    """Train a byte-pair-encoding tokenizer IN-ENGINE (Sennrich et al.
+    2016, as productionized by word-frequency BPE trainers): the corpus
+    collapses to the distinct-word + count relation ONCE (the standard
+    trick — pair statistics over a 100 TB corpus are exactly pair
+    statistics over its vocabulary weighted by word frequency), each word
+    becomes a space-delimited character sequence with a ``_`` end-of-word
+    symbol, and each merge step is one map-side-combined pair-count
+    aggregation over the VOCABULARY relation plus a single-row argmax
+    collect (the bounded-small collect precedent: centroids, bucket
+    lists) — ties break (count desc, left asc, right asc) so training is
+    fully deterministic. Merge application is the no-UDF string fold in
+    ``_bpe_merge_fold``; chained folds stay narrow over the
+    locally-checkpointed vocab, so no step rescans the corpus.
+
+    Returns ``(vocab_df, merges)``: the vocabulary with its final symbol
+    sequence column ``s``, and the learned merge list
+    ``(step, lhs, rhs, merged, pair_count)``.
+
+    Raises ``ValueError`` if the corpus runs out of mergeable pairs
+    before ``n_merges`` (every word fused to one symbol)."""
+    vocab = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "s",
+            F.concat(
+                F.lit(" "), F.regexp_replace("w", "(.)", "$1 "), F.lit("_ ")
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        syms = F.split(F.trim(F.col("s")), " ")
+        n = F.size(syms)
+        best = (
+            vocab.select(
+                "cnt",
+                F.explode(
+                    F.zip_with(
+                        F.slice(syms, 1, n - 1),
+                        F.slice(syms, 2, n - 1),
+                        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("pc"))
+            .orderBy(F.desc("pc"), F.asc("a"), F.asc("b"))
+            .first()
+        )
+        if best is None:
+            raise ValueError(
+                f"corpus exhausted mergeable pairs at step {step} < n_merges={n_merges}"
+            )
+        a, b, pc = best["a"], best["b"], int(best["pc"])
+        merges.append((step, a, b, a + b, pc))
+        vocab = vocab.withColumn("s", _bpe_merge_fold(F.col("s"), a, b, a + b))
+    return vocab, merges
+
+
+def bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The learned BPE merge table: one row per merge step —
+    ``(step, lhs, rhs, merged, pair_count)``. See ``bpe_train``."""
+    _, merges = bpe_train(docs, n_merges=n_merges, text_col=text_col, id_col=id_col)
+    return docs.sparkSession.createDataFrame(
+        merges, "step int, lhs string, rhs string, merged string, pair_count long"
+    )
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply the in-engine-trained BPE segmentation back to the corpus and
+    report the tokenizer-budgeting stats per document: word count, BPE
+    subword count, and fertility (subwords per word — THE tokenizer-
+    efficiency metric for pretraining cost models). A standalone ``_``
+    end-marker counts with its word's final symbol, so a fully-merged
+    word has fertility 1.
+
+    Scale: segmentation is precomputed per DISTINCT word on the vocab
+    relation (chained narrow folds over the checkpoint), then applied as
+    one word-key equi-join — AQE broadcasts it at bench vocab, shuffles
+    at web-scale vocab; never per-token Python."""
+    vocab, _ = bpe_train(docs, n_merges=n_merges, text_col=text_col, id_col=id_col)
+    n_sub = (
+        F.size(F.split(F.trim(F.col("s")), " "))
+        - F.when(F.col("s").endswith(" _ "), 1).otherwise(0)
+    )
+    vstats = vocab.select("w", n_sub.cast("long").alias("n_sub"))
+    return (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .join(vstats, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subwords"),
+            F.round(
+                F.sum("n_sub") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("fertility"),
+        )
+    )

@@ -7105,6 +7105,96 @@ DEDUP_PARAGRAPH_SQL = rf"""
 """
 
 
+_BPE_MERGES = 6
+
+
+def text_bpe_merges(spark, sf_dir):
+    """In-engine BPE tokenizer training (functions/text.py bpe_train —
+    Sennrich et al. 2016 via the word-frequency formulation): the corpus
+    collapses once to the distinct-word+count relation, then each of the
+    6 merge steps is one map-side-combined pair-count aggregation over
+    the VOCABULARY plus a 1-row argmax collect (bounded-small precedent);
+    merge application is a no-UDF string fold. Deterministic tie-break
+    (count desc, pair asc) makes the whole training trajectory exactly
+    reproducible — the DuckDB oracle re-runs the identical 6 unrolled
+    steps with list_reduce as the fold."""
+    return text.bpe_merges(_docs_wide(spark, sf_dir), n_merges=_BPE_MERGES)
+
+
+def text_bpe_tokenize(spark, sf_dir):
+    """Apply the in-engine-trained BPE segmentation back to the corpus
+    (functions/text.py bpe_fertility): per-doc word count, subword count,
+    and fertility (subwords/word — the tokenizer-efficiency metric
+    pretraining cost models budget with). Segmentation is precomputed per
+    DISTINCT word on the vocab relation and applied as one word-key
+    equi-join; never per-token Python."""
+    return text.bpe_fertility(_docs_wide(spark, sf_dir), n_merges=_BPE_MERGES)
+
+
+def _bpe_sql_chain(n_merges: int) -> str:
+    """The unrolled BPE training trajectory as chained DuckDB CTEs —
+    state v{k} is the vocabulary's symbol string after merge k, b{k} the
+    argmax pair chosen at step k; the fold inside list_reduce mirrors
+    _bpe_merge_fold token for token (same padded-string invariant)."""
+    parts = [
+        r"""v0 AS (
+        SELECT w AS word, COUNT(*) AS cnt,
+               ' ' || regexp_replace(w, '(.)', '\1 ', 'g') || '_ ' AS s
+        FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+              FROM documents)
+        WHERE w != '' GROUP BY w)"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(f"""p{k} AS (
+        SELECT a, b, SUM(cnt) AS pc FROM (
+            SELECT cnt, unnest(arr[1:len(arr)-1]) AS a, unnest(arr[2:len(arr)]) AS b
+            FROM (SELECT cnt, str_split(trim(s), ' ') AS arr FROM v{k - 1}))
+        GROUP BY a, b),
+    b{k} AS (SELECT a AS ma, b AS mb, a || b AS mm, pc FROM p{k}
+             ORDER BY pc DESC, a, b LIMIT 1),
+    v{k} AS (
+        SELECT word, cnt,
+               list_reduce(list_prepend(' ', str_split(trim(s), ' ')),
+                   (acc, x) -> CASE WHEN ends_with(acc, ' ' || ma || ' ') AND x = mb
+                               THEN substr(acc, 1, length(acc) - length(ma) - 1) || mm || ' '
+                               ELSE acc || x || ' ' END) AS s
+        FROM v{k - 1} CROSS JOIN b{k})""")
+    return ",\n    ".join(parts)
+
+
+TEXT_BPE_MERGES_SQL = (
+    "    WITH "
+    + _bpe_sql_chain(_BPE_MERGES)
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS step, ma AS lhs, mb AS rhs, mm AS merged,"
+        f" CAST(pc AS BIGINT) AS pair_count FROM b{k}"
+        for k in range(1, _BPE_MERGES + 1)
+    )
+)
+
+TEXT_BPE_TOKENIZE_SQL = (
+    "    WITH "
+    + _bpe_sql_chain(_BPE_MERGES)
+    + f""",
+    vf AS (SELECT word,
+                  len(str_split(trim(s), ' '))
+                  - CASE WHEN ends_with(s, ' _ ') THEN 1 ELSE 0 END AS n_sub
+           FROM v{_BPE_MERGES}),
+    dtok AS (SELECT doc_id, w FROM (
+                 SELECT doc_id,
+                        unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+                 FROM documents) WHERE w != '')
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+           ROUND(SUM(n_sub) / CAST(COUNT(*) AS DOUBLE), 4) AS fertility
+    FROM dtok JOIN vf ON vf.word = dtok.w
+    GROUP BY doc_id
+"""
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -----------------------------------------------------------------
     # The driver's CORRECTNESS gate covers the FIRST 50 entries of this
@@ -7120,6 +7210,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_backoff_lm": text_backoff_lm,
     "text_pmi_top": text_pmi_top,
     "dedup_paragraph_rewrite": dedup_paragraph_rewrite,
+    "text_bpe_merges": text_bpe_merges,
+    "text_bpe_tokenize": text_bpe_tokenize,
     # --- round-15 new ops ---
     "curate_pipeline_mm": curate_pipeline_mm,
     "curate_quality_classifier": curate_quality_classifier,
@@ -7384,6 +7476,8 @@ ORACLES: dict[str, Optional[str]] = {
     "text_backoff_lm": TEXT_BACKOFF_LM_SQL,
     "text_pmi_top": TEXT_PMI_SQL,
     "dedup_paragraph_rewrite": DEDUP_PARAGRAPH_SQL,
+    "text_bpe_merges": TEXT_BPE_MERGES_SQL,
+    "text_bpe_tokenize": TEXT_BPE_TOKENIZE_SQL,
     # round-15 new ops
     "curate_pipeline_mm": CURATE_PIPELINE_MM_SQL,
     "curate_quality_classifier": CURATE_QUALITY_CLASSIFIER_SQL,

@@ -200,3 +200,81 @@ def test_paragraph_dedup_global_uniqueness_and_conservation(spark):
         rebuilt.setdefault(r.doc_id, []).append(r.ptext)
     for doc_id, expect in kept_concat.items():
         assert " ".join(rebuilt.get(doc_id, [])) == expect
+
+
+# ---------------------------------------------------------------------------
+# in-engine BPE training
+
+
+def test_bpe_hand_computed_trajectory(spark):
+    """Corpus 'aaa' x3 + 'ab' x2: the full 5-step merge trajectory computed
+    by hand, including the lexicographic tie-break at step 2 ((a,_) vs
+    (aa,a) both weigh 3 -> 'a' < 'aa' wins) and the overlap-free greedy
+    application (' a a a _ ' + (a,a) -> ' aa a _ ', not ' aa aa?')."""
+    docs = _docs(
+        spark,
+        [(0, "aaa aaa ab", "s"), (1, "aaa ab", "s")],
+    )
+    got = [
+        (r.step, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in text.bpe_merges(docs, n_merges=5).orderBy("step").collect()
+    ]
+    assert got == [
+        (1, "a", "a", "aa", 6),
+        (2, "a", "_", "a_", 3),
+        (3, "aa", "a_", "aaa_", 3),
+        (4, "a", "b", "ab", 2),
+        (5, "ab", "_", "ab_", 2),
+    ]
+
+
+def test_bpe_exhaustion_raises(spark):
+    docs = _docs(spark, [(0, "aaa aaa ab", "s")])
+    with pytest.raises(ValueError, match="exhausted"):
+        text.bpe_merges(docs, n_merges=20)
+
+
+def test_bpe_greedy_nonoverlapping_application(spark):
+    """'bbbb' under merge (b,b): overlapping pairs COUNT (3, the classic
+    get_stats), but application is greedy non-overlapping left-to-right
+    (' bb bb _ ', never a re-merge across the fresh symbol)."""
+    docs = _docs(spark, [(0, "bbbb", "s")])
+    m = text.bpe_merges(docs, n_merges=1).collect()
+    assert (m[0].lhs, m[0].rhs, m[0].pair_count) == ("b", "b", 3)
+    vocab, _ = text.bpe_train(docs, n_merges=1)
+    assert vocab.collect()[0].s == " bb bb _ "
+
+
+def test_bpe_fertility_semantics(spark):
+    """n_sub counts a standalone end-marker with the last symbol; more
+    merges never increase the subword total; fully-merged words hit
+    fertility 1."""
+    docs = _docs(spark, [(0, "aaa aaa ab", "s"), (1, "aaa ab", "s")])
+    f3 = {r.doc_id: r for r in text.bpe_fertility(docs, n_merges=3).collect()}
+    # after 3 merges: 'aaa' -> ' aaa_ ' (1 sub), 'ab' -> ' a b _ ' (2 subs)
+    assert f3[0].n_words == 3 and f3[0].n_subwords == 1 + 1 + 2
+    assert f3[1].n_words == 2 and f3[1].n_subwords == 1 + 2
+    f5 = {r.doc_id: r for r in text.bpe_fertility(docs, n_merges=5).collect()}
+    assert f5[0].n_subwords == 3 and f5[0].fertility == 1.0
+    assert all(
+        f5[k].n_subwords <= f3[k].n_subwords for k in f3
+    )
+
+
+def test_bpe_corpus_monotone_and_bounded(spark):
+    from execute_sync_spark.plans.workload import _docs_wide
+
+    docs = _docs_wide(spark, SF_DIR)
+    f2 = text.bpe_fertility(docs, n_merges=2)
+    f6 = text.bpe_fertility(docs, n_merges=6)
+    j = {
+        r.doc_id: (r.s2, r.s6)
+        for r in f2.select("doc_id", F.col("n_subwords").alias("s2"))
+        .join(
+            f6.select("doc_id", F.col("n_subwords").alias("s6"), "fertility"),
+            "doc_id",
+        )
+        .collect()
+    }
+    assert j and all(s6 <= s2 for s2, s6 in j.values())
+    assert all(r.fertility >= 1.0 for r in f6.collect())
