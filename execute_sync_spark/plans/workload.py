@@ -7411,17 +7411,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # be identical, but the plan-change=>re-gate precedent from
 # dedup_minhash_est r15 applies; the hashed twin's body is untouched);
 # then ALL 25 r12 rows (the age boundary — exactly the deferred list the
-# r15 comment names); the remaining 20 slots start draining the 47-row
-# r13 queue family-diverse (curate/d*/dedup/graph/ingest/mm/q/sim/
-# stream/text represented, alphabetical inside each). The 27 deferred
+# r15 comment names); the remaining 15 slots start draining the 47-row
+# r13 queue family-diverse (curate/d*/dedup/graph/ingest/mm/q
+# represented, alphabetical inside each; sim/stream/text keep head
+# representation through the r12 and new-op rows). The 32 deferred
 # r13 rows lead the r17 queue:
 # curate_leakage_safe_split, curate_quality_rules, curate_token_budget, d2_asof_snapshot, dedup_containment_pairs, dedup_embedding_pairs, dedup_jaccard_pairs, dedup_span_removal, dedup_substring_spans,
 # graph_label_propagation, mm_frame_sample, q2_min_cost_supplier, q4_priority_exists, q9_profit_by_nation_year, q_cohort_retention, q_gapfill_timeseries, q_rolling_revenue, sim_knn_join_sqrt_recall,
-# sim_recall_at_k, stream_enrich_join, stream_sessionize_flushed, text_bm25_topk, text_corpus_stats, text_fingerprint, text_tfidf_top_term, text_unigram_logprob, v_variant_shred.
+# sim_recall_at_k, stream_enrich_join, stream_sessionize_flushed, text_bm25_topk, text_corpus_stats, text_fingerprint, text_tfidf_top_term, text_unigram_logprob, v_variant_shred,
+# sim_hybrid_rrf, stream_dedup, stream_window_counts, text_bm25_indexed, text_ccnet_buckets
+# (the last five displaced by the second-wave r16 ops below — 8 new ops
+# + 2 re-gates + 25 r12 + 15 r13 = 50).
 _GATE_HEAD_R16 = [
     # round-16 new ops
     "curate_pipeline_full", "stream_classifier_feed",
     "curate_mixture_semantic",
+    # round-16 second wave: backoff LM, PMI, paragraph dedup, BPE family
+    "text_backoff_lm", "text_pmi_top", "dedup_paragraph_rewrite",
+    "text_bpe_merges", "text_bpe_tokenize",
     # classifier-body refactor -> re-gate (plan-change precedent)
     "curate_quality_classifier", "curate_pipeline_classifier",
     # the whole r12 queue (age boundary)
@@ -7434,14 +7441,13 @@ _GATE_HEAD_R16 = [
     "text_ccnet_buckets_approx", "text_lang_id", "text_redact_pii",
     "text_repetition", "text_stats", "v_explode_tokens", "v_shred_props",
     "v_variant_shred_sink",
-    # r13 queue, family-diverse first slice (20 of 47)
+    # r13 queue, family-diverse first slice (15 of 47)
     "curate_apply_mixture", "curate_bloom_contamination",
     "curate_dsir_weights", "curate_pipeline", "curate_temperature_mix",
     "d2_latest_version", "dedup_canonical_keep", "dedup_clusters",
     "dedup_jaccard_pairs_scaled", "graph_centrality_keep",
     "ingest_roundtrip", "mm_features", "q21_waiting_supplier",
-    "q3_top_orders", "q_merge_upsert", "sim_hybrid_rrf", "stream_dedup",
-    "stream_window_counts", "text_bm25_indexed", "text_ccnet_buckets",
+    "q3_top_orders", "q_merge_upsert",
 ]
 assert len(_GATE_HEAD_R16) == 50 and len(set(_GATE_HEAD_R16)) == 50
 QUERIES = {

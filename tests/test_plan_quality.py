@@ -582,3 +582,55 @@ def test_mixture_semantic_single_pass_and_broadcast_centroids(spark):
     assert "CartesianProduct" not in plan
     assert "embeddings.parquet" not in plan and "documents.parquet" not in plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_backoff_lm_vocab_tables_never_hinted_broadcast(spark):
+    """The Stupid-Backoff count relations are vocabulary-shaped (the
+    trigram table is billions of rows at 100 TB) and must join UNHINTED
+    (sharded n-gram-key equi-joins — Catalyst/AQE may still pick a
+    broadcast at fixture scale, so the assertion is on the source: the
+    only broadcast() in backoff_lm is the 1-row training total). And the
+    plan has no cartesian product; the doc-side window partitions by the
+    doc id, never globally."""
+    import re
+
+    from execute_sync_spark.functions import text as text_fns
+    from execute_sync_spark.plans.workload import text_backoff_lm
+
+    src = open(text_fns.__file__).read()
+    body = src.split("def backoff_lm(")[1].split("\ndef ")[0]
+    assert len(re.findall(r"F\.broadcast\(", body)) == 1, (
+        "backoff_lm must broadcast ONLY the 1-row total"
+    )
+    assert "F.broadcast(tot)" in body
+    plan = _formatted(text_backoff_lm(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_paragraph_dedup_scan_pruned_and_linear(spark):
+    """dedup_paragraph_rewrite reads only (doc_id, text) from the corpus
+    (column pruning reaches the parquet scan) and contains no join wider
+    than the per-doc totals join — no cartesian, no sort-merge self-join
+    of the token relation."""
+    from execute_sync_spark.plans.workload import dedup_paragraph_rewrite
+
+    plan = _formatted(dedup_paragraph_rewrite(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    schema_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schema_lines and all(
+        "text" in l and "doc_id" in l and "lang" not in l and "source" not in l
+        for l in schema_lines
+    ), schema_lines
+
+
+def test_bpe_fertility_single_corpus_scan_in_final_plan(spark):
+    """BPE training runs over the locally-checkpointed VOCAB relation, so
+    the returned fertility plan reads the corpus exactly once (the word
+    explode) — segmentation arrives from the checkpoint, not a rescan."""
+    from execute_sync_spark.functions import text as text_fns
+    from execute_sync_spark.plans.workload import _docs_wide
+
+    df = text_fns.bpe_fertility(_docs_wide(spark, SF_DIR), n_merges=2)
+    plan = _formatted(df)
+    assert plan.count("documents.parquet") <= 1, plan[:900]
+    assert "CartesianProduct" not in plan
