@@ -818,8 +818,21 @@ def backoff_lm(
     corpus-shaped exchange is the per-doc lag window (partitioned by
     ``id_col``, never global). No UDFs; everything stays in codegen.
     """
-    import math
+    g = backoff_lm_grams(docs, train_filter, text_col, id_col)
+    uni, bi, tri = backoff_lm_counts(g)
+    return backoff_lm_score(g, uni, bi, tri, alpha=alpha, id_col=id_col)
 
+
+def backoff_lm_grams(
+    docs: DataFrame,
+    train_filter: Column | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The per-position n-gram relation both LM paths share: token with
+    its two predecessors (per-doc lag window) plus the ``_is_train``
+    flag. Tokenization happens HERE and only here, so the flat and
+    stream-maintained models cannot diverge on the token stream."""
     d = docs.withColumn(
         "_is_train", train_filter if train_filter is not None else F.lit(True)
     )
@@ -831,12 +844,22 @@ def backoff_lm(
         .filter(F.col("w") != "")
     )
     win = Window.partitionBy(id_col).orderBy("pos")
-    g = tok.withColumn("w1", F.lag("w", 1).over(win)).withColumn(
+    return tok.withColumn("w1", F.lag("w", 1).over(win)).withColumn(
         "w2", F.lag("w", 2).over(win)
     )
-    train = g.filter(F.col("_is_train"))
+
+
+def backoff_lm_counts(
+    grams: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The Stupid-Backoff sufficient statistics from the train slice:
+    integer unigram (w, c1), bigram (w1, w, c2), trigram (w2, w1, w, c3)
+    count relations. Pure sums — per-batch statistics summed key-wise
+    reconstruct the flat-trained model EXACTLY (n-grams never cross
+    document, so never cross batch), which is what
+    streaming/backoff_lm.py relies on."""
+    train = grams.filter(F.col("_is_train"))
     uni = train.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
-    tot = uni.agg(F.sum("c1").cast("double").alias("n_train"))
     bi = (
         train.filter(F.col("w1").isNotNull())
         .groupBy("w1", "w")
@@ -847,6 +870,27 @@ def backoff_lm(
         .groupBy("w2", "w1", "w")
         .agg(F.count(F.lit(1)).alias("c3"))
     )
+    return uni, bi, tri
+
+
+def backoff_lm_score(
+    grams: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    tri: DataFrame,
+    alpha: float = 0.4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ONE scoring body (the ``nb_score_tf`` precedent): per-position
+    maximal-order scoring with fixed-penalty backoff over whatever count
+    relations arrive — inline corpus aggregates (``backoff_lm``) or the
+    summed streaming sidecar (``streaming/backoff_lm.py``). The training
+    total derives from the unigram relation, so callers cannot hand in an
+    inconsistent N."""
+    import math
+
+    g = grams
+    tot = uni.agg(F.sum("c1").cast("double").alias("n_train"))
     ctx2 = bi.select(
         F.col("w1").alias("w2"), F.col("w").alias("w1"), F.col("c2").alias("ctx2")
     )

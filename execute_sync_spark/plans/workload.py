@@ -7105,6 +7105,39 @@ DEDUP_PARAGRAPH_SQL = rf"""
 """
 
 
+def stream_backoff_lm_feed(spark, sf_dir):
+    """The Stupid-Backoff LM RETRAINED FROM THE STREAM (round 16 second
+    wave — streaming/backoff_lm.py, the third streaming twin after
+    mixture stats and the NB classifier): the documents feed drains
+    through a checkpointed file stream whose per-batch integer n-gram
+    count tables land in the persisted sidecar; the model is rebuilt by
+    key-wise summing and every document is scored through the ONE shared
+    scoring body (text.backoff_lm_score over text.backoff_lm_grams).
+    N-grams never cross a document, so never a batch — the stream-
+    maintained model equals the flat retrain EXACTLY, and this row's
+    oracle IS the flat LM's SQL; the driver's hash match proves the
+    streaming path end-to-end (cadence/restart/replay pinned in
+    tests/test_round16b_ops.py)."""
+    import tempfile
+
+    from execute_sync_spark.streaming.backoff_lm import (
+        score_from_lm_stats,
+        stream_lm_maintenance,
+    )
+    from execute_sync_spark.streaming.util import stage_stream_dir
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    feed = stage_stream_dir(path, prefix="stream_lm_")
+    base = tempfile.mkdtemp(prefix="lm_stats_")
+    stream_lm_maintenance(
+        spark, feed, os.path.join(base, "stats"), os.path.join(base, "ckpt"),
+        train_filter=F.col("source") != "src0",
+    )
+    return score_from_lm_stats(
+        spark, os.path.join(base, "stats"), _docs_wide(spark, sf_dir)
+    )
+
+
 _BPE_MERGES = 6
 
 
@@ -7212,6 +7245,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_paragraph_rewrite": dedup_paragraph_rewrite,
     "text_bpe_merges": text_bpe_merges,
     "text_bpe_tokenize": text_bpe_tokenize,
+    "stream_backoff_lm_feed": stream_backoff_lm_feed,
     # --- round-15 new ops ---
     "curate_pipeline_mm": curate_pipeline_mm,
     "curate_quality_classifier": curate_quality_classifier,
@@ -7411,24 +7445,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # be identical, but the plan-change=>re-gate precedent from
 # dedup_minhash_est r15 applies; the hashed twin's body is untouched);
 # then ALL 25 r12 rows (the age boundary — exactly the deferred list the
-# r15 comment names); the remaining 15 slots start draining the 47-row
+# r15 comment names); the remaining 14 slots start draining the 47-row
 # r13 queue family-diverse (curate/d*/dedup/graph/ingest/mm/q
 # represented, alphabetical inside each; sim/stream/text keep head
-# representation through the r12 and new-op rows). The 32 deferred
+# representation through the r12 and new-op rows). The 33 deferred
 # r13 rows lead the r17 queue:
 # curate_leakage_safe_split, curate_quality_rules, curate_token_budget, d2_asof_snapshot, dedup_containment_pairs, dedup_embedding_pairs, dedup_jaccard_pairs, dedup_span_removal, dedup_substring_spans,
 # graph_label_propagation, mm_frame_sample, q2_min_cost_supplier, q4_priority_exists, q9_profit_by_nation_year, q_cohort_retention, q_gapfill_timeseries, q_rolling_revenue, sim_knn_join_sqrt_recall,
 # sim_recall_at_k, stream_enrich_join, stream_sessionize_flushed, text_bm25_topk, text_corpus_stats, text_fingerprint, text_tfidf_top_term, text_unigram_logprob, v_variant_shred,
-# sim_hybrid_rrf, stream_dedup, stream_window_counts, text_bm25_indexed, text_ccnet_buckets
-# (the last five displaced by the second-wave r16 ops below — 8 new ops
-# + 2 re-gates + 25 r12 + 15 r13 = 50).
+# sim_hybrid_rrf, stream_dedup, stream_window_counts, text_bm25_indexed, text_ccnet_buckets, q_merge_upsert
+# (the last six displaced by the second-wave r16 ops below — 9 new ops
+# + 2 re-gates + 25 r12 + 14 r13 = 50).
 _GATE_HEAD_R16 = [
     # round-16 new ops
     "curate_pipeline_full", "stream_classifier_feed",
     "curate_mixture_semantic",
-    # round-16 second wave: backoff LM, PMI, paragraph dedup, BPE family
+    # round-16 second wave: backoff LM (+streaming twin), PMI,
+    # paragraph dedup, BPE family
     "text_backoff_lm", "text_pmi_top", "dedup_paragraph_rewrite",
-    "text_bpe_merges", "text_bpe_tokenize",
+    "text_bpe_merges", "text_bpe_tokenize", "stream_backoff_lm_feed",
     # classifier-body refactor -> re-gate (plan-change precedent)
     "curate_quality_classifier", "curate_pipeline_classifier",
     # the whole r12 queue (age boundary)
@@ -7441,13 +7476,13 @@ _GATE_HEAD_R16 = [
     "text_ccnet_buckets_approx", "text_lang_id", "text_redact_pii",
     "text_repetition", "text_stats", "v_explode_tokens", "v_shred_props",
     "v_variant_shred_sink",
-    # r13 queue, family-diverse first slice (15 of 47)
+    # r13 queue, family-diverse first slice (14 of 47)
     "curate_apply_mixture", "curate_bloom_contamination",
     "curate_dsir_weights", "curate_pipeline", "curate_temperature_mix",
     "d2_latest_version", "dedup_canonical_keep", "dedup_clusters",
     "dedup_jaccard_pairs_scaled", "graph_centrality_keep",
     "ingest_roundtrip", "mm_features", "q21_waiting_supplier",
-    "q3_top_orders", "q_merge_upsert",
+    "q3_top_orders",
 ]
 assert len(_GATE_HEAD_R16) == 50 and len(set(_GATE_HEAD_R16)) == 50
 QUERIES = {
@@ -7484,6 +7519,9 @@ ORACLES: dict[str, Optional[str]] = {
     "dedup_paragraph_rewrite": DEDUP_PARAGRAPH_SQL,
     "text_bpe_merges": TEXT_BPE_MERGES_SQL,
     "text_bpe_tokenize": TEXT_BPE_TOKENIZE_SQL,
+    # stream-maintained Stupid-Backoff LM == flat retrain exactly, so the
+    # streaming row's oracle IS the flat LM's SQL
+    "stream_backoff_lm_feed": TEXT_BACKOFF_LM_SQL,
     # round-15 new ops
     "curate_pipeline_mm": CURATE_PIPELINE_MM_SQL,
     "curate_quality_classifier": CURATE_QUALITY_CLASSIFIER_SQL,

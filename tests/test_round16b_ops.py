@@ -278,3 +278,102 @@ def test_bpe_corpus_monotone_and_bounded(spark):
     }
     assert j and all(s6 <= s2 for s2, s6 in j.values())
     assert all(r.fertility >= 1.0 for r in f6.collect())
+
+
+# ---------------------------------------------------------------------------
+# stream-maintained Stupid-Backoff LM (the third streaming twin)
+
+
+def _lm_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stream_lm_maintenance_equals_flat(spark, tmp_path):
+    """After ANY prefix of micro-batches, score_from_lm_stats equals
+    text.backoff_lm trained flat on the same delivered train slice —
+    cadence, restart, and duplicate delivery included. Exact equality:
+    the model is three integer n-gram tables (pure sums, n-grams never
+    cross documents), and both paths share backoff_lm_score/_grams."""
+    import os
+
+    from execute_sync_spark.streaming.backoff_lm import (
+        score_from_lm_stats,
+        stream_lm_maintenance,
+        write_lm_stats,
+    )
+
+    trainf = F.col("source") != "src0"
+    base = _docs(spark, [
+        (1, "a b a b c", "src1"),
+        (2, "b c b c a", "src2"),
+        (3, "c a c a b", "src0"),  # eval slice: scored, never trained on
+    ])
+    stats = str(tmp_path / "lm_stats")
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(feed)
+    write_lm_stats(base, stats, "__base__", trainf)
+    assert _lm_rows(score_from_lm_stats(spark, stats, base)) == _lm_rows(
+        text.backoff_lm(base, trainf)
+    )
+
+    b1 = _docs(spark, [(4, "a b c a b", "src1")])
+    b2 = _docs(spark, [(5, "b a b a", "src0"), (6, "c b a c", "src2")])
+    b1.coalesce(1).write.mode("append").parquet(feed)
+    stream_lm_maintenance(spark, feed, stats, ckpt, train_filter=trainf)
+    flat1 = base.unionByName(b1)
+    assert _lm_rows(score_from_lm_stats(spark, stats, flat1)) == _lm_rows(
+        text.backoff_lm(flat1, trainf)
+    )
+
+    # restart with the same checkpoint: only the NEW file is processed
+    b2.coalesce(1).write.mode("append").parquet(feed)
+    stream_lm_maintenance(spark, feed, stats, ckpt, train_filter=trainf)
+    flat2 = flat1.unionByName(b2)
+    assert _lm_rows(score_from_lm_stats(spark, stats, flat2)) == _lm_rows(
+        text.backoff_lm(flat2, trainf)
+    )
+
+    # replayed batch overwrites itself: never double-counted
+    write_lm_stats(base, stats, "__base__", trainf)
+    assert _lm_rows(score_from_lm_stats(spark, stats, flat2)) == _lm_rows(
+        text.backoff_lm(flat2, trainf)
+    )
+
+
+def test_stream_lm_starts_on_empty_feed(spark, tmp_path):
+    import os
+
+    from execute_sync_spark.streaming.backoff_lm import (
+        score_from_lm_stats,
+        stream_lm_maintenance,
+        write_lm_stats,
+    )
+
+    feed = str(tmp_path / "empty_feed")
+    os.makedirs(feed)
+    stats = str(tmp_path / "stats")
+    seed = _docs(spark, [(1, "a b c", "src1"), (2, "c b a", "src2")])
+    write_lm_stats(seed, stats, "__base__")
+    stream_lm_maintenance(spark, feed, stats, str(tmp_path / "ck"))
+    assert score_from_lm_stats(spark, stats, seed).count() == 2
+
+
+def test_stream_lm_continuous_returns_live_query(spark, tmp_path):
+    """available_now=False must return a LIVE query (the ADVICE r14
+    conditional-trigger contract)."""
+    import os
+
+    from execute_sync_spark.streaming.backoff_lm import stream_lm_maintenance
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    _docs(spark, [(1, "a b", "src1")]).coalesce(1).write.mode("append").parquet(feed)
+    q = stream_lm_maintenance(
+        spark, feed, str(tmp_path / "stats"), str(tmp_path / "ck"),
+        available_now=False,
+    )
+    try:
+        assert q.isActive
+    finally:
+        q.stop()
