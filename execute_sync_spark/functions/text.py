@@ -1158,3 +1158,79 @@ def bpe_fertility(
             ).alias("fertility"),
         )
     )
+
+
+def llr_collocations(
+    docs: DataFrame,
+    top_k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Log-likelihood-ratio collocations (Dunning 1993) — the G² test
+    over the bigram contingency table, the collocation statistic that
+    stays calibrated at low counts where PMI explodes (the reason
+    Dunning wrote the paper). For bigram (a, b): k11 = c(ab),
+    k12 = c(a·) − k11, k21 = c(·b) − k11, k22 = N − k12 − k21 − k11,
+    with margins taken over the UNVALVED bigram relation, and
+    G² = 2·Σ xlogx via the entropy identity — pure integer counts into
+    deterministic doubles, rounded at 4 dp before ranking so both
+    engines order identically.
+
+    Physical shape: the one bigram aggregation, two margin aggregations
+    OVER the bigram relation (vocabulary-bounded, not corpus-bounded),
+    margin equi-joins on each word key, the min-count valve before
+    ranking, TakeOrdered top-k. Mirrors ``pmi_collocations``; no global
+    vocabulary² sort anywhere."""
+    t = tokens(text_col)
+    n = F.size(t)
+    pair = F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    bi = (
+        docs.select(F.explode_outer(pair).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    m1 = bi.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    m2 = bi.groupBy("b").agg(F.sum("c_ab").alias("c_b"))
+    tot = bi.agg(F.sum("c_ab").cast("double").alias("n_bi"))
+
+    def xlogx(c):
+        return F.when(c > 0, c * F.log(c)).otherwise(F.lit(0.0))
+
+    k11 = F.col("c_ab").cast("double")
+    k12 = (F.col("c_a") - F.col("c_ab")).cast("double")
+    k21 = (F.col("c_b") - F.col("c_ab")).cast("double")
+    k22 = F.col("n_bi") - k11 - k12 - k21
+    llr = F.round(
+        2.0
+        * (
+            xlogx(k11) + xlogx(k12) + xlogx(k21) + xlogx(k22)
+            - xlogx(k11 + k12) - xlogx(k21 + k22)
+            - xlogx(k11 + k21) - xlogx(k12 + k22)
+            + xlogx(F.col("n_bi"))
+        ),
+        4,
+    )
+    scored = (
+        bi.filter(F.col("c_ab") >= min_count)
+        .join(m1, "a")
+        .join(m2, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            F.col("c_ab").cast("long").alias("n"),
+            llr.alias("llr"),
+        )
+        .orderBy(F.desc("llr"), F.asc("bigram"))
+        .limit(top_k)
+    )
+    w = Window.partitionBy(F.substring("bigram", 0, 0)).orderBy(
+        F.desc("llr"), F.asc("bigram")
+    )
+    return scored.withColumn("rank", F.row_number().over(w))

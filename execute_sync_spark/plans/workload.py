@@ -7059,6 +7059,51 @@ TEXT_PMI_SQL = r"""
 """
 
 
+def text_llr_top(spark, sf_dir):
+    """Log-likelihood-ratio collocations (functions/text.py
+    llr_collocations — Dunning 1993): G² over the bigram contingency
+    table, the collocation statistic that stays calibrated at low counts
+    where PMI explodes. Margins computed over the UNVALVED bigram
+    relation (vocabulary-bounded aggregations), min-count valve before
+    ranking, TakeOrdered top-20 on the 4-dp-rounded statistic."""
+    return text.llr_collocations(_docs_wide(spark, sf_dir))
+
+
+def _xlogx(e: str) -> str:
+    return f"CASE WHEN ({e}) > 0 THEN ({e}) * ln({e}) ELSE 0 END"
+
+
+TEXT_LLR_SQL = rf"""
+    WITH toks AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                  FROM documents),
+    bi0 AS (SELECT unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b FROM toks),
+    bi AS (SELECT a, b, COUNT(*) AS c_ab FROM bi0 GROUP BY a, b),
+    m1 AS (SELECT a, SUM(c_ab) AS c_a FROM bi GROUP BY a),
+    m2 AS (SELECT b, SUM(c_ab) AS c_b FROM bi GROUP BY b),
+    tot AS (SELECT CAST(SUM(c_ab) AS DOUBLE) AS n_bi FROM bi),
+    k AS (
+        SELECT bi.a, bi.b, bi.c_ab,
+               CAST(bi.c_ab AS DOUBLE) AS k11,
+               CAST(m1.c_a - bi.c_ab AS DOUBLE) AS k12,
+               CAST(m2.c_b - bi.c_ab AS DOUBLE) AS k21,
+               n_bi - m1.c_a - m2.c_b + bi.c_ab AS k22,
+               n_bi
+        FROM bi JOIN m1 USING (a) JOIN m2 USING (b) CROSS JOIN tot
+        WHERE bi.c_ab >= 5),
+    scored AS (
+        SELECT a || ' ' || b AS bigram, CAST(c_ab AS BIGINT) AS n,
+               ROUND(2.0 * ({_xlogx('k11')} + {_xlogx('k12')}
+                            + {_xlogx('k21')} + {_xlogx('k22')}
+                            - {_xlogx('k11 + k12')} - {_xlogx('k21 + k22')}
+                            - {_xlogx('k11 + k21')} - {_xlogx('k12 + k22')}
+                            + {_xlogx('n_bi')}), 4) AS llr
+        FROM k),
+    ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY llr DESC, bigram) AS INT) AS rank
+               FROM scored)
+    SELECT bigram, n, llr, rank FROM ranked WHERE rank <= 20
+"""
+
+
 _PARA_WORDS = 16  # synthetic paragraph boundary: fixed 16-token windows
 
 
@@ -7242,6 +7287,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_mixture_semantic": curate_mixture_semantic,
     "text_backoff_lm": text_backoff_lm,
     "text_pmi_top": text_pmi_top,
+    "text_llr_top": text_llr_top,
     "dedup_paragraph_rewrite": dedup_paragraph_rewrite,
     "text_bpe_merges": text_bpe_merges,
     "text_bpe_tokenize": text_bpe_tokenize,
@@ -7448,22 +7494,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # r15 comment names); the remaining 14 slots start draining the 47-row
 # r13 queue family-diverse (curate/d*/dedup/graph/ingest/mm/q
 # represented, alphabetical inside each; sim/stream/text keep head
-# representation through the r12 and new-op rows). The 33 deferred
+# representation through the r12 and new-op rows). The 34 deferred
 # r13 rows lead the r17 queue:
 # curate_leakage_safe_split, curate_quality_rules, curate_token_budget, d2_asof_snapshot, dedup_containment_pairs, dedup_embedding_pairs, dedup_jaccard_pairs, dedup_span_removal, dedup_substring_spans,
 # graph_label_propagation, mm_frame_sample, q2_min_cost_supplier, q4_priority_exists, q9_profit_by_nation_year, q_cohort_retention, q_gapfill_timeseries, q_rolling_revenue, sim_knn_join_sqrt_recall,
 # sim_recall_at_k, stream_enrich_join, stream_sessionize_flushed, text_bm25_topk, text_corpus_stats, text_fingerprint, text_tfidf_top_term, text_unigram_logprob, v_variant_shred,
-# sim_hybrid_rrf, stream_dedup, stream_window_counts, text_bm25_indexed, text_ccnet_buckets, q_merge_upsert
-# (the last six displaced by the second-wave r16 ops below — 9 new ops
-# + 2 re-gates + 25 r12 + 14 r13 = 50).
+# sim_hybrid_rrf, stream_dedup, stream_window_counts, text_bm25_indexed, text_ccnet_buckets, q_merge_upsert, q3_top_orders
+# (the last seven displaced by the second-wave r16 ops below — 10 new
+# ops + 2 re-gates + 25 r12 + 13 r13 = 50).
 _GATE_HEAD_R16 = [
     # round-16 new ops
     "curate_pipeline_full", "stream_classifier_feed",
     "curate_mixture_semantic",
     # round-16 second wave: backoff LM (+streaming twin), PMI,
     # paragraph dedup, BPE family
-    "text_backoff_lm", "text_pmi_top", "dedup_paragraph_rewrite",
-    "text_bpe_merges", "text_bpe_tokenize", "stream_backoff_lm_feed",
+    "text_backoff_lm", "text_pmi_top", "text_llr_top",
+    "dedup_paragraph_rewrite", "text_bpe_merges", "text_bpe_tokenize",
+    "stream_backoff_lm_feed",
     # classifier-body refactor -> re-gate (plan-change precedent)
     "curate_quality_classifier", "curate_pipeline_classifier",
     # the whole r12 queue (age boundary)
@@ -7476,13 +7523,12 @@ _GATE_HEAD_R16 = [
     "text_ccnet_buckets_approx", "text_lang_id", "text_redact_pii",
     "text_repetition", "text_stats", "v_explode_tokens", "v_shred_props",
     "v_variant_shred_sink",
-    # r13 queue, family-diverse first slice (14 of 47)
+    # r13 queue, family-diverse first slice (13 of 47)
     "curate_apply_mixture", "curate_bloom_contamination",
     "curate_dsir_weights", "curate_pipeline", "curate_temperature_mix",
     "d2_latest_version", "dedup_canonical_keep", "dedup_clusters",
     "dedup_jaccard_pairs_scaled", "graph_centrality_keep",
     "ingest_roundtrip", "mm_features", "q21_waiting_supplier",
-    "q3_top_orders",
 ]
 assert len(_GATE_HEAD_R16) == 50 and len(set(_GATE_HEAD_R16)) == 50
 QUERIES = {
@@ -7516,6 +7562,7 @@ ORACLES: dict[str, Optional[str]] = {
     "curate_mixture_semantic": CURATE_MIXTURE_SEMANTIC_SQL,
     "text_backoff_lm": TEXT_BACKOFF_LM_SQL,
     "text_pmi_top": TEXT_PMI_SQL,
+    "text_llr_top": TEXT_LLR_SQL,
     "dedup_paragraph_rewrite": DEDUP_PARAGRAPH_SQL,
     "text_bpe_merges": TEXT_BPE_MERGES_SQL,
     "text_bpe_tokenize": TEXT_BPE_TOKENIZE_SQL,

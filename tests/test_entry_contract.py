@@ -30,20 +30,20 @@ def test_oracles_subset_of_queries():
     # distribution r12:25 / r13:47 / r14:49 / r15:50): the 3 new r16
     # ops gate first, then the 2 rows re-gated because the classifier
     # body was factored into shared helpers (plan-change precedent),
-    # then the 6 second-wave r16 ops (backoff LM + its streaming twin,
-    # PMI, paragraph dedup, BPE x2), then the ENTIRE 25-row r12
-    # age-boundary queue, then a 14-row family-diverse slice of the r13
-    # queue. The 33 deferred r13 rows lead the r17 queue — full list and
-    # rationale at workload._GATE_HEAD_R16.
+    # then the 7 second-wave r16 ops (backoff LM + its streaming twin,
+    # PMI + LLR collocations, paragraph dedup, BPE x2), then the ENTIRE
+    # 25-row r12 age-boundary queue, then a 13-row family-diverse slice
+    # of the r13 queue. The 34 deferred r13 rows lead the r17 queue —
+    # full list and rationale at workload._GATE_HEAD_R16.
     from execute_sync_spark.plans import workload
 
     first50 = list(qs)[:50]
     assert first50 == workload._GATE_HEAD_R16
-    assert first50[:11] == [
+    assert first50[:12] == [
         "curate_pipeline_full", "stream_classifier_feed",
         "curate_mixture_semantic", "text_backoff_lm", "text_pmi_top",
-        "dedup_paragraph_rewrite", "text_bpe_merges", "text_bpe_tokenize",
-        "stream_backoff_lm_feed",
+        "text_llr_top", "dedup_paragraph_rewrite", "text_bpe_merges",
+        "text_bpe_tokenize", "stream_backoff_lm_feed",
         "curate_quality_classifier", "curate_pipeline_classifier",
     ]
     # the whole r12 age-boundary queue is inside the window

@@ -377,3 +377,34 @@ def test_stream_lm_continuous_returns_live_query(spark, tmp_path):
         assert q.isActive
     finally:
         q.stop()
+
+
+# ---------------------------------------------------------------------------
+# LLR collocations
+
+
+def test_llr_hand_computed(spark):
+    """Dunning G² for the glued pair computed from the contingency table
+    by an independent pure-Python evaluation of the entropy identity."""
+    rows = [(i, "x y f g f h", "s") for i in range(5)]
+    docs = _docs(spark, rows)
+    out = {r.bigram: r for r in text.llr_collocations(docs, min_count=5).collect()}
+    # per doc bigrams: (x,y),(y,f),(f,g),(g,f),(f,h) -> each count 5, N=25
+    def xlogx(x):
+        return x * math.log(x) if x > 0 else 0.0
+
+    def g2(k11, k12, k21, k22):
+        n = k11 + k12 + k21 + k22
+        return 2.0 * (
+            xlogx(k11) + xlogx(k12) + xlogx(k21) + xlogx(k22)
+            - xlogx(k11 + k12) - xlogx(k21 + k22)
+            - xlogx(k11 + k21) - xlogx(k12 + k22) + xlogx(n)
+        )
+
+    assert out["x y"].llr == pytest.approx(g2(5, 0, 0, 20), abs=1e-3)
+    # f appears as first word in (f,g) and (f,h): margin c_a(f)=10
+    assert out["f g"].llr == pytest.approx(g2(5, 5, 0, 15), abs=1e-3)
+    assert all(r.n >= 5 for r in out.values())
+    ranked = sorted(out.values(), key=lambda r: r.rank)
+    keys = [(-r.llr, r.bigram) for r in ranked]
+    assert keys == sorted(keys)
