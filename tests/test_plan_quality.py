@@ -598,9 +598,11 @@ def test_backoff_lm_vocab_tables_never_hinted_broadcast(spark):
     from execute_sync_spark.plans.workload import text_backoff_lm
 
     src = open(text_fns.__file__).read()
-    body = src.split("def backoff_lm(")[1].split("\ndef ")[0]
+    # the scoring body (backoff_lm_score — shared with the streaming twin)
+    # is where every join lives after the r16 grams/counts/score refactor
+    body = src.split("def backoff_lm_score(")[1].split("\ndef ")[0]
     assert len(re.findall(r"F\.broadcast\(", body)) == 1, (
-        "backoff_lm must broadcast ONLY the 1-row total"
+        "backoff_lm_score must broadcast ONLY the 1-row total"
     )
     assert "F.broadcast(tot)" in body
     plan = _formatted(text_backoff_lm(spark, SF_DIR))

@@ -228,10 +228,20 @@ def test_bpe_hand_computed_trajectory(spark):
     ]
 
 
-def test_bpe_exhaustion_raises(spark):
-    docs = _docs(spark, [(0, "aaa aaa ab", "s")])
-    with pytest.raises(ValueError, match="exhausted"):
-        text.bpe_merges(docs, n_merges=20)
+def test_bpe_exhaustion_stops_early(spark):
+    """Asking for more merges than the corpus admits stops early with the
+    merges learned so far (standard trainer behavior; also the
+    empty-input contract at 100 TB) — and the final vocab is fully
+    fused."""
+    docs = _docs(spark, [(0, "aaa ab", "s")])
+    m = text.bpe_merges(docs, n_merges=20).collect()
+    assert 0 < len(m) < 20
+    vocab, _ = text.bpe_train(docs, n_merges=20)
+    assert {r.s for r in vocab.collect()} == {" aaa_ ", " ab_ "}
+    # empty corpus: zero merges, empty (well-typed) output
+    empty = _docs(spark, [])
+    assert text.bpe_merges(empty, n_merges=3).collect() == []
+    assert text.bpe_fertility(empty, n_merges=3).collect() == []
 
 
 def test_bpe_greedy_nonoverlapping_application(spark):
