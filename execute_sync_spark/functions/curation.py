@@ -540,6 +540,11 @@ def nb_quality_classifier(
     broadcast, never collected) and re-aggregates per doc. No iteration,
     no driver-side model state — at 100 TB the 'model' is a DataFrame."""
     lab, tf = nb_labeled_tf(docs, positive, text_col, id_col)
+    # tf feeds BOTH the frequency-table build and the scoring join; without
+    # materialization each consumer re-runs the scan+tokenize+explode+count
+    # chain (r16 profile: the tf subtree executed 3x inside the composed
+    # pipelines). One eager checkpoint = one tokenization pass (guide §2.4).
+    tf = tf.localCheckpoint(eager=True)
     freq = nb_token_freq(tf)
     return nb_score_tf(tf, freq, nb_doc_counts(lab), id_col)
 
@@ -672,6 +677,9 @@ def nb_quality_classifier_hashed(
     tf = tok.select(
         F.col(id_col), "__pos", (h32(F.col("token")) % n_buckets).alias("bucket")
     ).groupBy(id_col, "__pos", "bucket").agg(F.count("*").alias("tf"))
+    # same one-pass materialization as the exact twin: tf feeds the model
+    # build and the scoring join
+    tf = tf.localCheckpoint(eager=True)
     freq = tf.groupBy("bucket").agg(
         F.sum(F.when(F.col("__pos"), F.col("tf")).otherwise(0)).alias("cp"),
         F.sum(F.when(~F.col("__pos"), F.col("tf")).otherwise(0)).alias("cn"),

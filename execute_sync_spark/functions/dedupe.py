@@ -426,7 +426,23 @@ def ngram_jaccard_pairs(
     counts only shrink, but ratios can rise because document sizes shrink
     too. Default off for exact semantics (and the oracle). Sizing max_df:
     COVERAGE.md "Scale tuning knobs"."""
-    sh = shingles if shingles is not None else word_shingles(docs, text_col, id_col, k=shingle_k)
+    # The (valved) shingle relation feeds FOUR consumer subtrees below —
+    # sizes plus both sides of the self-join (and, valved, the df table and
+    # the semi-join's probe side). Spark materializes none of them: each
+    # reference re-runs the tokenize+explode pass from the scan (the r16
+    # profiler measured the subtree executed 4x inside one plan, ~60-85
+    # core-sec per valved query at sf0.1). Eagerly localCheckpoint ONCE so
+    # every consumer reads materialized partitions — the exact pattern the
+    # fuzzy pipelines already use when they pass ``shingles=`` in
+    # (guide §2.4/§5: one pass, reuse; cost is one corpus-token-sized
+    # executor-memory/disk materialization, the same bound the valve
+    # already imposes on the join input).
+    if shingles is not None:
+        sh = shingles
+    else:
+        sh = word_shingles(docs, text_col, id_col, k=shingle_k).localCheckpoint(
+            eager=True
+        )
     if max_df is not None:
         # NOTE: no broadcast hint — the kept (df<=max_df) shingle set IS most
         # of the vocabulary at corpus scale (rare shingles dominate any
@@ -439,7 +455,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") <= max_df)
             .select("shingle")
         )
-        sh = sh.join(rare, "shingle", "left_semi")
+        sh = sh.join(rare, "shingle", "left_semi").localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -637,7 +653,12 @@ def containment_pairs(
     rows; dropping df>max_df shingles bounds the blowup at corpus scale,
     COVERAGE.md knob table); the only change is the two per-direction
     ratios replacing the one symmetric one."""
-    sh = word_shingles(docs, text_col, id_col, k=shingle_k)
+    # Same one-pass materialization as ngram_jaccard_pairs: the shingle
+    # relation feeds sizes + both self-join sides (+ the valve's df table),
+    # and an unmaterialized subtree re-tokenizes the corpus per consumer.
+    sh = word_shingles(docs, text_col, id_col, k=shingle_k).localCheckpoint(
+        eager=True
+    )
     if max_df is not None:
         rare = (
             sh.groupBy("shingle")
@@ -645,7 +666,7 @@ def containment_pairs(
             .filter(F.col("df") <= max_df)
             .select("shingle")
         )
-        sh = sh.join(rare, "shingle", "left_semi")
+        sh = sh.join(rare, "shingle", "left_semi").localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -47,21 +47,30 @@ __all__ = [
 def _canonical(edges: DataFrame, src: str, dst: str) -> tuple[DataFrame, DataFrame]:
     """(canonical edge set, all-node set). Canonical = undirected (a < b),
     deduped, self-loops dropped; nodes come from the RAW edges so a node
-    seen only in self-loops still gets a (singleton) cluster. Both are
-    checkpointed: edges is typically the expensive near-dup candidate plan
-    and every later round would otherwise recompute it."""
+    seen only in self-loops still gets a (singleton) cluster.
+
+    The raw projected edge relation is materialized ONCE and both outputs
+    derive from it: edges is typically the expensive near-dup candidate
+    plan, and the previous form (separate eager checkpoints for cur and
+    all_nodes) executed that plan twice — measured as the dominant cost of
+    every connected_components consumer in the r16 profile (guide §2.4:
+    one pass, shared). cur keeps its own checkpoint because the star
+    rounds and the local finish iterate over it; all_nodes is consumed
+    exactly once (in _attach_singletons) and stays lazy over the
+    materialized raw partitions."""
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
+    )
     cur = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
+        raw.filter(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )
     all_nodes = (
-        edges.select(F.col(src).alias("id"))
-        .unionByName(edges.select(F.col(dst).alias("id")))
+        raw.select(F.col("a").alias("id"))
+        .unionByName(raw.select(F.col("b").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     return cur, all_nodes
 
@@ -295,14 +304,18 @@ def pagerank(
     round keeps independent engines (this plan, the DuckDB oracle's
     unrolled-SQL twin) bit-aligned at far finer precision than the
     6-dp output contract."""
+    # ONE execution of the (typically expensive) upstream edge plan: the
+    # projected edge relation is materialized BEFORE the symmetrize union —
+    # the union's two branches each contain the full upstream plan, so
+    # without this the single sym checkpoint still ran the edge build twice
+    # (r16 profile). The symmetrized deduped relation is then eagerly
+    # materialized too, and both the degree table and the per-edge deg
+    # column derive from the materialized partitions (VERDICT r10 #2: the
+    # old persist()-only form re-ran the edge plan for deg.count() and
+    # again on first action).
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
-    # ONE execution of the (typically expensive) upstream edge plan: the
-    # symmetrized deduped relation is eagerly materialized here, and both
-    # the degree table and the per-edge deg column derive from the
-    # materialized partitions (VERDICT r10 #2: the old persist()-only form
-    # re-ran the edge plan for deg.count() and again on first action).
+    ).localCheckpoint(eager=True)
     sym = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
@@ -371,6 +384,11 @@ def build_cluster_state(
     from execute_sync_spark import storage
 
     node_t = edges.schema[src].dataType.simpleString()
+    # materialize the (typically expensive) edge plan ONCE: it feeds both
+    # the component solve and the persisted canonical edge store below —
+    # without this the plan executed twice (once inside
+    # connected_components' _canonical, once in the second _canonical here)
+    edges = edges.select(src, dst).localCheckpoint(eager=True)
     labels = connected_components(edges, src, dst)
     canon, _ = _canonical(edges, src, dst)
     (
@@ -542,7 +560,11 @@ def label_propagation(
     anyway). Nodes are the edge endpoints, as in ``pagerank`` (a
     singleton has no neighbors to vote, and callers carry singletons
     through with a left join, as connected_components' helper does)."""
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # materialize before the symmetrize union — its two branches otherwise
+    # each re-run the upstream edge plan (same rationale as pagerank above)
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
     sym = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
@@ -585,11 +607,15 @@ def triangle_counts(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> D
     relation, never a matrix or an all-pairs step. Each triangle a<b<c is
     found exactly once, then exploded to its three corners for the
     per-node count (map-side combined)."""
+    # the canonical edge relation is referenced THREE times below (both
+    # path legs + the closing edge); materialize once so the upstream
+    # near-dup candidate plan does not run per reference (guide §2.4)
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))

@@ -2675,7 +2675,14 @@ def dedup_embedding_pairs_expr(spark, sf_dir):
     the readable spec of the semantics (exact per-pair HOF cosine), kept
     declared for small-SF verification and as a cross-check on the BLAS
     default."""
-    emb = _t(spark, sf_dir, "embeddings")
+    # embeddings arrive as one row group, so without the repartition the
+    # per-pair HOF cosine (interpreted, expensive) ran in ONE task — 2.9 of
+    # this query's 3.3 wall seconds single-threaded (r16 profile). Spread
+    # the join across cores; same file-layout-vs-compute decoupling as
+    # _docs_wide / sim_lsh_topk.
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
     a, b = e.alias("a"), e.alias("b")
     return (
@@ -5910,8 +5917,15 @@ def dedup_lsh_recall(spark, sf_dir):
     side runs over a SAMPLE of the corpus (recall estimation never needs
     all pairs), exactly like sim_recall_at_k's query-sample note."""
     docs = _docs_wide(spark, sf_dir)
-    truth = dedupe.ngram_jaccard_pairs(docs, threshold=0.05, max_df=_JACCARD_MAX_DF)
-    sigs = dedupe.minhash_signatures(docs, num_hashes=_NUM_MINHASH)
+    # ONE tokenize+shingle pass feeds both the truth side's inverted-index
+    # join and the MinHash signatures (the minhash_estimate_vs_true
+    # dataflow): without the shared checkpoint each side re-tokenized the
+    # corpus independently (r16 profile)
+    sh = dedupe.word_shingles(docs, k=3).localCheckpoint(eager=True)
+    truth = dedupe.ngram_jaccard_pairs(
+        docs, threshold=0.05, max_df=_JACCARD_MAX_DF, shingles=sh
+    )
+    sigs = dedupe.minhash_signatures(docs, num_hashes=_NUM_MINHASH, shingles=sh)
     cand = dedupe.lsh_candidate_pairs(
         sigs, num_hashes=_NUM_MINHASH, band_size=2
     ).withColumn("__hit", F.lit(1))
