@@ -491,26 +491,36 @@ def update_cluster_state(
 
     # labels: survivors of the rewritten buckets + the re-solved rows.
     # Eagerly materialized BEFORE the dynamic overwrite deletes the
-    # partitions it was computed from.
-    out_labels = (
-        labels.where(F.col("bucket").isin(write_buckets))
-        .join(touched.select("cluster_id"), "cluster_id", "left_anti")
-        .select("id", "cluster_id", "bucket")
-        .unionByName(relab.select("id", "cluster_id", "bucket"))
-        .localCheckpoint(eager=True)
-    )
-    out_edges = (
-        spark.read.schema(edges_schema).parquet(edges_dir)
-        .where(F.col("bucket").isin(write_buckets))
-        .join(touched.select("cluster_id"), "cluster_id", "left_anti")
-        .select("a", "b", "cluster_id", "bucket")
-        .unionByName(
-            sub.join(relab.withColumnRenamed("id", "a"), "a")
-            .select("a", "b", "cluster_id", "bucket")
+    # partitions it was computed from. The label and edge sides are
+    # independent of each other, so their materializations — and then
+    # their writes+cleanups — run as two overlapped driver-thread jobs
+    # (guide §2.6); each side's own ckpt -> write -> cleanup order is
+    # unchanged, so the crash/replay story is identical.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _mk_labels():
+        return (
+            labels.where(F.col("bucket").isin(write_buckets))
+            .join(touched.select("cluster_id"), "cluster_id", "left_anti")
+            .select("id", "cluster_id", "bucket")
+            .unionByName(relab.select("id", "cluster_id", "bucket"))
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
-    for df, d in ((out_labels, labels_dir), (out_edges, edges_dir)):
+
+    def _mk_edges():
+        return (
+            spark.read.schema(edges_schema).parquet(edges_dir)
+            .where(F.col("bucket").isin(write_buckets))
+            .join(touched.select("cluster_id"), "cluster_id", "left_anti")
+            .select("a", "b", "cluster_id", "bucket")
+            .unionByName(
+                sub.join(relab.withColumnRenamed("id", "a"), "a")
+                .select("a", "b", "cluster_id", "bucket")
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    def _write_side(df, d):
         (
             df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -526,6 +536,14 @@ def update_cluster_state(
         have = {r.bucket for r in df.select("bucket").distinct().collect()}
         for k in set(write_buckets) - have:
             storage.STORE.rmtree(os.path.join(d, f"bucket={k}"))
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fl = _pool.submit(_mk_labels)
+        _fe = _pool.submit(_mk_edges)
+        out_labels, out_edges = _fl.result(), _fe.result()
+        _wl = _pool.submit(_write_side, out_labels, labels_dir)
+        _we = _pool.submit(_write_side, out_edges, edges_dir)
+        _wl.result(), _we.result()
     return spark.read.schema(labels_schema).parquet(labels_dir).select("id", "cluster_id")
 
 

@@ -2201,13 +2201,36 @@ def curate_pipeline_full(spark, sf_dir):
     # the canonical-keep chain); without a checkpoint each reference
     # re-executes the quality+window chain — 3 extra corpus scans. A real
     # 100 TB pipeline materializes between stages for exactly this reason.
-    exact = (
-        quality.withColumn("__min_id", F.min("doc_id").over(wq))
-        .filter(F.col("doc_id") == F.col("__min_id"))
-        .drop("__min_id")
-    ).localCheckpoint(eager=True)
-    # one tokenization+shingling pass feeds edges AND decontamination
-    sh = dedupe.word_shingles(docs, k=3).localCheckpoint(eager=True)
+    #
+    # The three eager stage materializations with no mutual dependency —
+    # exact-dedup survivors, the shingle inverted index, and the
+    # classifier's token-frequency relation (inside nb_quality_classifier)
+    # — are submitted from a small thread pool instead of sequentially
+    # (guide §2.6: actions are only sequential because the driver calls
+    # them sequentially; overlapping independent jobs back-fills the tail
+    # of each other's stages). Results are unchanged — these are the same
+    # three jobs, just in flight together.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _mk_exact():
+        return (
+            quality.withColumn("__min_id", F.min("doc_id").over(wq))
+            .filter(F.col("doc_id") == F.col("__min_id"))
+            .drop("__min_id")
+        ).localCheckpoint(eager=True)
+
+    def _mk_sh():
+        # one tokenization+shingling pass feeds edges AND decontamination
+        return dedupe.word_shingles(docs, k=3).localCheckpoint(eager=True)
+
+    def _mk_scored():
+        return curation.nb_quality_classifier(docs, positive=F.col("lang") == "en")
+
+    with ThreadPoolExecutor(max_workers=3) as _pool:
+        _f_exact = _pool.submit(_mk_exact)
+        _f_sh = _pool.submit(_mk_sh)
+        _f_scored = _pool.submit(_mk_scored)
+        exact, sh, scored = _f_exact.result(), _f_sh.result(), _f_scored.result()
     pairs = dedupe.ngram_jaccard_pairs(
         docs, threshold=0.5, max_df=_JACCARD_MAX_DF, shingles=sh
     ).select("id_a", "id_b")
@@ -2241,9 +2264,6 @@ def curate_pipeline_full(spark, sf_dir):
     ).select(F.col("train_id").alias("doc_id")).distinct()
     clean = canon.filter(F.col("source") != "src0").join(
         F.broadcast(contaminated), "doc_id", "left_anti"
-    )
-    scored = curation.nb_quality_classifier(
-        docs, positive=F.col("lang") == "en"
     )
     # stage materialization #2: the clean+classified survivor relation is
     # referenced by BOTH the budget computation and the budget fill; an
