@@ -18,6 +18,7 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from execute_sync_spark import session as session_mod
 from execute_sync_spark import storage
 from execute_sync_spark.functions import curation, dedupe, graph, multimodal, similarity, text
 from execute_sync_spark.functions.hashing import h32_salted, h32_salted_sql, h32_sql
@@ -36,7 +37,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # cached-schema read: schema inference is a per-call driver file listing
+    # + footer read, paid at construction time by every query on every bench
+    # pass (see session._PARQUET_SCHEMA_CACHE — metadata memo, not results)
+    return session_mod.read_parquet_cached(
+        spark, os.path.join(sf_dir, f"{name}.parquet")
+    )
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,7 +56,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     session.get_spark sets it at construction so it's a no-op on our own
     sessions."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = session_mod.read_parquet_cached(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
     if dict(ev.dtypes).get("ts") == "bigint":
         ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return ev
@@ -58,6 +66,28 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _docs(spark, sf_dir):
     return _t(spark, sf_dir, "documents")
+
+
+# Scan partition counts, memoized per (input fingerprint, parallelism):
+# ``df.rdd.getNumPartitions()`` on a fresh scan pays RDD conversion + file
+# listing on the DRIVER at every query-construction call (the r16 driver-cost
+# profile: ~0.1-0.2 s per call, and _docs_wide runs under most of the text/
+# dedup/graph registry). The count is a pure function of the input files and
+# the split config, so for an unchanged input it is immutable metadata —
+# same caching class as the schema memo in session.py, never results.
+_SCAN_PARTS_CACHE: dict[tuple, int] = {}
+
+
+def _scan_partitions(df: DataFrame, path: str, parallelism: int) -> int:
+    key = session_mod._file_fingerprint(path)
+    if key is None:
+        return df.rdd.getNumPartitions()
+    full_key = key + (parallelism,)
+    n = _SCAN_PARTS_CACHE.get(full_key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _SCAN_PARTS_CACHE[full_key] = n
+    return n
 
 
 def _docs_wide(spark, sf_dir):
@@ -76,7 +106,8 @@ def _docs_wide(spark, sf_dir):
     ``spark.sql.files.maxPartitionBytes``, not a shuffle."""
     docs = _docs(spark, sf_dir)
     parallelism = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() >= parallelism:
+    if _scan_partitions(docs, os.path.join(sf_dir, "documents.parquet"),
+                        parallelism) >= parallelism:
         return docs
     return docs.repartition(parallelism)
 
@@ -825,10 +856,20 @@ def _centrality_keep(edges):
     self-join from parquet (VERDICT r10 #2: the uncheckpointed form
     executed the edge plan ~3x and was the bench's #1 long pole)."""
     edges = edges.localCheckpoint(eager=True)
+    from concurrent.futures import ThreadPoolExecutor
+
     from execute_sync_spark.functions.graph import connected_components
 
-    labels = connected_components(edges, "id_a", "id_b")
-    pr = graph.pagerank(edges, src_col="id_a", dst_col="id_b")
+    # The components leg (star-round counts + the local solve) and the
+    # pagerank leg (symmetrize/degree materializations) are independent
+    # given the checkpointed edge relation, and each runs several eager
+    # driver actions internally. Overlap the two legs (guide §2.6) so one
+    # leg's job tails back-fill the other's; each leg's own internal
+    # ordering — and therefore its result — is unchanged.
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fl = _pool.submit(connected_components, edges, "id_a", "id_b")
+        _fp = _pool.submit(graph.pagerank, edges, src_col="id_a", dst_col="id_b")
+        labels, pr = _fl.result(), _fp.result()
     j = labels.join(pr, labels["id"] == pr["node"]).select(
         labels["id"].alias("doc_id"),
         "cluster_id",
@@ -6161,10 +6202,14 @@ def sim_knn_join_sqrt_recall(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     per_probe = []
-    for nprobe in (2, 4, 8):
-        ap = similarity.knn_join_cells(emb, cents, k=3, nprobe=nprobe).select(
-            "vec_id", "neighbor_id", F.lit(1).alias("__hit")
-        )
+    # ONE fanout + per-cell kernel pass feeds all three probe levels (the
+    # levels are nested; see knn_join_cells_multiprobe — each leg is
+    # row-identical to the former per-level knn_join_cells call, pinned in
+    # tests/test_round16_ops.py). The r16 profiler measured the three
+    # sequential kernel legs as this row's dominant cost.
+    legs = similarity.knn_join_cells_multiprobe(emb, cents, k=3, nprobes=(2, 4, 8))
+    for nprobe, leg in legs:
+        ap = leg.select("vec_id", "neighbor_id", F.lit(1).alias("__hit"))
         per_probe.append(
             exact.join(ap, ["vec_id", "neighbor_id"], "left").agg(
                 F.lit(nprobe).cast("int").alias("nprobe"),

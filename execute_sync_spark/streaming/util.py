@@ -59,8 +59,10 @@ def stream_input_schema(spark: SparkSession, path: str) -> T.StructType:
     # pin UTC for foreign (driver-owned) sessions — same rationale and
     # deliberate non-restore as plans.workload._t: the conf is read at
     # execution time, after this lazily-used schema is returned
+    from execute_sync_spark.session import read_parquet_cached
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(path).schema
+    schema = read_parquet_cached(spark, path).schema
     return T.StructType(
         [
             T.StructField(

@@ -310,3 +310,33 @@ def test_pipeline_full_semantic_invariants(spark):
         for r in group:
             assert r.pack_id == cum // 2048
             cum += r.n_tokens
+
+
+# ---------------------------------------------------------------------------
+# multiprobe kNN sweep: one fanout+kernel pass, per-level results identical
+
+
+def test_knn_join_cells_multiprobe_equals_per_level(spark):
+    """Each leg of knn_join_cells_multiprobe must be ROW-IDENTICAL to a
+    separate knn_join_cells call at that nprobe (the recall sweep's
+    correctness contract): probe levels are nested and the per-(vector,
+    cell) kernel output is independent of which other cells are probed, so
+    sharing one fanout cannot change any leg."""
+    from pyspark.sql import functions as F
+
+    from execute_sync_spark.functions import similarity
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = similarity.kmeans_fit_sample(emb, k=6, iters=3)
+    legs = dict(
+        similarity.knn_join_cells_multiprobe(emb, cents, k=3, nprobes=(2, 4, 8))
+    )
+    for nprobe in (2, 4, 8):
+        single = sorted(
+            map(tuple, similarity.knn_join_cells(emb, cents, k=3, nprobe=nprobe).collect())
+        )
+        multi = sorted(map(tuple, legs[nprobe].collect()))
+        assert multi == single, f"nprobe={nprobe} diverged"
