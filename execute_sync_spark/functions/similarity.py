@@ -2138,144 +2138,6 @@ def knn_join_cells(
     )
 
 
-def knn_join_cells_multiprobe(
-    corpus: DataFrame,
-    centroids: DataFrame,
-    k: int = 3,
-    nprobes: tuple[int, ...] = (2, 4, 8),
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> list[tuple[int, DataFrame]]:
-    """Several ``knn_join_cells`` probe levels from ONE corpus pass.
-
-    Probe levels are nested: the cells a vector probes at nprobe=2 are the
-    first 2 of the cells it probes at nprobe=8 (same deterministic (sim
-    desc, cell_id asc) cell ranking), and the per-(vector, cell) top-k
-    kernel output depends only on the probed cell's HOME members — not on
-    which other cells are probed. So the recall-sweep shape (the same
-    corpus probed at 2, 4, 8 ...) does not need one fanout + kernel pass
-    per level: fan out ONCE at max(nprobes) carrying each probe's rank,
-    run the per-cell BLAS kernel ONCE, eagerly materialize the candidate
-    relation, and each level's result is a probe_rank filter + the same
-    global top-k merge (guide §2.4 — three Arrow corpus passes and three
-    kernel shuffles collapse to one; the r16 profiler measured the three
-    sequential legs as the whole cost of sim_knn_join_sqrt_recall).
-
-    Returns ``[(nprobe, df), ...]`` where each df is row-identical to
-    ``knn_join_cells(corpus, centroids, k, nprobe)`` (pinned in
-    tests/test_round16_ops.py)."""
-    import numpy as np
-    import pandas as pd
-
-    spark = corpus.sparkSession
-    cent_pdf = (
-        centroids.select(F.col(id_col).alias("cell_id"), _as_double(vec_col).alias("cv"))
-        .toPandas()
-        .sort_values("cell_id")
-    )
-    if len(cent_pdf) == 0:
-        empty = _empty_result(spark).selectExpr(
-            "query_id as " + id_col, "neighbor_id", "rank", "cos_sim"
-        )
-        return [(int(p), empty) for p in nprobes]
-    cell_ids = cent_pdf["cell_id"].to_numpy()
-    Cent = np.stack(cent_pdf["cv"].to_numpy()).astype(np.float64)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        CentN = Cent / np.linalg.norm(Cent, axis=1, keepdims=True)
-    max_probe = min(max(int(p) for p in nprobes), len(cell_ids))
-    bc = spark.sparkContext.broadcast((cell_ids, CentN, max_probe))
-
-    def probe_fanout(batches):
-        b_cell_ids, b_CentN, b_np = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-                S = Vn @ b_CentN.T
-            order = np.lexsort(
-                (np.broadcast_to(b_cell_ids, S.shape), _desc_nulls_last(S)), axis=1
-            )
-            probe_cells = b_cell_ids[order[:, :b_np]]  # n x max_probe
-            n = len(pdf)
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(pdf[id_col].to_numpy(), b_np),
-                    "v": np.repeat(pdf["v"].to_numpy(), b_np),
-                    "cell_id": probe_cells.ravel(),
-                    # 1-based rank of this probe cell for this vector;
-                    # rank 1 IS the home cell (the is_home of the
-                    # single-probe form)
-                    "probe_rank": np.tile(np.arange(1, b_np + 1), n),
-                }
-            )
-
-    fanned = corpus.select(F.col(id_col), _as_double(vec_col).alias("v")).mapInPandas(
-        probe_fanout,
-        schema=f"{id_col} long, v array<double>, cell_id long, probe_rank int",
-    )
-
-    def knn_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                id_col: np.array([], dtype=np.int64),
-                "neighbor_id": np.array([], dtype=np.int64),
-                "cos_sim": np.array([], dtype=np.float64),
-                "probe_rank": np.array([], dtype=np.int32),
-            }
-        )
-        members = pdf[pdf["probe_rank"] == 1]
-        if len(members) == 0 or len(pdf) == 0:
-            return empty
-        p_ids = pdf[id_col].to_numpy()
-        m_ids = members[id_col].to_numpy()
-        P = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-        M = np.stack(members["v"].to_numpy()).astype(np.float64)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            Pn = P / np.linalg.norm(P, axis=1, keepdims=True)
-            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-            S = _np_round_half_up(Pn @ Mn.T, 4)
-        kk = min(k, len(m_ids))
-        if kk <= 0:
-            return empty
-        is_self = p_ids[:, None] == m_ids[None, :]
-        order = np.lexsort(
-            (np.broadcast_to(m_ids, S.shape), _desc_nulls_last(S), is_self), axis=1
-        )[:, :kk]
-        sims = np.take_along_axis(S, order, axis=1)
-        keep = ~np.take_along_axis(is_self, order, axis=1)
-        pranks = pdf["probe_rank"].to_numpy()
-        return pd.DataFrame(
-            {
-                id_col: np.broadcast_to(p_ids[:, None], sims.shape)[keep],
-                "neighbor_id": m_ids[order][keep],
-                "cos_sim": sims[keep],
-                "probe_rank": np.broadcast_to(pranks[:, None], sims.shape)[keep],
-            }
-        )
-
-    cand = (
-        fanned.groupBy("cell_id")
-        .applyInPandas(
-            knn_in_cell,
-            schema=f"{id_col} long, neighbor_id long, cos_sim double, probe_rank int",
-        )
-        .localCheckpoint(eager=True)
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    out = []
-    for p in nprobes:
-        leg = (
-            cand.filter(F.col("probe_rank") <= min(int(p), len(cell_ids)))
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(id_col, "neighbor_id", "rank", "cos_sim")
-        )
-        out.append((int(p), leg))
-    return out
-
-
 def rrf_fuse(
     legs: list[tuple[str, DataFrame, str, str]],
     k: int = 20,

@@ -283,11 +283,29 @@ def _bm25_rank(
     )
 
 
+def ccnet_scored(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The per-document (id, n_tokens, avg_logprob, ppl_proxy, lang)
+    relation both CCNet tilings rank — unigram_logprob plus the language
+    column. Exposed so a composition that runs BOTH tilings (the
+    text_ccnet_buckets_approx agreement row) can materialize this
+    corpus-shaped subtree once and feed it to each side via ``scored=``
+    (the minhash_signatures(shingles=) precedent)."""
+    return unigram_logprob(docs, text_col, id_col).join(
+        docs.select(F.col(id_col), F.col(lang_col)), id_col
+    )
+
+
 def ccnet_buckets(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     lang_col: str = "lang",
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style quality bucketing (Wenzek et al. 2020, "CCNet:
     Extracting High Quality Monolingual Datasets from Web Crawl Data"):
@@ -306,9 +324,8 @@ def ccnet_buckets(
     window for approx_percentile score thresholds computed in one pass
     and bucket by comparison — same output contract; the exact form is
     declared for the oracle."""
-    scored = unigram_logprob(docs, text_col, id_col).join(
-        docs.select(F.col(id_col), F.col(lang_col)), id_col
-    )
+    if scored is None:
+        scored = ccnet_scored(docs, text_col, id_col, lang_col)
     w = Window.partitionBy(lang_col).orderBy(F.desc("avg_logprob"), F.asc(id_col))
     tile = F.ntile(3).over(w)
     return scored.select(
@@ -326,6 +343,7 @@ def ccnet_buckets_approx(
     id_col: str = "doc_id",
     lang_col: str = "lang",
     accuracy: int = 10000,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """The 100 TB form of ``ccnet_buckets`` (the swap that function's
     docstring declares, now implemented — VERDICT r8 task 7): instead of
@@ -340,9 +358,15 @@ def ccnet_buckets_approx(
     tiling only for documents at the tile boundaries (sketch rank error +
     NTILE's remainder handling), which is the accepted trade of the
     approx form."""
-    scored = unigram_logprob(docs, text_col, id_col).join(
-        docs.select(F.col(id_col), F.col(lang_col)), id_col
-    )
+    if scored is None:
+        # the scored relation feeds BOTH the threshold aggregation and the
+        # bucket join below — materialize the corpus-shaped subtree
+        # (tokenize + tf + vocabulary join + per-doc agg) once instead of
+        # once per consumer (r16 profile; the shared-subtree pattern of
+        # dedupe.word_shingles / curation's NB tf)
+        scored = ccnet_scored(docs, text_col, id_col, lang_col).localCheckpoint(
+            eager=True
+        )
     # ranking is score-DESC, so the head/middle cut sits at the ascending
     # 2/3 quantile and the middle/tail cut at the ascending 1/3 quantile
     thresholds = scored.groupBy(lang_col).agg(
@@ -818,7 +842,16 @@ def backoff_lm(
     corpus-shaped exchange is the per-doc lag window (partitioned by
     ``id_col``, never global). No UDFs; everything stays in codegen.
     """
-    g = backoff_lm_grams(docs, train_filter, text_col, id_col)
+    # The corpus-shaped gram relation (tokenize + posexplode + two lag
+    # windows) feeds FOUR consumers — the three count aggregations and the
+    # scoring join chain — so without materialization the tokenize+window
+    # pass executes once per consumer (r16 profile: the dominant cost of
+    # this row). Eagerly localCheckpoint ONCE; the streaming twin
+    # (streaming/backoff_lm.py) keeps the lazy form because its counts come
+    # from the persisted sidecar, not from this relation.
+    g = backoff_lm_grams(docs, train_filter, text_col, id_col).localCheckpoint(
+        eager=True
+    )
     uni, bi, tri = backoff_lm_counts(g)
     return backoff_lm_score(g, uni, bi, tri, alpha=alpha, id_col=id_col)
 

@@ -856,20 +856,15 @@ def _centrality_keep(edges):
     self-join from parquet (VERDICT r10 #2: the uncheckpointed form
     executed the edge plan ~3x and was the bench's #1 long pole)."""
     edges = edges.localCheckpoint(eager=True)
-    from concurrent.futures import ThreadPoolExecutor
-
     from execute_sync_spark.functions.graph import connected_components
 
-    # The components leg (star-round counts + the local solve) and the
-    # pagerank leg (symmetrize/degree materializations) are independent
-    # given the checkpointed edge relation, and each runs several eager
-    # driver actions internally. Overlap the two legs (guide §2.6) so one
-    # leg's job tails back-fill the other's; each leg's own internal
-    # ordering — and therefore its result — is unchanged.
-    with ThreadPoolExecutor(max_workers=2) as _pool:
-        _fl = _pool.submit(connected_components, edges, "id_a", "id_b")
-        _fp = _pool.submit(graph.pagerank, edges, src_col="id_a", dst_col="id_b")
-        labels, pr = _fl.result(), _fp.result()
+    # NOTE (optimization round 16): overlapping the components leg and the
+    # pagerank leg from a 2-thread pool was tried and REVERTED — the
+    # concurrent bench pass (24 streams) degraded ~2x with the overlap in
+    # (HEAD-vs-variant probe series in OPTIMIZATION_r16.md); inside an
+    # already-saturated scrum the extra in-flight jobs only add queueing.
+    labels = connected_components(edges, "id_a", "id_b")
+    pr = graph.pagerank(edges, src_col="id_a", dst_col="id_b")
     j = labels.join(pr, labels["id"] == pr["node"]).select(
         labels["id"].alias("doc_id"),
         "cluster_id",
@@ -1436,10 +1431,18 @@ def text_ccnet_buckets_approx(spark, sf_dir):
     sf0.1 and in BENCH_DETAIL's scale blocks next to the exact
     ``text_ccnet_buckets`` (VERDICT r9 task 5)."""
     docs = _docs_wide(spark, sf_dir)
-    approx = text.ccnet_buckets_approx(docs).select(
+    # ONE materialization of the per-doc LM-score relation feeds BOTH
+    # tilings (the exact window side and the approx threshold+join side) —
+    # previously each side re-ran the full tokenize/tf/vocabulary-join
+    # subtree, and the approx side ran it twice more internally (r16
+    # profile: this row's cost was ~4x one scoring pass).
+    scored = text.ccnet_scored(docs).localCheckpoint(eager=True)
+    approx = text.ccnet_buckets_approx(docs, scored=scored).select(
         "doc_id", F.col("bucket").alias("b_approx")
     )
-    exact = text.ccnet_buckets(docs).select("doc_id", "lang", F.col("bucket").alias("b_exact"))
+    exact = text.ccnet_buckets(docs, scored=scored).select(
+        "doc_id", "lang", F.col("bucket").alias("b_exact")
+    )
     per_lang = (
         exact.join(approx, "doc_id")
         .groupBy("lang")
@@ -6202,14 +6205,14 @@ def sim_knn_join_sqrt_recall(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     per_probe = []
-    # ONE fanout + per-cell kernel pass feeds all three probe levels (the
-    # levels are nested; see knn_join_cells_multiprobe — each leg is
-    # row-identical to the former per-level knn_join_cells call, pinned in
-    # tests/test_round16_ops.py). The r16 profiler measured the three
-    # sequential kernel legs as this row's dominant cost.
-    legs = similarity.knn_join_cells_multiprobe(emb, cents, k=3, nprobes=(2, 4, 8))
-    for nprobe, leg in legs:
-        ap = leg.select("vec_id", "neighbor_id", F.lit(1).alias("__hit"))
+    # NOTE (optimization round 16): a shared one-fanout multiprobe kernel
+    # (knn_join_cells_multiprobe) was tried here and REVERTED — the official
+    # bench format showed no sequential win over the per-level calls and the
+    # concurrent pass degraded (probe series in OPTIMIZATION_r16.md).
+    for nprobe in (2, 4, 8):
+        ap = similarity.knn_join_cells(emb, cents, k=3, nprobe=nprobe).select(
+            "vec_id", "neighbor_id", F.lit(1).alias("__hit")
+        )
         per_probe.append(
             exact.join(ap, ["vec_id", "neighbor_id"], "left").agg(
                 F.lit(nprobe).cast("int").alias("nprobe"),

@@ -313,30 +313,39 @@ def test_pipeline_full_semantic_invariants(spark):
 
 
 # ---------------------------------------------------------------------------
-# multiprobe kNN sweep: one fanout+kernel pass, per-level results identical
+# shared-subtree materializations (optimization round 16): results identical
 
 
-def test_knn_join_cells_multiprobe_equals_per_level(spark):
-    """Each leg of knn_join_cells_multiprobe must be ROW-IDENTICAL to a
-    separate knn_join_cells call at that nprobe (the recall sweep's
-    correctness contract): probe levels are nested and the per-(vector,
-    cell) kernel output is independent of which other cells are probed, so
-    sharing one fanout cannot change any leg."""
-    from pyspark.sql import functions as F
-
-    from execute_sync_spark.functions import similarity
+def test_ccnet_buckets_scored_param_equals_internal(spark):
+    """Both CCNet tilings must return row-identical results whether they
+    compute the per-doc LM-score relation themselves or receive it
+    pre-materialized via ``scored=`` (the agreement row materializes it
+    once and feeds both sides)."""
+    from execute_sync_spark.functions import text as text_fns
     from tests.conftest import SF_DIR
 
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    scored = text_fns.ccnet_scored(docs).localCheckpoint(eager=True)
+    for fn in (text_fns.ccnet_buckets, text_fns.ccnet_buckets_approx):
+        own = sorted(map(tuple, fn(docs).collect()))
+        shared = sorted(map(tuple, fn(docs, scored=scored).collect()))
+        assert own == shared, fn.__name__
+
+
+def test_backoff_lm_checkpointed_grams_matches_lazy_composition(spark):
+    """backoff_lm (grams materialized once) must equal the lazy
+    grams->counts->score composition it is built from."""
+    from pyspark.sql import functions as F
+
+    from execute_sync_spark.functions import text as text_fns
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    flt = F.col("source") != "src0"
+    got = sorted(map(tuple, text_fns.backoff_lm(docs, train_filter=flt).collect()))
+    g = text_fns.backoff_lm_grams(docs, flt)
+    uni, bi, tri = text_fns.backoff_lm_counts(g)
+    want = sorted(
+        map(tuple, text_fns.backoff_lm_score(g, uni, bi, tri).collect())
     )
-    cents = similarity.kmeans_fit_sample(emb, k=6, iters=3)
-    legs = dict(
-        similarity.knn_join_cells_multiprobe(emb, cents, k=3, nprobes=(2, 4, 8))
-    )
-    for nprobe in (2, 4, 8):
-        single = sorted(
-            map(tuple, similarity.knn_join_cells(emb, cents, k=3, nprobe=nprobe).collect())
-        )
-        multi = sorted(map(tuple, legs[nprobe].collect()))
-        assert multi == single, f"nprobe={nprobe} diverged"
+    assert got == want
