@@ -289,6 +289,13 @@ def duplicate_spans(
         toks.select(F.col(id_col), F.posexplode_outer(gram_arr).alias("pos", "__g"))
         .filter(F.col("__g").isNotNull())
         .select(F.col(id_col), F.col("pos"), gram_hash("__g").alias("__h"))
+        # the gram relation feeds BOTH the frequency aggregation and the
+        # position semi-join probe below; without materialization the
+        # corpus-shaped k-gram build (per-position k-word concat + hash —
+        # the dominant cost of this operator, r16 profile) executes twice.
+        # Narrow rows only (id, pos, hash) — the gram strings are hashed
+        # before the checkpoint, so nothing corpus-text-sized is pinned.
+        .localCheckpoint(eager=True)
     )
     repeated = (
         grams.groupBy("__h")

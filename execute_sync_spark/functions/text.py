@@ -1141,7 +1141,16 @@ def bpe_train(
             break  # exhausted (or empty) corpus: stop early, keep merges so far
         a, b, pc = best["a"], best["b"], int(best["pc"])
         merges.append((step, a, b, a + b, pc))
-        vocab = vocab.withColumn("s", _bpe_merge_fold(F.col("s"), a, b, a + b))
+        # Re-materialize the (vocabulary-sized, tiny) relation after every
+        # fold: _bpe_merge_fold is an interpreted higher-order aggregate
+        # with a string-concat accumulator, and without this step k's
+        # pair-count pass re-evaluates folds 1..k-1 — ~21 fold evaluations
+        # over the 6-merge trajectory (plus 6 more at apply time) collapse
+        # to exactly one per merge (r16 profile: the fold chain, not the
+        # corpus pass, dominated text_bpe_tokenize/merges).
+        vocab = vocab.withColumn(
+            "s", _bpe_merge_fold(F.col("s"), a, b, a + b)
+        ).localCheckpoint(eager=True)
     return vocab, merges
 
 
