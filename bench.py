@@ -45,8 +45,9 @@ from execute_sync_spark.session import get_spark
 from execute_sync_spark.plans import workload
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-MAX_LINE = 1900  # keep the printed JSON line inside the 2000-byte tail window
+MAX_LINE = 1950  # keep the printed JSON line inside the 2000-byte tail window
 ALIAS_REGISTRY = os.path.join(REPO, "tools", "bench_aliases.json")
+CODE_REGISTRY = os.path.join(REPO, "tools", "bench_codes.json")
 
 
 def _token_weights(
@@ -116,6 +117,50 @@ def _aliases(names: list[str]) -> dict[str, str]:
         with open(ALIAS_REGISTRY, "w") as f:
             json.dump(registry, f, indent=1, sort_keys=True)
     return {n: registry[n] for n in names}
+
+
+def _codes(names: list[str]) -> dict[str, str]:
+    """STABLE 2-char codes for the PRINTED line (round 17 measurement fix).
+
+    The 5-char alias map outgrew the harness's 2000-byte output tail at
+    ~150 queries, so since round 14 the printed line fell back to
+    ``{"see": "BENCH_DETAIL.json"}`` and the driver could compare ZERO
+    per-query times round-over-round (PERF_r16: n_common=0, bench_ok
+    false) — and its 8-core-vs-32-core scaling measurement was empty too.
+    Two-char [a-z0-9] codes (1296 capacity) fit all 184 queries in ~1870
+    bytes. Codes are frozen in ``tools/bench_codes.json`` exactly like the
+    aliases: existing entries never change, unseen names get the next free
+    code. BENCH_DETAIL.json carries the full-name times and this code map.
+    """
+    try:
+        with open(CODE_REGISTRY) as f:
+            registry: dict[str, str] = json.load(f)
+    except (OSError, ValueError):
+        registry = {}
+    used = set(registry.values())
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    pool = (a + b for a in alpha for b in alpha)
+    new = False
+    for name in sorted(names):
+        if name not in registry:
+            code = next(c for c in pool if c not in used)
+            registry[name] = code
+            used.add(code)
+            new = True
+    if new:
+        with open(CODE_REGISTRY, "w") as f:
+            json.dump(registry, f, indent=1, sort_keys=True)
+    return {n: registry[n] for n in names}
+
+
+def _enc_sec(v: float):
+    """Seconds at 2 significant figures — the printed line's per-query
+    resolution (full 3-decimal times live in BENCH_DETAIL.json)."""
+    if v >= 10:
+        return int(round(v))
+    if v >= 1:
+        return round(v, 1)
+    return round(v, 2)
 
 
 def _timed_pass(spark, sf_dir: str, warm: bool = False, only: list[str] | None = None) -> dict[str, float]:
@@ -441,6 +486,7 @@ def main() -> None:
 
     total = min(seq_total, wall)
     alias = _aliases(list(times))
+    code = _codes(list(times))
     detail = {
         "metric": "workload_total_runtime",
         "value": total,
@@ -463,6 +509,7 @@ def main() -> None:
         ],
         "queries": times,
         "aliases": alias,
+        "codes": code,  # printed-line key -> full name
         "warm": warm,
     }
     detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
@@ -493,7 +540,7 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
 
-    compact = {alias[k]: round(v, 2) for k, v in times.items()}
+    compact = {code[k]: _enc_sec(v) for k, v in times.items()}
     line = {
         "metric": "workload_total_runtime",
         "value": total,
