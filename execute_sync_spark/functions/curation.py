@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from execute_sync_spark.functions.hashing import h32_salted, h32_salted_sql
+from execute_sync_spark.functions.matpoint import mat
 
 __all__ = ["hash_bucket", "hash_split", "stratified_hash_sample", "balanced_sample"]
 
@@ -544,7 +545,7 @@ def nb_quality_classifier(
     # materialization each consumer re-runs the scan+tokenize+explode+count
     # chain (r16 profile: the tf subtree executed 3x inside the composed
     # pipelines). One eager checkpoint = one tokenization pass (guide §2.4).
-    tf = tf.localCheckpoint(eager=True)
+    tf = mat(tf, "nb_tf")
     freq = nb_token_freq(tf)
     return nb_score_tf(tf, freq, nb_doc_counts(lab), id_col)
 
@@ -679,7 +680,7 @@ def nb_quality_classifier_hashed(
     ).groupBy(id_col, "__pos", "bucket").agg(F.count("*").alias("tf"))
     # same one-pass materialization as the exact twin: tf feeds the model
     # build and the scoring join
-    tf = tf.localCheckpoint(eager=True)
+    tf = mat(tf, "nb_tf_hashed")
     freq = tf.groupBy("bucket").agg(
         F.sum(F.when(F.col("__pos"), F.col("tf")).otherwise(0)).alias("cp"),
         F.sum(F.when(~F.col("__pos"), F.col("tf")).otherwise(0)).alias("cn"),

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from execute_sync_spark.functions.matpoint import mat
 from execute_sync_spark.functions.hashing import h32
 from execute_sync_spark.functions.text import tokens
 
@@ -289,14 +290,14 @@ def duplicate_spans(
         toks.select(F.col(id_col), F.posexplode_outer(gram_arr).alias("pos", "__g"))
         .filter(F.col("__g").isNotNull())
         .select(F.col(id_col), F.col("pos"), gram_hash("__g").alias("__h"))
-        # the gram relation feeds BOTH the frequency aggregation and the
-        # position semi-join probe below; without materialization the
-        # corpus-shaped k-gram build (per-position k-word concat + hash —
-        # the dominant cost of this operator, r16 profile) executes twice.
-        # Narrow rows only (id, pos, hash) — the gram strings are hashed
-        # before the checkpoint, so nothing corpus-text-sized is pinned.
-        .localCheckpoint(eager=True)
     )
+    # the gram relation feeds BOTH the frequency aggregation and the
+    # position semi-join probe below; without materialization the
+    # corpus-shaped k-gram build (per-position k-word concat + hash —
+    # the dominant cost of this operator, r16 profile) executes twice.
+    # Narrow rows only (id, pos, hash) — the gram strings are hashed
+    # before the checkpoint, so nothing corpus-text-sized is pinned.
+    grams = mat(grams, "span_grams")
     repeated = (
         grams.groupBy("__h")
         .agg(F.count("*").alias("__c"))
@@ -447,8 +448,8 @@ def ngram_jaccard_pairs(
     if shingles is not None:
         sh = shingles
     else:
-        sh = word_shingles(docs, text_col, id_col, k=shingle_k).localCheckpoint(
-            eager=True
+        sh = mat(
+            word_shingles(docs, text_col, id_col, k=shingle_k), "jaccard_shingles"
         )
     if max_df is not None:
         # NOTE: no broadcast hint — the kept (df<=max_df) shingle set IS most
@@ -462,7 +463,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") <= max_df)
             .select("shingle")
         )
-        sh = sh.join(rare, "shingle", "left_semi").localCheckpoint(eager=True)
+        sh = mat(sh.join(rare, "shingle", "left_semi"), "jaccard_valved")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -663,8 +664,8 @@ def containment_pairs(
     # Same one-pass materialization as ngram_jaccard_pairs: the shingle
     # relation feeds sizes + both self-join sides (+ the valve's df table),
     # and an unmaterialized subtree re-tokenizes the corpus per consumer.
-    sh = word_shingles(docs, text_col, id_col, k=shingle_k).localCheckpoint(
-        eager=True
+    sh = mat(
+        word_shingles(docs, text_col, id_col, k=shingle_k), "containment_shingles"
     )
     if max_df is not None:
         rare = (
@@ -673,7 +674,7 @@ def containment_pairs(
             .filter(F.col("df") <= max_df)
             .select("shingle")
         )
-        sh = sh.join(rare, "shingle", "left_semi").localCheckpoint(eager=True)
+        sh = mat(sh.join(rare, "shingle", "left_semi"), "containment_valved")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

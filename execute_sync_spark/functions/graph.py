@@ -35,6 +35,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from execute_sync_spark.functions.matpoint import mat, on as mat_on
+
 __all__ = [
     "connected_components",
     "connected_components_star",
@@ -58,8 +60,8 @@ def _canonical(edges: DataFrame, src: str, dst: str) -> tuple[DataFrame, DataFra
     rounds and the local finish iterate over it; all_nodes is consumed
     exactly once (in _attach_singletons) and stays lazy over the
     materialized raw partitions."""
-    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
-        eager=True
+    raw = mat(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")), "graph_raw_edges"
     )
     cur = (
         raw.filter(F.col("a") != F.col("b"))
@@ -313,9 +315,10 @@ def pagerank(
     # column derive from the materialized partitions (VERDICT r10 #2: the
     # old persist()-only form re-ran the edge plan for deg.count() and
     # again on first action).
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=True)
+    e = mat(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")),
+        "pagerank_edges",
+    )
     sym = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
@@ -388,7 +391,7 @@ def build_cluster_state(
     # the component solve and the persisted canonical edge store below —
     # without this the plan executed twice (once inside
     # connected_components' _canonical, once in the second _canonical here)
-    edges = edges.select(src, dst).localCheckpoint(eager=True)
+    edges = mat(edges.select(src, dst), "cluster_state_edges")
     labels = connected_components(edges, src, dst)
     canon, _ = _canonical(edges, src, dst)
     (
@@ -537,13 +540,18 @@ def update_cluster_state(
         for k in set(write_buckets) - have:
             storage.STORE.rmtree(os.path.join(d, f"bucket={k}"))
 
-    with ThreadPoolExecutor(max_workers=2) as _pool:
-        _fl = _pool.submit(_mk_labels)
-        _fe = _pool.submit(_mk_edges)
-        out_labels, out_edges = _fl.result(), _fe.result()
-        _wl = _pool.submit(_write_side, out_labels, labels_dir)
-        _we = _pool.submit(_write_side, out_edges, edges_dir)
-        _wl.result(), _we.result()
+    if mat_on("cluster_state_pool"):
+        with ThreadPoolExecutor(max_workers=2) as _pool:
+            _fl = _pool.submit(_mk_labels)
+            _fe = _pool.submit(_mk_edges)
+            out_labels, out_edges = _fl.result(), _fe.result()
+            _wl = _pool.submit(_write_side, out_labels, labels_dir)
+            _we = _pool.submit(_write_side, out_edges, edges_dir)
+            _wl.result(), _we.result()
+    else:
+        out_labels, out_edges = _mk_labels(), _mk_edges()
+        _write_side(out_labels, labels_dir)
+        _write_side(out_edges, edges_dir)
     return spark.read.schema(labels_schema).parquet(labels_dir).select("id", "cluster_id")
 
 
@@ -580,9 +588,10 @@ def label_propagation(
     through with a left join, as connected_components' helper does)."""
     # materialize before the symmetrize union — its two branches otherwise
     # each re-run the upstream edge plan (same rationale as pagerank above)
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=True)
+    e = mat(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")),
+        "lpa_edges",
+    )
     sym = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
@@ -628,12 +637,12 @@ def triangle_counts(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> D
     # the canonical edge relation is referenced THREE times below (both
     # path legs + the closing edge); materialize once so the upstream
     # near-dup candidate plan does not run per reference (guide §2.4)
-    e = (
+    e = mat(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        "triangle_edges",
     )
     e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))

@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from execute_sync_spark.functions.hashing import h32
+from execute_sync_spark.functions.matpoint import mat
 
 # "BPE-ish" tokenizer: letter runs, digit runs, single punctuation marks.
 # Deliberately RE2-safe so the DuckDB oracle can run the identical pattern.
@@ -364,9 +365,7 @@ def ccnet_buckets_approx(
         # (tokenize + tf + vocabulary join + per-doc agg) once instead of
         # once per consumer (r16 profile; the shared-subtree pattern of
         # dedupe.word_shingles / curation's NB tf)
-        scored = ccnet_scored(docs, text_col, id_col, lang_col).localCheckpoint(
-            eager=True
-        )
+        scored = mat(ccnet_scored(docs, text_col, id_col, lang_col), "ccnet_scored")
     # ranking is score-DESC, so the head/middle cut sits at the ascending
     # 2/3 quantile and the middle/tail cut at the ascending 1/3 quantile
     thresholds = scored.groupBy(lang_col).agg(
@@ -849,9 +848,7 @@ def backoff_lm(
     # this row). Eagerly localCheckpoint ONCE; the streaming twin
     # (streaming/backoff_lm.py) keeps the lazy form because its counts come
     # from the persisted sidecar, not from this relation.
-    g = backoff_lm_grams(docs, train_filter, text_col, id_col).localCheckpoint(
-        eager=True
-    )
+    g = mat(backoff_lm_grams(docs, train_filter, text_col, id_col), "lm_grams")
     uni, bi, tri = backoff_lm_counts(g)
     return backoff_lm_score(g, uni, bi, tri, alpha=alpha, id_col=id_col)
 

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from execute_sync_spark import session as session_mod
 from execute_sync_spark import storage
-from execute_sync_spark.functions import curation, dedupe, graph, multimodal, similarity, text
+from execute_sync_spark.functions import curation, dedupe, graph, matpoint, multimodal, similarity, text
 from execute_sync_spark.functions.hashing import h32_salted, h32_salted_sql, h32_sql
 from execute_sync_spark.operators import dedup as dedup_ops
 
@@ -1436,7 +1436,7 @@ def text_ccnet_buckets_approx(spark, sf_dir):
     # previously each side re-ran the full tokenize/tf/vocabulary-join
     # subtree, and the approx side ran it twice more internally (r16
     # profile: this row's cost was ~4x one scoring pass).
-    scored = text.ccnet_scored(docs).localCheckpoint(eager=True)
+    scored = matpoint.mat(text.ccnet_scored(docs), "ccnet_row_scored")
     approx = text.ccnet_buckets_approx(docs, scored=scored).select(
         "doc_id", F.col("bucket").alias("b_approx")
     )
@@ -2270,11 +2270,14 @@ def curate_pipeline_full(spark, sf_dir):
     def _mk_scored():
         return curation.nb_quality_classifier(docs, positive=F.col("lang") == "en")
 
-    with ThreadPoolExecutor(max_workers=3) as _pool:
-        _f_exact = _pool.submit(_mk_exact)
-        _f_sh = _pool.submit(_mk_sh)
-        _f_scored = _pool.submit(_mk_scored)
-        exact, sh, scored = _f_exact.result(), _f_sh.result(), _f_scored.result()
+    if matpoint.on("pipeline_full_pool"):
+        with ThreadPoolExecutor(max_workers=3) as _pool:
+            _f_exact = _pool.submit(_mk_exact)
+            _f_sh = _pool.submit(_mk_sh)
+            _f_scored = _pool.submit(_mk_scored)
+            exact, sh, scored = _f_exact.result(), _f_sh.result(), _f_scored.result()
+    else:
+        exact, sh, scored = _mk_exact(), _mk_sh(), _mk_scored()
     pairs = dedupe.ngram_jaccard_pairs(
         docs, threshold=0.5, max_df=_JACCARD_MAX_DF, shingles=sh
     ).select("id_a", "id_b")
@@ -5985,11 +5988,17 @@ def dedup_lsh_recall(spark, sf_dir):
     # join and the MinHash signatures (the minhash_estimate_vs_true
     # dataflow): without the shared checkpoint each side re-tokenized the
     # corpus independently (r16 profile)
-    sh = dedupe.word_shingles(docs, k=3).localCheckpoint(eager=True)
-    truth = dedupe.ngram_jaccard_pairs(
-        docs, threshold=0.05, max_df=_JACCARD_MAX_DF, shingles=sh
-    )
-    sigs = dedupe.minhash_signatures(docs, num_hashes=_NUM_MINHASH, shingles=sh)
+    if matpoint.on("lsh_recall_shingles"):
+        sh = dedupe.word_shingles(docs, k=3).localCheckpoint(eager=True)
+        truth = dedupe.ngram_jaccard_pairs(
+            docs, threshold=0.05, max_df=_JACCARD_MAX_DF, shingles=sh
+        )
+        sigs = dedupe.minhash_signatures(docs, num_hashes=_NUM_MINHASH, shingles=sh)
+    else:
+        truth = dedupe.ngram_jaccard_pairs(
+            docs, threshold=0.05, max_df=_JACCARD_MAX_DF
+        )
+        sigs = dedupe.minhash_signatures(docs, num_hashes=_NUM_MINHASH)
     cand = dedupe.lsh_candidate_pairs(
         sigs, num_hashes=_NUM_MINHASH, band_size=2
     ).withColumn("__hit", F.lit(1))

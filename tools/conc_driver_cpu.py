@@ -186,7 +186,8 @@ def main() -> None:
     results["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
     with open(detail_path) as f:
         detail = json.load(f)
-    detail.setdefault("experiments", {})["conc_driver_cpu_r15"] = results
+    key = os.environ.get("SPARK_GRAFT_CONC_CPU_KEY", "conc_driver_cpu_r15")
+    detail.setdefault("experiments", {})[key] = results
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
 
