@@ -28,6 +28,13 @@ from execute_sync_spark.functions.matpoint import mat
 from execute_sync_spark.functions.hashing import h32
 from execute_sync_spark.functions.text import tokens
 
+import os as _os
+
+# round-17: shingle-identity joins run on xxhash64 longs by default; the
+# string form stays selectable for A/B measurement and as the
+# collision-free escape (see ngram_jaccard_pairs).
+_HASH_JOIN_KEY = _os.environ.get("SPARK_GRAFT_SHINGLE_KEY", "hash") != "string"
+
 # MinHash permutation family: h_i(x) = (A[i]*H(x) + B[i]) mod P with one base
 # md5-prefix hash H — k permutations for the price of one digest. A[i] < 2^31
 # keeps A*H < 2^63 (no overflow); P is the smallest prime above 2^32.
@@ -445,11 +452,26 @@ def ngram_jaccard_pairs(
     # (guide §2.4/§5: one pass, reuse; cost is one corpus-token-sized
     # executor-memory/disk materialization, the same bound the valve
     # already imposes on the join input).
+    # Join on xxhash64(shingle) longs, not 20-40 byte shingle STRINGS
+    # (guide §2.3: narrower types / shuffle keys instead of payloads —
+    # round 17). The shingle value never reaches the output (only per-pair
+    # counts and ratios do), and the df valve, the sizes aggregate and the
+    # self-join all depend only on shingle IDENTITY, so hashing first is
+    # result-identical up to a 64-bit collision among the corpus's distinct
+    # shingles (~5e6 shingles at sf0.1 -> P ~ 7e-7; the string-keyed DuckDB
+    # oracle independently verifies every gated consumer). Every exchange,
+    # hash table and checkpoint downstream carries 8-byte longs.
+    # SPARK_GRAFT_SHINGLE_KEY=string keeps the literal-string join for
+    # A/B measurement (tools/ab_r17.py) and as the collision-free escape.
+    key = F.xxhash64("shingle") if _HASH_JOIN_KEY else F.col("shingle")
     if shingles is not None:
-        sh = shingles
+        sh = shingles.select(F.col(id_col), key.alias("__sh64"))
     else:
         sh = mat(
-            word_shingles(docs, text_col, id_col, k=shingle_k), "jaccard_shingles"
+            word_shingles(docs, text_col, id_col, k=shingle_k).select(
+                F.col(id_col), key.alias("__sh64")
+            ),
+            "jaccard_shingles",
         )
     if max_df is not None:
         # NOTE: no broadcast hint — the kept (df<=max_df) shingle set IS most
@@ -458,17 +480,17 @@ def ngram_jaccard_pairs(
         # driver at 100 TB. Both sides are shingle-keyed; the semi-join
         # shuffles once, and AQE still picks broadcast when genuinely small.
         rare = (
-            sh.groupBy("shingle")
+            sh.groupBy("__sh64")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") <= max_df)
-            .select("shingle")
+            .select("__sh64")
         )
-        sh = mat(sh.join(rare, "shingle", "left_semi"), "jaccard_valved")
+        sh = mat(sh.join(rare, "__sh64", "left_semi"), "jaccard_valved")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "__sh64")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count("*").alias("n_inter"))
@@ -661,25 +683,30 @@ def containment_pairs(
     rows; dropping df>max_df shingles bounds the blowup at corpus scale,
     COVERAGE.md knob table); the only change is the two per-direction
     ratios replacing the one symmetric one."""
-    # Same one-pass materialization as ngram_jaccard_pairs: the shingle
-    # relation feeds sizes + both self-join sides (+ the valve's df table),
-    # and an unmaterialized subtree re-tokenizes the corpus per consumer.
+    # Same one-pass materialization as ngram_jaccard_pairs — and the same
+    # round-17 long-keyed join: everything below depends only on shingle
+    # identity, so the join/valve/sizes run over xxhash64 longs (see the
+    # collision-bound note in ngram_jaccard_pairs).
+    key = F.xxhash64("shingle") if _HASH_JOIN_KEY else F.col("shingle")
     sh = mat(
-        word_shingles(docs, text_col, id_col, k=shingle_k), "containment_shingles"
+        word_shingles(docs, text_col, id_col, k=shingle_k).select(
+            F.col(id_col), key.alias("__sh64")
+        ),
+        "containment_shingles",
     )
     if max_df is not None:
         rare = (
-            sh.groupBy("shingle")
+            sh.groupBy("__sh64")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") <= max_df)
-            .select("shingle")
+            .select("__sh64")
         )
-        sh = mat(sh.join(rare, "shingle", "left_semi"), "containment_valved")
+        sh = mat(sh.join(rare, "__sh64", "left_semi"), "containment_valved")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "__sh64")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count("*").alias("n_inter"))

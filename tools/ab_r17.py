@@ -47,7 +47,17 @@ def main() -> None:
     args = ap.parse_args()
 
     names = args.queries.split(",")
-    sites = set(args.sites.split(","))
+    # a site of the form "attr:module.path.ATTR" flips a module-level bool
+    # (True in the "on" variant, False in "off") instead of a mat site
+    raw_sites = args.sites.split(",")
+    sites = {s for s in raw_sites if not s.startswith("attr:")}
+    attrs = []
+    for s in raw_sites:
+        if s.startswith("attr:"):
+            modpath, attr = s[5:].rsplit(".", 1)
+            import importlib
+
+            attrs.append((importlib.import_module(modpath), attr))
     bench_set = {**workload.QUERIES, **getattr(workload, "BENCH_EXTRA_QUERIES", {})}
     unknown = [n for n in names if n not in bench_set]
     if unknown:
@@ -74,6 +84,8 @@ def main() -> None:
             matpoint.DISABLED.update(baseline_disabled)
             if variant == "off":
                 matpoint.DISABLED.update(sites)
+            for mod, attr in attrs:
+                setattr(mod, attr, variant == "on")
             for n in names:
                 res[n][variant].append(_time_query(spark, sf_dir, n, bench_set[n]))
             gc.collect()
